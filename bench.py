@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. Each query executes fully via the
+noop sink (no collect, no disk write — measures compute + shuffle only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship_pricing_summary",
+    "job_23_1_annual_kpi",
+    "job_23_2_monthly_yoy",
+    "job_24_1_performance_kpi",
+    "job_24_2_branch_month_conversion",
+    "job_25_1_top5_branches",
+    "job_25_2_bottom5_branches",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "text_corpus_profile",
+    "text_lang_id",
+    "events_tumbling_5min",
+    "events_sessionize_30min_gap",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from ting_data_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="ting-data-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen path once so timings measure steady-state compute.
+    qs["flagship_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Text-analysis expressions for training-data pipelines.
+
+No reference-side counterpart (the reference has no text analytics); these are
+the SURVEY.md §7.4 extension operators. Everything is built from JVM-side
+builtins (``split``, ``regexp_*``, higher-order array functions) so the hot
+path never leaves whole-stage codegen. Hash-based fingerprints use ``md5``
+(portable: DuckDB computes the identical digest, enabling oracle checks) with
+``xxhash64`` offered as the faster JVM-native alternative at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and hard-coded so the same lists can be
+#: embedded in oracle SQL.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "mit", "den", "zu"],
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace/punctuation tokenizer → array<string> (empty tokens dropped)."""
+    c = normalize_text(col)
+    return F.filter(F.split(c, r"[^\p{L}\p{N}]+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-ish token count (BPE-approximate budget proxy)."""
+    return F.size(tokens(col))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) → array<string>.
+
+    Built with ``transform`` over token indices — stays JVM-side. Documents
+    shorter than *n* tokens yield the whole document as a single shingle.
+    """
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles over the normalized text → array<string>."""
+    c = normalize_text(col)
+    k = F.greatest(F.length(c) - (n - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(c, i, n))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not letters/digits/whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def _contains_any(sw: Column):
+    """Single-arg lambda factory (Spark HOFs reject extra closure params)."""
+    return lambda t: F.array_contains(sw, t)
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of *lang*."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, _contains_any(sw)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Blend of length band (50-2000 chars), low punctuation ratio, and
+    stopword presence — the standard cheap pre-filters a pretraining
+    pipeline applies before expensive model-based scoring.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    length_ok = F.when((n >= 50) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(c) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_ok + punct_ok + sw_ok) / 3.0
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    toks = tokens(col)
+    out: dict[str, Column] = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, _contains_any(sw)))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID → 'en'/'es'/'fr'/'de', 'und' when no votes.
+
+    Ties break deterministically by language-code order (asc) to keep the
+    oracle comparison stable.
+    """
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    max_hits = F.array_max(F.transform(pairs, lambda p: p["hits"]))
+    winner = F.array_min(
+        F.transform(
+            F.filter(pairs, lambda p: p["hits"] == max_hits), lambda p: p["lang"]
+        )
+    )
+    return F.when(max_hits > 0, winner).otherwise(F.lit("und"))
+
+
+def doc_fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 hex of the normalized text.
+
+    md5 is computed identically by DuckDB, making this oracle-checkable; at
+    100 TB scale swap in :func:`doc_fingerprint_fast` (xxhash64, ~5× faster,
+    JVM-native) — same dedup semantics, engine-specific digest.
+    """
+    return F.md5(normalize_text(col))
+
+
+def doc_fingerprint_fast(col: Column | str) -> Column:
+    """xxhash64 fingerprint — the at-scale default (not oracle-portable)."""
+    return F.xxhash64(normalize_text(col))

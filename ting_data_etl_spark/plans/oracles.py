@@ -1,0 +1,61 @@
+"""DuckDB-SQL fragment builders mirroring the engine's Column expressions.
+
+Each function here is the SQL twin of a function in
+:mod:`ting_data_etl_spark.functions.cleaning` — kept side by side so the
+Spark expression and its oracle stay aligned token for token. Cross-engine
+determinism rules (see ``cleaning.sum_exact``): float SUMs go through
+integer fixed-point accumulation; scalar double arithmetic on identical
+inputs is IEEE-deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+NULL_SENTINELS_SQL = "('', 'nan', 'NaN', 'NULL', 'None')"
+
+
+def sql_clean_nulls(expr: str) -> str:
+    """Twin of ``cleaning.clean_nulls``."""
+    return (
+        f"CASE WHEN trim({expr}) IN {NULL_SENTINELS_SQL} THEN NULL "
+        f"ELSE trim({expr}) END"
+    )
+
+
+def sql_to_number(expr: str) -> str:
+    """Twin of ``cleaning.to_number``."""
+    return (
+        f"TRY_CAST(regexp_replace({sql_clean_nulls(expr)}, '[,%]', '', 'g') "
+        f"AS DOUBLE)"
+    )
+
+
+def sql_parse_month(expr: str) -> str:
+    """Twin of ``cleaning.parse_month``."""
+    digits = f"regexp_replace(trim({expr}), '[^0-9]', '', 'g')"
+    mm = (
+        f"TRY_CAST(CASE WHEN length({digits}) >= 6 THEN right({digits}, 2) "
+        f"ELSE {digits} END AS INTEGER)"
+    )
+    return f"CASE WHEN {mm} BETWEEN 1 AND 12 THEN {mm} END"
+
+
+def sql_sum_exact(expr: str, scale: int = 2) -> str:
+    """Twin of ``cleaning.sum_exact`` (fixed-point exact sum → double)."""
+    factor = 10**scale
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {factor}) AS BIGINT)) AS BIGINT) "
+        f"/ {float(factor)}"
+    )
+
+
+def sql_guarded_ratio(num: str, den: str) -> str:
+    """Twin of ``cleaning.guarded_ratio``."""
+    return (
+        f"CASE WHEN ({den}) IS NOT NULL AND ({den}) <> 0 "
+        f"THEN ({num}) / ({den}) END"
+    )
+
+
+def sql_yoy(cur: str, prev: str) -> str:
+    """Twin of ``cleaning.yoy_ratio``."""
+    return sql_guarded_ratio(f"({cur}) - ({prev})", prev)
