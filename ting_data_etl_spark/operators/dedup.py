@@ -40,6 +40,30 @@ MINHASH_HASHES = 16  # signature length
 MINHASH_BANDS = 8  # → r = 2 rows per band
 SHINGLE_N = 3  # word 3-gram shingles
 
+MERSENNE_P = 2_147_483_647  # 2^31 - 1; (a·x+b) mod p stays in int64
+
+# Fixed affine-permutation coefficients (seeded, embedded identically in the
+# oracle SQL). One md5 per shingle + 16 integer permutations replaces 16 md5
+# passes — ~10× cheaper signatures.
+import random as _random
+
+_rng = _random.Random(42)
+PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MERSENNE_P), _rng.randrange(0, MERSENNE_P))
+    for _ in range(MINHASH_HASHES)
+]
+
+
+def _shingle_hash_spark(s):
+    """Portable 31-bit base hash: first 8 hex of md5 → int, mod p."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).try_cast("long") % MERSENNE_P
+    )
+
+
+def _sql_shingle_hash(s: str) -> str:
+    return f"(CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT) % {MERSENNE_P})"
+
 
 # --- exact dedup -----------------------------------------------------------
 _SQL_DEDUP_EXACT = """
@@ -106,37 +130,68 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash signatures + LSH banding --------------------------------------
-def minhash_signature(text_col, n_hashes: int = MINHASH_HASHES) -> F.Column:
-    """MinHash signature as array<string> of per-seed minimum digests.
+def minhash_signature(text_col) -> F.Column:
+    """MinHash signature as array<long>: sig_i = min over shingles of
+    (aᵢ·h(s)+bᵢ) mod p, h = 31-bit md5-derived base hash.
 
-    hash_i(shingle) = md5(i || '|' || shingle); signature_i = min over
-    shingles. Lexicographic min over fixed-width lowercase hex == numeric min
-    over the 128-bit digests, so DuckDB computes the identical signature.
-    Entirely per-row JVM expressions — zero shuffle, zero Python.
+    Column-expression form, useful for small inputs. For datasets use
+    :func:`minhash_signatures_df` — higher-order-function lambdas are
+    interpreted (no codegen, no common-subexpression elimination), so this
+    nested form re-evaluates the shingle pipeline per permutation; the
+    explode→aggregate form computes each md5 exactly once inside
+    whole-stage codegen.
     """
     shingles = word_ngrams(text_col, SHINGLE_N)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
-        ),
+    hashes = F.transform(shingles, _shingle_hash_spark)
+
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in PERMS])
+
+
+def minhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig: array<long>) via explode → 16 min-aggregates.
+
+    The scale formulation: one md5 per (doc, shingle) row inside codegen,
+    one shuffle on doc_id (int keys), map-side partial mins. Identical
+    output to :func:`minhash_signature`.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col(text_col), SHINGLE_N)).alias("s")
+    )
+    hx = sh.select("doc_id", _shingle_hash_spark(F.col("s")).alias("x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    wide = hx.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(len(PERMS))]).alias("sig")
     )
 
 
 def lsh_bands(sig_col, n_bands: int = MINHASH_BANDS) -> F.Column:
-    """Fold a signature into band keys: band_j = md5(sig[jr] || sig[jr+1] …)."""
+    """Band keys as array<string>: band_j = 'sig[jr],…,sig[jr+r-1]'.
+
+    Joined together with the band index (separate hash tables per band —
+    the standard LSH construction).
+    """
     r = MINHASH_HASHES // n_bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda j: F.md5(
-            F.concat_ws(
-                ",", F.slice(sig_col, j * r + 1, r)
-            )
-        ),
+        lambda j: F.concat_ws(",", F.slice(sig_col, j * r + 1, r)),
     )
+
+
+def _sql_perm_mins() -> str:
+    terms = ", ".join(
+        f"list_min(list_transform(hashes, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in PERMS
+    )
+    return f"list_value({terms})"
 
 
 _MINHASH_SIG_SQL = f"""
@@ -156,27 +211,24 @@ sh AS (
          ) AS shingles
   FROM tok
 ),
-sig AS (
+hx AS (
   SELECT doc_id,
-         list_transform(
-           range(0, {MINHASH_HASHES}),
-           i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || '|' || s)))
-         ) AS sig
+         list_transform(shingles, s -> {_sql_shingle_hash("s")}) AS hashes
   FROM sh
-)
+),
+sig AS (SELECT doc_id, {_sql_perm_mins()} AS sig FROM hx)
 """
 
 _SQL_MINHASH_PAIRS = f"""
 {_MINHASH_SIG_SQL},
 bands AS (
-  SELECT doc_id, unnest(list_transform(
-    range(0, {MINHASH_BANDS}),
-    j -> md5(array_to_string(list_slice(sig, j * 2 + 1, j * 2 + 2), ','))
-  )) AS band
-  FROM sig
+  SELECT doc_id, j,
+         array_to_string(list_slice(sig, j * 2 + 1, j * 2 + 2), ',') AS band
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.j = b.j AND a.doc_id < b.doc_id
 """
 
 
@@ -190,14 +242,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate text) before the join — see ``band_frequency_cap``.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select("doc_id", minhash_signature(F.col("text")).alias("sig"))
+    sig = minhash_signatures_df(d)
     bands = sig.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"))).alias("band")
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
     )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = a.join(
-        b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.j") == F.col("b.j"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     return pairs.distinct()
 
@@ -212,8 +267,13 @@ SELECT doc_id, array_to_string(sig, ',') AS sig_str FROM sig
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw MinHash signatures (joined to one string for oracle comparison)."""
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select("doc_id", minhash_signature(F.col("text")).alias("sig"))
-    return sig.select("doc_id", F.concat_ws(",", "sig").alias("sig_str"))
+    sig = minhash_signatures_df(d)
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("sig", lambda x: x.cast("string"))
+        ).alias("sig_str"),
+    )
 
 
 # --- n-gram Jaccard (exact pairwise, blocked by source) --------------------
@@ -227,9 +287,10 @@ WITH tok AS (
   FROM documents
 ),
 sh AS (
+  -- 60-bit shingle ids: join/shuffle carries 8-byte ints, not shingle text
   SELECT doc_id, source, unnest(list_distinct(list_transform(
            range(0, greatest(len(toks) - {SHINGLE_N - 1}, 1)),
-           i -> array_to_string(list_slice(toks, i + 1, i + {SHINGLE_N}), ' ')
+           i -> CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + {SHINGLE_N}), ' ')), 1, 15) AS BIGINT)
          ))) AS shingle
   FROM tok
 ),
@@ -262,9 +323,16 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(word_ngrams(F.col("text"), SHINGLE_N))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_ngrams(F.col("text"), SHINGLE_N),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).try_cast(
+                        "long"
+                    ),
+                )
+            )
+        ).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")

@@ -33,19 +33,20 @@ QUERY_MOD = 10  # every 10th vector is a query → |Q| = N/10
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized vectors with the norm precomputed ONCE per vector.
+
+    The pair stage then does a single 64-element fold per pair instead of
+    three — at Q·N pairs this is the dominant cost.
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id", "label", quantize_vec("embedding").alias("q")
-    )
+    q = e.select("vec_id", "label", quantize_vec("embedding").alias("q"))
+    return q.withColumn("norm", F.sqrt(dot_product(F.col("q"), F.col("q"))))
 
 
-def _cosine_q(a, b) -> F.Column:
-    """Cosine over quantized vectors; exact-integer dot and norms."""
-    dot = dot_product(a, b)
-    na = F.sqrt(dot_product(a, a))
-    nb = F.sqrt(dot_product(b, b))
+def _cosine_pre(a, b, na, nb) -> F.Column:
+    """Cosine from quantized vectors + precomputed norms."""
     denom = na * nb
-    return F.when(denom != 0, dot / denom)
+    return F.when(denom != 0, dot_product(a, b) / denom)
 
 
 _SQL_QUANT = """
@@ -81,15 +82,23 @@ FROM (
 def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized(spark, sf_dir)
     queries = q.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
     )
-    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"))
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
     pairs = queries.join(
         F.broadcast(corpus), F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
-        _cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+        _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
     )
     from pyspark.sql import Window
 
@@ -138,11 +147,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
     )
     corpus = q.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
         F.col("q").alias("cv"),
+        F.col("norm").alias("cn"),
     )
     pairs = queries.join(
         corpus,
@@ -151,7 +162,9 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
-        _cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+        _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
     )
     from pyspark.sql import Window
 
@@ -186,14 +199,24 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     q = _quantized(spark, sf_dir)
     a = q.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("q").alias("qa")
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
     )
     b = q.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("q").alias("qb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
     )
     pairs = a.join(
         b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))
     ).select(
-        "vec_a", "vec_b", _cosine_q(F.col("qa"), F.col("qb")).alias("cosine")
+        "vec_a",
+        "vec_b",
+        _cosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias(
+            "cosine"
+        ),
     )
     return pairs.filter(F.col("cosine") >= 0.3)
