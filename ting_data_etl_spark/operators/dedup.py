@@ -30,15 +30,26 @@ from pyspark.sql import functions as F
 
 from ting_data_etl_spark.functions.text import (
     doc_fingerprint_md5,
-    normalize_text,
     word_ngrams,
 )
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
 
 MINHASH_HASHES = 16  # signature length
-MINHASH_BANDS = 8  # → r = 2 rows per band
+MINHASH_BANDS = 8  # → r = MINHASH_HASHES // MINHASH_BANDS rows per band
+MINHASH_ROWS_PER_BAND = MINHASH_HASHES // MINHASH_BANDS
 SHINGLE_N = 3  # word 3-gram shingles
+
+#: Hot-bucket guards for the candidate-pair self-joins. A band bucket (or a
+#: shared shingle within a ``source`` block) holding *cap* documents produces
+#: O(cap²) candidate pairs — boilerplate text (cookie banners, license
+#: headers) routinely creates buckets with millions of members at corpus
+#: scale, turning the join quadratic. Buckets above the cap are dropped
+#: before the join on BOTH the Spark and the oracle side (same constants), so
+#: the semantics — "near-dup candidates, excluding boilerplate buckets" —
+#: stay engine-identical.
+BAND_FREQUENCY_CAP = 50
+SHINGLE_FREQUENCY_CAP = 100
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1; (a·x+b) mod p stays in int64
 
@@ -69,11 +80,11 @@ def _sql_shingle_hash(s: str) -> str:
 _SQL_DEDUP_EXACT = """
 WITH n AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM documents
 ),
 k AS (
-  SELECT doc_id, norm, MIN(doc_id) OVER (PARTITION BY norm) AS keeper
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS keeper
   FROM n
 )
 SELECT doc_id, keeper, (doc_id <> keeper) AS is_dup
@@ -83,21 +94,23 @@ FROM k
 
 @register("dedup_exact", oracle=_SQL_DEDUP_EXACT)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized text: keeper = min doc_id per group.
+    """Exact dedup: keeper = min doc_id per content-fingerprint group.
 
-    One shuffle on the normalized text. At scale prefer
-    :func:`dedup_fingerprint` (shuffles 16-byte digests, not bodies).
+    The window partitions by the md5 *fingerprint* of the normalized text,
+    never the text itself — the shuffle carries 16-byte digests regardless of
+    document size, which at 100 TB is the difference between shuffling hashes
+    and shuffling the corpus. The single window expression is aliased once and
+    reused so the plan has exactly one Window node.
     """
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", normalize_text("text").alias("norm")
+        "doc_id", doc_fingerprint_md5("text").alias("fp")
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("norm")
-    return d.select(
-        "doc_id",
-        F.min("doc_id").over(w).alias("keeper"),
-        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    w = Window.partitionBy("fp")
+    keeper = d.select("doc_id", F.min("doc_id").over(w).alias("keeper"))
+    return keeper.select(
+        "doc_id", "keeper", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
     )
 
 
@@ -223,13 +236,41 @@ _SQL_MINHASH_PAIRS = f"""
 {_MINHASH_SIG_SQL},
 bands AS (
   SELECT doc_id, j,
-         array_to_string(list_slice(sig, j * 2 + 1, j * 2 + 2), ',') AS band
+         array_to_string(list_slice(sig,
+           j * {MINHASH_ROWS_PER_BAND} + 1,
+           j * {MINHASH_ROWS_PER_BAND} + {MINHASH_ROWS_PER_BAND}), ',') AS band
   FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)
+),
+capped AS (
+  SELECT doc_id, j, band FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY j, band) AS bucket_n FROM bands
+  ) WHERE bucket_n <= {BAND_FREQUENCY_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.j = b.j AND a.doc_id < b.doc_id
 """
+
+
+def band_frequency_cap(
+    bands: DataFrame, cap: int = BAND_FREQUENCY_CAP
+) -> DataFrame:
+    """Drop LSH band buckets holding more than *cap* documents.
+
+    A window count over ``(j, band)`` — the SAME key the candidate self-join
+    shuffles on, so with co-partitioning the cap adds no extra shuffle over
+    what the join already pays. Buckets above the cap are boilerplate (every
+    member pair would be emitted, O(cap²) blow-up); dropping them bounds the
+    join's worst-case fan-out at ``cap²/2`` pairs per bucket.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("j", "band")
+    return (
+        bands.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= cap)
+        .drop("bucket_n")
+    )
 
 
 @register("dedup_minhash_lsh_pairs", oracle=_SQL_MINHASH_PAIRS)
@@ -237,15 +278,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH banding.
 
     Plan shape: per-row signature (codegen) → explode bands (b rows/doc,
-    16 B keys) → self-join on band → distinct pairs. The only shuffle
-    carries band keys; at 100 TB add a frequency cap on pathological bands
-    (boilerplate text) before the join — see ``band_frequency_cap``.
+    16 B keys) → :func:`band_frequency_cap` → self-join on band → distinct
+    pairs. The only shuffle carries band keys; the cap (mirrored in the
+    oracle SQL) keeps pathological boilerplate bands from going quadratic.
     """
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures_df(d)
     bands = sig.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
     )
+    bands = band_frequency_cap(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = a.join(
@@ -294,10 +336,15 @@ sh AS (
          ))) AS shingle
   FROM tok
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, source, shingle FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY source, shingle) AS bucket_n FROM sh
+  ) WHERE bucket_n <= {SHINGLE_FREQUENCY_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM sh a JOIN sh b
+  FROM capped a JOIN capped b
     ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -310,13 +357,37 @@ WHERE CAST(s.common AS DOUBLE) / (sa.n + sb.n - s.common) >= 0.1
 """
 
 
+def shingle_frequency_cap(
+    sh: DataFrame, cap: int = SHINGLE_FREQUENCY_CAP
+) -> DataFrame:
+    """Drop shingles shared by more than *cap* docs within a source block.
+
+    Same construction as :func:`band_frequency_cap` but keyed on
+    ``(source, shingle)`` — the block+join key of the shared-shingle
+    self-join. A boilerplate shingle appearing in every document of a source
+    would otherwise contribute O(n²) join rows; capping bounds it at cap²
+    while the Jaccard denominator (per-doc shingle count) is computed over
+    the same capped set on both engines, keeping scores consistent.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", "shingle")
+    return (
+        sh.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= cap)
+        .drop("bucket_n")
+    )
+
+
 @register("dedup_ngram_jaccard_pairs", oracle=_SQL_JACCARD)
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.1, blocked by ``source``.
 
     The shared-shingle self-join is the scalable formulation (vs. a cross
     join): pair candidates materialize only where an actual shingle is
-    shared, and the ``source`` block bounds worst-case fan-out. Jaccard is
+    shared, the ``source`` block bounds worst-case fan-out, and
+    :func:`shingle_frequency_cap` (mirrored in the oracle) removes
+    boilerplate shingles that would make a block quadratic. Jaccard is
     exact integer arithmetic — deterministic across engines.
     """
     d = load_table(spark, sf_dir, "documents")
@@ -334,6 +405,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    sh = shingle_frequency_cap(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -403,9 +475,45 @@ def simhash32(text_col) -> F.Column:
     return total.cast("long")
 
 
-@register("dedup_simhash_signatures")
+def _sql_simhash_bits() -> str:
+    """SQL twin of :func:`simhash32`: 32 per-bit vote terms summed.
+
+    Same nibble arithmetic as the Spark side — hex digit at position
+    ``i // 4 + 1``, bit ``3 - i % 4`` within the nibble, +1/-1 votes summed
+    over token digests (empty docs vote 0 → bit 0, matching ``F.aggregate``'s
+    zero init).
+    """
+    terms = []
+    for i in range(32):
+        pos = i // 4 + 1
+        shift = 3 - (i % 4)
+        nib = f"CAST('0x' || substr(d, {pos}, 1) AS BIGINT)"
+        vote = f"CASE WHEN ({nib} // {2 ** shift}) % 2 = 1 THEN 1 ELSE -1 END"
+        votes = f"coalesce(list_sum(list_transform(digests, d -> {vote})), 0)"
+        terms.append(f"CASE WHEN {votes} > 0 THEN {2 ** (31 - i)} ELSE 0 END")
+    return " + ".join(terms)
+
+
+_SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                 '[^\\p{{L}}\\p{{N}}]+'),
+           t -> t <> '') AS toks
+  FROM documents
+),
+dig AS (
+  SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 8)) AS digests
+  FROM tok
+)
+SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM dig
+"""
+
+
+@register("dedup_simhash_signatures", oracle=_SQL_SIMHASH)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 32-bit SimHash (rows-only check; pytest covers determinism).
+    """Per-doc 32-bit SimHash, oracle-checked bit-for-bit against DuckDB.
 
     Candidate near-dups then group on the signature (or band it 4×8 bits for
     hamming-distance-≤k search) — both single-shuffle plans.
