@@ -1,0 +1,51 @@
+"""Tests for dedup operators: caps, exact-dedup semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.operators.dedup import (
+    band_frequency_cap,
+    shingle_frequency_cap,
+)
+
+
+class TestBandFrequencyCap:
+    def test_drops_hot_buckets_keeps_cold(self, spark):
+        rows = [(i, 0, "hot") for i in range(6)] + [(10, 0, "cold"), (11, 0, "cold")]
+        bands = spark.createDataFrame(rows, "doc_id long, j int, band string")
+        out = band_frequency_cap(bands, cap=5)
+        got = {(r.doc_id, r.band) for r in out.collect()}
+        assert got == {(10, "cold"), (11, "cold")}
+
+    def test_band_index_isolation(self, spark):
+        # same band string under different j = different hash tables
+        rows = [(i, i % 2, "x") for i in range(8)]
+        bands = spark.createDataFrame(rows, "doc_id long, j int, band string")
+        assert band_frequency_cap(bands, cap=4).count() == 8  # 4 per j, both kept
+        assert band_frequency_cap(bands, cap=3).count() == 0
+
+
+class TestShingleFrequencyCap:
+    def test_source_blocked(self, spark):
+        rows = [(i, "srcA", 42) for i in range(4)] + [(9, "srcB", 42)]
+        sh = spark.createDataFrame(rows, "doc_id long, source string, shingle long")
+        out = shingle_frequency_cap(sh, cap=3)
+        # srcA's bucket of 4 dropped; srcB's singleton survives
+        assert [(r.doc_id, r.source) for r in out.collect()] == [(9, "srcB")]
+
+
+class TestExactDedupSemantics:
+    def test_keeper_is_min_doc_id(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+
+        out = entrymod.queries()["dedup_exact"](spark, sf_dir)
+        rows = out.collect()
+        by_keeper: dict[int, list] = {}
+        for r in rows:
+            by_keeper.setdefault(r.keeper, []).append(r)
+        for keeper, members in by_keeper.items():
+            ids = [m.doc_id for m in members]
+            assert keeper == min(ids)
+            for m in members:
+                assert m.is_dup == (m.doc_id != keeper)

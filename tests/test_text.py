@@ -1,0 +1,110 @@
+"""Tests for text expressions: tokenization, shingles, simhash, minhash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.functions.text import (
+    lang_id,
+    normalize_text,
+    quality_score,
+    token_count,
+    tokens,
+    word_ngrams,
+)
+from ting_data_etl_spark.operators.dedup import (
+    minhash_signature,
+    minhash_signatures_df,
+    simhash32,
+)
+
+
+def _one(spark, col, value: str):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(col.alias("out")).collect()[0].out
+
+
+class TestTokenization:
+    def test_normalize(self, spark):
+        assert _one(spark, normalize_text(F.col("v")), "  Héllo\t\nWORLD  ") == "héllo world"
+
+    def test_tokens_drop_empties_and_punct(self, spark):
+        assert _one(spark, tokens(F.col("v")), "a, b!! c?") == ["a", "b", "c"]
+        assert _one(spark, tokens(F.col("v")), "...") == []
+
+    def test_token_count(self, spark):
+        assert _one(spark, token_count(F.col("v")), "one two  three") == 3
+
+    def test_ngrams_short_doc_single_shingle(self, spark):
+        # docs shorter than n yield the whole doc as one shingle
+        assert _one(spark, word_ngrams(F.col("v"), 3), "a b") == ["a b"]
+        assert _one(spark, word_ngrams(F.col("v"), 3), "a b c d") == [
+            "a b c",
+            "b c d",
+        ]
+
+
+class TestLangId:
+    def test_stopword_votes(self, spark):
+        assert _one(spark, lang_id(F.col("v")), "the cat and the dog") == "en"
+        assert _one(spark, lang_id(F.col("v")), "el perro y la casa que") == "es"
+        assert _one(spark, lang_id(F.col("v")), "zzz qqq") == "und"
+
+    def test_tie_breaks_by_lang_code(self, spark):
+        # "la" is both es and fr stopword -> tie -> lexicographically first code
+        assert _one(spark, lang_id(F.col("v")), "la la") == "es"
+
+
+class TestQuality:
+    def test_bounds(self, spark):
+        good = "the quick brown fox jumps over the lazy dog " * 3
+        assert _one(spark, quality_score(F.col("v")), good) == 1.0
+        assert _one(spark, quality_score(F.col("v")), "!!!") == 0.0
+
+
+class TestSimhash:
+    def test_deterministic_and_permutation_invariant_shape(self, spark):
+        a = _one(spark, simhash32(F.col("v")), "the quick brown fox")
+        b = _one(spark, simhash32(F.col("v")), "the quick brown fox")
+        assert a == b  # deterministic across evaluations
+        assert 0 <= a < 2**32
+
+    def test_empty_doc_is_zero(self, spark):
+        assert _one(spark, simhash32(F.col("v")), "") == 0
+        assert _one(spark, simhash32(F.col("v")), "...") == 0
+
+    def test_near_duplicates_have_close_signatures(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base + " extra"
+        far = "completamente diferente en otro idioma con palabras distintas"
+        ha = _one(spark, simhash32(F.col("v")), base)
+        hb = _one(spark, simhash32(F.col("v")), near)
+        hc = _one(spark, simhash32(F.col("v")), far)
+
+        def hamming(x, y):
+            return bin(x ^ y).count("1")
+
+        assert hamming(ha, hb) < hamming(ha, hc)
+
+
+class TestMinhash:
+    def test_expression_and_dataframe_forms_agree(self, spark):
+        """minhash_signature (nested HOF) == minhash_signatures_df (explode+agg)."""
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        expr = {
+            r.doc_id: r.sig
+            for r in docs.select(
+                "doc_id", minhash_signature(F.col("text")).alias("sig")
+            ).collect()
+        }
+        dfform = {
+            r.doc_id: r.sig for r in minhash_signatures_df(docs).collect()
+        }
+        assert expr == dfform
+        assert expr[1] == expr[3]  # identical docs -> identical signatures
+        assert expr[1] != expr[2]

@@ -82,10 +82,13 @@ def fmt_pct(col: Column, decimals: int = 2) -> Column:
     """Ratio → ``"12.34%"`` string; NULL → ``""``.
 
     Replaces the reference's row-wise ``_fmt_pct`` ``Series.apply`` UDF
-    (``aggregate_by_store.py:209-215``) with pure builtins — stays in
-    whole-stage codegen.
+    (``aggregate_by_store.py:209-215``, ``f"{x*100:.2f}%"``) with pure
+    builtins — stays in whole-stage codegen. ``format_string`` (no thousands
+    separators) matches the reference's f-string output; the only divergence
+    is exact decimal-tie rounding (Java HALF_UP vs Python round-half-even),
+    unreachable for ratios of real sums.
     """
-    pct = F.format_number(col * 100, decimals)
+    pct = F.format_string(f"%.{decimals}f", col * 100)
     return F.when(col.isNotNull(), F.concat(pct, F.lit("%"))).otherwise(F.lit(""))
 
 
