@@ -6,8 +6,10 @@ the *batch-mode equivalent* of a Structured Streaming pipeline in
 :mod:`ting_data_etl_spark.streaming.windows` — identical logical semantics
 (same windows, same aggregates), which is exactly how Structured Streaming
 defines itself: a streaming query is the incremental execution of this batch
-plan. The pytest suite runs the true streaming versions with
-``trigger(availableNow)`` and asserts they match these batch results.
+plan. The true streaming versions run ``trigger(availableNow)`` /
+``session_window`` pipelines and are themselves oracle-checked
+(``streaming_*`` registry entries); ``tests/test_streaming.py`` additionally
+asserts batch↔stream parity row for row.
 
 Determinism: timestamps are compared/bucketed in integer microseconds
 (``unix_micros`` ↔ ``epoch_us``) — no float time arithmetic.

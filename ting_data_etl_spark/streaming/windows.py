@@ -1,0 +1,201 @@
+"""Structured Streaming twins of the batch window queries.
+
+Each query here is a REAL streaming pipeline — ``readStream`` file source →
+watermarked event-time windows → ``writeStream`` — run to completion on the
+bounded ``events`` table and materialized through a memory sink, so the same
+``(spark, sf_dir) -> DataFrame`` contract (and the same DuckDB oracles) apply
+to the streaming plans as to their batch twins in
+:mod:`ting_data_etl_spark.streaming.batch_windows`. This is Structured
+Streaming's own definition of correctness: a streaming query must equal the
+batch evaluation of the same logical plan over the data seen so far.
+
+Sink/trigger choices, and how they map to production:
+
+* **tumbling / sliding** run ``trigger(availableNow=True)`` in *complete*
+  output mode. In production these run *append* mode with the watermark
+  closing windows incrementally; complete mode is what makes the bounded
+  parity run emit the tail windows the watermark would still be holding
+  open at end-of-input. The watermark is still declared — the plan is the
+  production plan.
+* **sessionize** uses the native ``F.session_window`` operator, also in
+  complete mode (session aggregations allow append/complete, and append
+  would withhold the sessions still inside the final watermark). At scale
+  the same query runs continuously in append mode with the watermark
+  evicting closed sessions from the state store.
+
+The stream source is a parquet directory: the events table is staged once
+per ``sf_dir`` (timestamps already normalized ns→µs by ``load_table``) and
+then read with ``spark.readStream`` — the exact pattern a production
+pipeline uses for file-arrival streams.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.functions.cleaning import sum_exact
+from ting_data_etl_spark.plans.oracles import sql_sum_exact
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.tables import load_table
+from ting_data_etl_spark.streaming.batch_windows import (
+    _SQL_SLIDING,
+    _SQL_TUMBLING,
+    SESSION_GAP_US,
+)
+
+_STAGED: dict[str, str] = {}
+_SINK_IDS = itertools.count()
+
+
+def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage ``events`` as a parquet dir and open it as a file-source stream.
+
+    Staged once per (process, sf_dir); the streaming read carries the exact
+    batch schema, so the streaming plans below are the batch plans run
+    incrementally.
+    """
+    batch = load_table(spark, sf_dir, "events")
+    if sf_dir not in _STAGED:
+        out = os.path.join(
+            tempfile.gettempdir(), "ting_stream_stage", sf_dir.strip("/").replace("/", "_")
+        )
+        batch.write.mode("overwrite").parquet(out)
+        _STAGED[sf_dir] = out
+    return spark.readStream.schema(batch.schema).parquet(_STAGED[sf_dir])
+
+
+def run_stream_to_table(
+    sdf: DataFrame, output_mode: str, once: bool = False
+) -> DataFrame:
+    """Run a bounded streaming query to completion via a memory sink.
+
+    ``availableNow`` (or ``once``) processes the full backlog then stops —
+    the bounded-execution mode Structured Streaming provides for exactly
+    this batch-parity pattern. Returns the sink table as a batch DataFrame.
+    """
+    name = f"ting_stream_sink_{next(_SINK_IDS)}"
+    writer = sdf.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if once:
+        q = writer.trigger(once=True).start()
+    else:
+        q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def tumbling_stream(events: DataFrame) -> DataFrame:
+    """Streaming 5-minute tumbling windows per event type (watermarked)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact("value", scale=6).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register("streaming_tumbling_5min", oracle=_SQL_TUMBLING)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stage_events_stream(spark, sf_dir)
+    return run_stream_to_table(tumbling_stream(events), "complete")
+
+
+def sliding_stream(events: DataFrame) -> DataFrame:
+    """Streaming 5-minute windows sliding every 150 s (watermarked)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            "event_type", F.window("ts", "5 minutes", "150 seconds").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+        )
+    )
+
+
+@register("streaming_sliding_5min_step150s", oracle=_SQL_SLIDING)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stage_events_stream(spark, sf_dir)
+    return run_stream_to_table(sliding_stream(events), "complete")
+
+
+# Batch-sessionize twin minus the per-user session ordinal (a streaming
+# operator cannot know "this is the user's 3rd session ever" without
+# unbounded state; the session identity here is its start time, which the
+# batch oracle reproduces exactly).
+_SQL_SESSION_WINDOWS = f"""
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) AS session_end_us,
+       COUNT(*) AS n_events,
+       {sql_sum_exact("value", 6)} AS total_value
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+def session_stream(events: DataFrame) -> DataFrame:
+    """Streaming gap-based sessions via the native ``session_window`` operator.
+
+    Spark defines the session window end as last-event-time + gap, so the
+    last event's timestamp is ``window.end - gap`` — aligned with the batch
+    twin's ``MAX(us)``.
+    """
+    gap_s = SESSION_GAP_US // 1_000_000
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact("value", scale=6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - SESSION_GAP_US).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register("streaming_sessionize_30min_gap", oracle=_SQL_SESSION_WINDOWS)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window aggregations allow append/complete output; append would
+    # hold back sessions newer than the final watermark, so the bounded
+    # parity run uses complete (production: append + watermark eviction).
+    events = stage_events_stream(spark, sf_dir)
+    return run_stream_to_table(session_stream(events), "complete")
