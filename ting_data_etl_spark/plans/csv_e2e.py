@@ -1,0 +1,121 @@
+"""End-to-end CSV pipeline: S3 read → clean → aggregate, oracle-checked.
+
+Every other green query reads parquet; this one exercises the reference's
+actual I/O surface (``README.md:31-39``): a BI-style messy CSV — meta rows
+before the header, human-formatted numbers, null sentinels, padded keys —
+flows through the header-scanning reader (S3), the blank-key guard (P7), the
+cleaning expressions (F1-F7) and a grouped fixed-point aggregation (A2),
+with the DuckDB oracle reading the SAME file via ``read_csv(skip=…,
+all_varchar=true)`` — so the whole CSV path, not just the relational tail,
+is hash-compared.
+
+The fixture is seeded and regenerated at import time (idempotent,
+deterministic bytes), so the oracle can run in any order relative to the
+Spark side.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import random
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.functions.cleaning import parse_month, sum_exact, to_number
+from ting_data_etl_spark.plans.oracles import (
+    sql_parse_month,
+    sql_sum_exact,
+    sql_to_number,
+)
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.csv import filter_valid_keys, read_messy_csv
+
+FIXTURE_PATH = os.path.join(tempfile.gettempdir(), "ting_e2e_csv", "sales.csv")
+N_META_ROWS = 2  # must match the oracle's read_csv(skip=...)
+_SEED = 20260813
+_N_ROWS = 400
+
+
+def write_fixture(path: str = FIXTURE_PATH) -> str:
+    """Deterministic messy sales CSV: meta prefix + dirty typed columns."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = random.Random(_SEED)
+    stores = [f"store_{i:03d}" for i in range(1, 9)]
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["Report generated", "2025-07-01"])  # meta row 1
+        w.writerow(["Source", "BI-Export"])  # meta row 2
+        w.writerow(["store_id", "month", "amount", "status"])
+        for _ in range(_N_ROWS):
+            r = rng.random()
+            if r < 0.05:
+                store = ""  # blank key -> dropped by the P7 guard
+            elif r < 0.15:
+                store = f"  {rng.choice(stores)} "  # padded key -> trimmed
+            else:
+                store = rng.choice(stores)
+            m = rng.randint(1, 12)
+            month = rng.choice(
+                [f"{m}", f"{m:02d}", f"2025{m:02d}", f"2025-{m:02d}", f"2025/{m:02d}"]
+            )
+            amt = rng.choice(
+                [
+                    f"{rng.randint(1, 99)},{rng.randint(100, 999)}.{rng.randint(10, 99)}",
+                    f"{rng.uniform(0, 100):.2f}%",
+                    f"{rng.uniform(-500, 500):.2f}",
+                    rng.choice(["", "nan", "NULL", "None"]),
+                ]
+            )
+            w.writerow([store, month, amt, rng.choice(["ok", "void"])])
+    return path
+
+
+# Regenerate at import: the registry imports this module in both the Spark
+# process and (via oracle registration) before the driver's DuckDB run.
+write_fixture()
+
+
+_SQL_E2E = f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{FIXTURE_PATH}', header = true,
+                         skip = {N_META_ROWS}, all_varchar = true)
+),
+clean AS (
+  SELECT trim(store_id) AS store_id,
+         {sql_parse_month("month")} AS month,
+         {sql_to_number("amount")} AS amount
+  FROM raw
+  WHERE store_id IS NOT NULL AND length(trim(store_id)) > 0
+)
+SELECT store_id, month,
+       {sql_sum_exact("amount")} AS total_amount,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM clean
+GROUP BY store_id, month
+"""
+
+
+@register("e2e_csv_pipeline", oracle=_SQL_E2E)
+def e2e_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 → P7 → F1/F5/F6 (to_number) / F3/F4/F7 (parse_month) → A2.
+
+    ``sf_dir`` is unused — the input is the fixture CSV itself (the point is
+    the CSV path). The distributed plan is: text scan → prefix drop →
+    ``from_csv`` → trim/coerce expressions → one hash aggregation; at scale
+    this is one shuffle on (store, month) with everything else codegen.
+    """
+    write_fixture()
+    res = read_messy_csv(spark, FIXTURE_PATH, key_col="store_id")
+    df = filter_valid_keys(res.df, "store_id")
+    clean = df.select(
+        F.trim(F.col("store_id")).alias("store_id"),
+        parse_month("month").alias("month"),
+        to_number("amount").alias("amount"),
+    )
+    return clean.groupBy("store_id", "month").agg(
+        sum_exact("amount").alias("total_amount"),
+        F.count("*").alias("n_rows"),
+    )

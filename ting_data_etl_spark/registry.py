@@ -43,6 +43,7 @@ def load_all() -> None:
     import ting_data_etl_spark.operators.similarity  # noqa: F401
     import ting_data_etl_spark.operators.text_queries  # noqa: F401
     import ting_data_etl_spark.operators.verify  # noqa: F401
+    import ting_data_etl_spark.plans.csv_e2e  # noqa: F401
     import ting_data_etl_spark.plans.jobs  # noqa: F401
     import ting_data_etl_spark.plans.primitives  # noqa: F401
     import ting_data_etl_spark.streaming.batch_windows  # noqa: F401

@@ -103,6 +103,7 @@ def read_messy_csv(
     key_col: str,
     encoding: str = "utf-8",
     max_scan_bytes: int = 256 * 1024,
+    validate_quotes: bool = True,
 ) -> MessyCsvResult:
     """Header-scanning CSV source (SURVEY.md §2.1 S3).
 
@@ -112,10 +113,33 @@ def read_messy_csv(
     lines parse via ``from_csv`` with an explicit all-string schema. Ragged
     rows parse PERMISSIVE (missing cells → NULL ≈ the reference's skip/empty
     behavior).
+
+    Two failure modes are rejected LOUDLY rather than silently misparsed:
+
+    * *path* must be a single file — the prefix-drop counts physical lines
+      of the first split, which is only well-defined for one file (a glob
+      would interleave line numbering across files);
+    * embedded newlines inside quoted cells break the line-oriented model
+      (a CSV *record* would span several text lines): any such cell in the
+      scanned prefix raises immediately, and ``validate_quotes`` adds a
+      distributed quote-parity sweep over the data region — a line with an
+      odd number of ``\"`` characters means a record was torn apart.
     """
+    if not os.path.isfile(path):
+        raise ValueError(
+            f"read_messy_csv requires a single file, got {path!r} "
+            "(for directories, loop per file — schemas differ per file anyway)"
+        )
     with open(path, "rb") as f:
         raw = f.read(max_scan_bytes)
     meta, header, header_idx = _scan_header(raw, key_col, encoding)
+    for row in [*meta, *([header] if header else [])]:
+        if any("\n" in cell or "\r" in cell for cell in row):
+            raise ValueError(
+                f"{path!r}: quoted embedded newline inside the meta/header "
+                "prefix — line-positional prefix dropping would misalign; "
+                "clean the export or parse this file with a multiLine reader"
+            )
     if header is None:
         # No header row contains the key column: warn + skip
         # (reference fan_out_by_storeid.py:28-30).
@@ -138,8 +162,23 @@ def read_messy_csv(
     # they sit inside the first split).
     ddl = ", ".join(f"`{c}` STRING" for c in cols)
     lines = spark.read.text(path).withColumn("_lineno", F.monotonically_increasing_id())
+    data_lines = lines.filter(F.col("_lineno") > header_idx)
+    if validate_quotes:
+        # quote-parity sweep: a physical line with an odd number of '"' can
+        # only come from a record whose quoted cell spans lines — the one
+        # shape the line-positional model cannot represent. One cheap
+        # column-pruned pass; fail loudly instead of parsing garbage.
+        odd = (
+            F.length(F.regexp_replace(F.col("value"), '[^"]', "")) % 2 == 1
+        )
+        if not data_lines.filter(odd).isEmpty():
+            raise ValueError(
+                f"{path!r}: data region contains a quoted embedded newline "
+                "(odd quote parity on a physical line); parse this file "
+                "with a multiLine CSV reader instead"
+            )
     df = (
-        lines.filter(F.col("_lineno") > header_idx)
+        data_lines
         .select(F.from_csv(F.col("value"), ddl, {"mode": "PERMISSIVE"}).alias("r"))
         .select("r.*")
     )
