@@ -1,0 +1,56 @@
+"""IVF-with-k-means quality: recall@5 against the brute-force baseline."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from ting_data_etl_spark.operators.similarity import (
+    KMEANS_LISTS,
+    ivf_centroids,
+    kmeans_fit,
+    _quantized,
+)
+
+
+class TestKmeansFit:
+    def test_deterministic_model(self, spark, sf_dir):
+        a = kmeans_fit(_quantized(spark, sf_dir), iters=2)
+        b = kmeans_fit(_quantized(spark, sf_dir), iters=2)
+        assert a == b
+        assert len(a) == KMEANS_LISTS
+
+    def test_every_vector_gets_a_list(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.operators.similarity import _nearest_lists
+
+        cents = ivf_centroids(spark, sf_dir)
+        q = _quantized(spark, sf_dir)
+        assigned = q.select(
+            F.element_at(_nearest_lists(F.col("q"), cents, 1), 1)["list_id"].alias(
+                "list_id"
+            )
+        )
+        assert assigned.filter(F.col("list_id").isNull()).count() == 0
+        n_lists = assigned.distinct().count()
+        assert 1 < n_lists <= KMEANS_LISTS
+
+
+class TestRecall:
+    def test_recall_at_5_vs_bruteforce(self, spark, sf_dir):
+        qs = entrymod.queries()
+        brute = qs["similarity_bruteforce_topk"](spark, sf_dir).collect()
+        ivf = qs["similarity_ivf_kmeans_topk"](spark, sf_dir).collect()
+        truth: dict[int, set[int]] = {}
+        for r in brute:
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        got: dict[int, set[int]] = {}
+        for r in ivf:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        recall = hits / total
+        print(f"IVF k-means recall@5 = {recall:.3f} ({hits}/{total})")
+        # NPROBE/KMEANS_LISTS = 3/8 of the corpus scanned; cosine neighbors
+        # concentrate in nearby cells, so recall must beat the random-scan
+        # expectation (= fraction scanned) by a wide margin
+        assert recall >= 0.5
