@@ -321,3 +321,92 @@ def prim_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_valid_keys(o, "store_id").groupBy("store_id").agg(
         F.count("*").alias("n_rows")
     )
+
+
+# --- D3: percent formatting (the reference's _fmt_pct, builtin-only) -------
+_SQL_FMT_PCT = f"""
+WITH agg AS (
+  SELECT o_orderpriority,
+         {sql_sum_exact("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+         {sql_sum_exact("o_totalprice")} AS total
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT o_orderpriority,
+         CASE WHEN total IS NOT NULL AND total <> 0 THEN f_total / total END AS ratio
+  FROM agg
+)
+SELECT o_orderpriority,
+       CASE WHEN ratio IS NOT NULL
+            THEN printf('%.2f', ratio * 100) || '%' ELSE '' END AS f_share_pct,
+       '' AS null_pct
+FROM r
+"""
+
+
+@register("prim_fmt_pct", oracle=_SQL_FMT_PCT)
+def prim_fmt_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 percent formatting over real ratios, plus the NULL -> '' branch.
+
+    Mirrors reference ``aggregate_by_store.py:209-215`` (``f"{x*100:.2f}%"``,
+    NA -> ``""``): per-priority share of 'F'-status revenue, formatted; the
+    ``null_pct`` column pins the guarded-division-by-zero path to the empty
+    string. Ratios come from fixed-point sums, so Spark's and DuckDB's
+    formatting see bit-identical doubles.
+    """
+    from ting_data_etl_spark.functions.cleaning import fmt_pct, guarded_ratio
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        sum_exact(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        ).alias("f_total"),
+        sum_exact("o_totalprice").alias("total"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        fmt_pct(guarded_ratio(F.col("f_total"), F.col("total"))).alias("f_share_pct"),
+        fmt_pct(guarded_ratio(F.lit(1.0), F.lit(0.0))).alias("null_pct"),
+    )
+
+
+# --- S5 + O1: per-group single-file sink with pre-output sort --------------
+_SQL_SINK_RECEIPTS = """
+SELECT o_orderpriority AS group_key,
+       CAST(COUNT(DISTINCT month(o_orderdate)) AS BIGINT) AS rows_written
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("sink_per_group_monthly_csv", oracle=_SQL_SINK_RECEIPTS)
+def sink_per_group_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 sink round-trip: per-priority monthly counts -> one CSV per group.
+
+    Each group's rows arrive as ONE Arrow batch in one task and are written
+    as ``{group}/monthly.csv`` (utf-8-sig, month-sorted — O1); the receipts
+    (group, rows_written) are what the oracle checks, so a dropped or
+    duplicated group fails the hash. File content/order/BOM are asserted in
+    ``tests/test_sinks.py``.
+    """
+    import os
+    import tempfile
+
+    from ting_data_etl_spark.sinks.single_file import write_per_group_csv
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.month("o_orderdate").alias("month"),
+    ).agg(F.count("*").alias("n_orders"))
+    out = os.path.join(
+        tempfile.gettempdir(), "ting_sink_s5", sf_dir.strip("/").replace("/", "_")
+    )
+    return write_per_group_csv(
+        monthly,
+        out,
+        group_col="priority",
+        file_name="monthly.csv",
+        columns=["month", "n_orders"],
+        sort_by=["month"],
+    ).select(F.col("group_key"), F.col("rows_written"))

@@ -45,4 +45,23 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate silently ignores builder configs when a session already
+    # exists in the process. JVM-static settings (master, driver.memory)
+    # genuinely can't change then, but every spark.sql.* conf above is
+    # runtime-settable — re-apply them so callers asking for e.g. a specific
+    # shuffle_partitions get it even on a reused session.
+    runtime = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        **{k: v for k, v in (extra_conf or {}).items() if k.startswith("spark.sql.")},
+    }
+    for k, v in runtime.items():
+        spark.conf.set(k, v)
+    return spark

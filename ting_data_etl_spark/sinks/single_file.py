@@ -31,12 +31,14 @@ def write_per_group_csv(
     columns: Sequence[str],
     sort_by: Sequence[str] = (),
     encoding: str = "utf-8-sig",
-) -> int:
-    """Write ``{output_dir}/{group}/{file_name}`` per group; returns #groups.
+) -> DataFrame:
+    """Write ``{output_dir}/{group}/{file_name}`` per group.
 
-    ``columns`` fixes the output column order (reference P1 projection);
-    ``sort_by`` reproduces the per-group pre-output sort (O1, e.g. month
-    asc, reference ``aggregate_by_store.py:311, 504``).
+    Returns the lazy receipts DataFrame ``(group_key, rows_written)`` — one
+    row per group; materializing it (count/collect/write) performs the
+    distributed write. ``columns`` fixes the output column order (reference
+    P1 projection); ``sort_by`` reproduces the per-group pre-output sort
+    (O1, e.g. month asc, reference ``aggregate_by_store.py:311, 504``).
     """
     out_schema = StructType(
         [
@@ -60,5 +62,4 @@ def write_per_group_csv(
         )
         return pd.DataFrame({"group_key": [key], "rows_written": [len(pdf)]})
 
-    receipts = df.groupBy(group_col).applyInPandas(_write_group, schema=out_schema)
-    return receipts.count()
+    return df.groupBy(group_col).applyInPandas(_write_group, schema=out_schema)
