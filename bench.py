@@ -27,12 +27,17 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_signatures",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_kmeans_topk",
     "text_corpus_profile",
     "text_lang_id",
     "events_tumbling_5min",
     "events_sessionize_30min_gap",
+    "streaming_tumbling_5min",
+    "e2e_csv_pipeline",
+    "prim_fanout_verify",
 ]
 
 

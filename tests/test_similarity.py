@@ -21,18 +21,37 @@ class TestKmeansFit:
     def test_every_vector_gets_a_list(self, spark, sf_dir):
         import pyspark.sql.functions as F
 
-        from ting_data_etl_spark.operators.similarity import _nearest_lists
+        from ting_data_etl_spark.operators.similarity import nearest_lists_udf
 
         cents = ivf_centroids(spark, sf_dir)
         q = _quantized(spark, sf_dir)
         assigned = q.select(
-            F.element_at(_nearest_lists(F.col("q"), cents, 1), 1)["list_id"].alias(
-                "list_id"
-            )
+            F.element_at(nearest_lists_udf(cents, 1)(F.col("q")), 1).alias("list_id")
         )
         assert assigned.filter(F.col("list_id").isNull()).count() == 0
         n_lists = assigned.distinct().count()
         assert 1 < n_lists <= KMEANS_LISTS
+
+    def test_udf_assignment_matches_expression_form(self, spark, sf_dir):
+        """The vectorized matmul kernel must agree with the exact
+        pure-expression argmin, probe list for probe list."""
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.operators.similarity import (
+            NPROBE,
+            _nearest_lists,
+            nearest_lists_udf,
+        )
+
+        cents = ivf_centroids(spark, sf_dir)
+        q = _quantized(spark, sf_dir).limit(200)
+        both = q.select(
+            "vec_id",
+            _nearest_lists(F.col("q"), cents, NPROBE).alias("expr_lists"),
+            nearest_lists_udf(cents, NPROBE)(F.col("q")).alias("udf_lists"),
+        )
+        for r in both.collect():
+            assert list(r.expr_lists) == list(r.udf_lists), r.vec_id
 
 
 class TestRecall:

@@ -16,6 +16,7 @@ from ting_data_etl_spark.operators.dedup import (
     minhash_signature,
     minhash_signatures_df,
     simhash32,
+    simhash_signatures_df,
 )
 
 
@@ -72,6 +73,24 @@ class TestSimhash:
     def test_empty_doc_is_zero(self, spark):
         assert _one(spark, simhash32(F.col("v")), "") == 0
         assert _one(spark, simhash32(F.col("v")), "...") == 0
+
+    def test_expression_and_dataframe_forms_agree(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, ""),  # empty doc -> 0 in both forms
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        expr = {
+            r.doc_id: r.s
+            for r in docs.select(
+                "doc_id", simhash32(F.col("text")).alias("s")
+            ).collect()
+        }
+        dfform = {r.doc_id: r.simhash for r in simhash_signatures_df(docs).collect()}
+        assert expr == dfform
+        assert dfform[3] == 0
 
     def test_near_duplicates_have_close_signatures(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again"

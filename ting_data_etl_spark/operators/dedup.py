@@ -511,12 +511,59 @@ SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM dig
 """
 
 
+def simhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) via explode → 32 codegen vote-sum aggregates.
+
+    The dataset formulation of :func:`simhash32` (same trick as
+    :func:`minhash_signatures_df`): higher-order-function lambdas are
+    interpreted, so folding 32 bit-votes per row is slow; exploding tokens
+    and summing 32 ``CASE`` expressions in one hash aggregate keeps the
+    whole pipeline inside whole-stage codegen with ONE shuffle on doc_id.
+    ``explode_outer`` keeps empty documents (zero votes → simhash 0),
+    matching the fold's zero init. Output is identical bit for bit.
+    """
+    from ting_data_etl_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokens(F.col(text_col))).alias("t")
+    )
+    d8 = tok.select("doc_id", F.substring(F.md5("t"), 1, 8).alias("d"))
+    # 8 hex nibbles computed once, shared by their 4 bit-vote expressions
+    nibs = d8.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("d", pos, 1), 16, 10).try_cast("int").alias(f"n{pos}")
+            for pos in range(1, 9)
+        ],
+    )
+    votes = []
+    for i in range(32):
+        pos = i // 4 + 1
+        shift = 3 - (i % 4)
+        nib = F.col(f"n{pos}")
+        vote = (
+            F.when(nib.isNull(), 0)  # explode_outer's empty-doc row
+            .when(F.floor(nib / (2**shift)) % 2 == 1, 1)
+            .otherwise(-1)
+        )
+        votes.append(F.sum(vote).alias(f"v{i}"))
+    wide = nibs.groupBy("doc_id").agg(*votes)
+    total = F.lit(0).cast("long")
+    for i in range(32):
+        total = total + F.when(F.col(f"v{i}") > 0, F.lit(2 ** (31 - i))).otherwise(
+            F.lit(0)
+        )
+    return wide.select("doc_id", total.alias("simhash"))
+
+
 @register("dedup_simhash_signatures", oracle=_SQL_SIMHASH)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash, oracle-checked bit-for-bit against DuckDB.
 
     Candidate near-dups then group on the signature (or band it 4×8 bits for
     hamming-distance-≤k search) — both single-shuffle plans.
+    ``tests/test_text.py`` asserts the expression form (:func:`simhash32`)
+    and this dataset form agree.
     """
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+    return simhash_signatures_df(d)

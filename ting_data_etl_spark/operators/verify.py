@@ -112,25 +112,50 @@ def fanout_verification_report(
     Report rows: (check_name, n). The V3 contract is that every ``*_violations``
     and ``missing/extra`` count is 0 — asserted by the oracle twin (zero
     literals) and by the pytest that corrupts a tree to prove detection.
+
+    Scale shape: the read-back tree is scanned ONCE — a single grouped
+    aggregation on (store, src) yields per-pair row counts and violation
+    counts, and every check (completeness anti-joins, totals, distinct
+    stores) derives from that small aggregate, which at 100 TB is
+    #partition-pairs rows, not data rows. The O4 violation-sampling scan
+    only runs when violations exist.
     """
     write_fanout(source, output_dir, partition_cols=("store_id", "src"))
     back = read_fanout_back(spark, output_dir)
 
-    expected = source.select("store_id", "src").distinct()
-    found = back.select("store_id", "src").distinct()
-    missing, extra = completeness_violations(expected, found)
-    bad = invariant_violations(back)
-    sampled = sample_violations(bad)
-
-    rows = [
-        ("missing_store_files", missing.count()),
-        ("extra_store_files", extra.count()),
-        ("key_value_violations", bad.count()),
-        ("sampled_violations", sampled.count()),
-        ("rows_checked", back.count()),
-        ("stores_checked", back.select("store_id").distinct().count()),
-    ]
-    return spark.createDataFrame(rows, "check_name string, n long")
+    viol = (
+        F.coalesce(F.trim(F.col("store_key_copy")), F.lit(""))
+        != F.coalesce(F.col("store_id"), F.lit(""))
+    ).cast("long")
+    per_pair = (
+        back.groupBy("store_id", "src")
+        .agg(F.count("*").alias("n_rows"), F.sum(viol).alias("n_bad"))
+        .persist()
+    )
+    try:
+        expected = source.select("store_id", "src").distinct()
+        found = per_pair.select("store_id", "src")
+        missing, extra = completeness_violations(expected, found)
+        totals = per_pair.agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_bad").alias("bad"),
+            F.countDistinct("store_id").alias("stores"),
+        ).first()
+        n_bad = int(totals.bad or 0)
+        sampled = (
+            sample_violations(invariant_violations(back)).count() if n_bad else 0
+        )
+        rows = [
+            ("missing_store_files", missing.count()),
+            ("extra_store_files", extra.count()),
+            ("key_value_violations", n_bad),
+            ("sampled_violations", sampled),
+            ("rows_checked", int(totals.rows or 0)),
+            ("stores_checked", int(totals.stores or 0)),
+        ]
+        return spark.createDataFrame(rows, "check_name string, n long")
+    finally:
+        per_pair.unpersist()
 
 
 _SQL_FANOUT_VERIFY = """
