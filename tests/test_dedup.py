@@ -49,3 +49,36 @@ class TestExactDedupSemantics:
             assert keeper == min(ids)
             for m in members:
                 assert m.is_dup == (m.doc_id != keeper)
+
+
+class TestSimhashPairs:
+    def test_hamming_le3_is_complete(self, spark, monkeypatch):
+        """4-band construction finds EVERY pair within hamming 3 (pigeonhole)."""
+        import itertools
+
+        import ting_data_etl_spark.operators.dedup as dd
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again extra"),
+            (3, "pack my box with five dozen liquor jugs every single day"),
+            (4, "the quick brown fox jumps over the lazy dog again and again"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {r.doc_id: r.simhash for r in dd.simhash_signatures_df(docs).collect()}
+
+        def load_docs(spark_, sf_dir_, name_):
+            return docs
+
+        monkeypatch.setattr(dd, "load_table", load_docs)
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in dd.dedup_simhash_pairs(spark, "unused").collect()
+        }
+        want = set()
+        for a, b in itertools.combinations(sorted(sigs), 2):
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= dd.SIMHASH_HAMMING_MAX:
+                want.add((a, b, h))
+        assert got == want
+        assert (1, 4, 0) in got  # exact dup pair found at distance 0

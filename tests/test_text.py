@@ -127,3 +127,58 @@ class TestMinhash:
         assert expr == dfform
         assert expr[1] == expr[3]  # identical docs -> identical signatures
         assert expr[1] != expr[2]
+
+
+class TestWinnowing:
+    def test_expression_and_dataframe_forms_agree(self, spark):
+        from ting_data_etl_spark.functions.text import winnow_fingerprints
+        from ting_data_etl_spark.operators.text_queries import (
+            winnow_fingerprints_df,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "tiny"),  # shorter than k -> one gram, one window
+            (4, ""),  # empty -> single empty gram, still one fingerprint
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        expr = {
+            (r.doc_id, r.fp)
+            for r in docs.select(
+                "doc_id", F.explode(winnow_fingerprints("text")).alias("fp")
+            ).collect()
+        }
+        dfform = {(r.doc_id, r.fp) for r in winnow_fingerprints_df(docs).collect()}
+        assert expr == dfform
+
+    def test_shared_substring_shares_fingerprint(self, spark):
+        from ting_data_etl_spark.operators.text_queries import (
+            winnow_fingerprints_df,
+        )
+
+        shared = "this exact sentence is long enough to fingerprint"
+        rows = [
+            (1, "prefix words here. " + shared),
+            (2, shared + " and then a different tail entirely"),
+            (3, "no overlap with anything else whatsoever in here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = winnow_fingerprints_df(docs).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        # winnowing guarantee: substring >= k+w-1 chars shared -> shared fp
+        assert by_doc[1] & by_doc[2]
+        assert not (by_doc[1] & by_doc[3] & by_doc[2])
+
+
+class TestBpeTokenCount:
+    def test_counts(self, spark):
+        from ting_data_etl_spark.functions.text import bpe_token_count
+
+        # 'hello' + 'world' = 2; '123' = 3 digit tokens; ',' and '!' = 2
+        assert _one(spark, bpe_token_count(F.col("v")), "hello, world 123!") == 7
+        assert _one(spark, bpe_token_count(F.col("v")), "") == 0
+        # whitespace never tokenizes
+        assert _one(spark, bpe_token_count(F.col("v")), "   \t\n ") == 0

@@ -132,6 +132,64 @@ def lang_id(col: Column | str) -> Column:
     return F.when(max_hits > 0, winner).otherwise(F.lit("und"))
 
 
+#: "BPE-ish" pre-tokenizer pattern: letter runs are one token, each digit is
+#: its own token (GPT-style digit splitting), every other non-space symbol is
+#: its own token. ASCII classes only so Java regex (Spark) and RE2 (DuckDB)
+#: agree byte for byte — the portability requirement of the oracle twin.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (LLM token-budget proxy).
+
+    A closer proxy to real BPE token counts than whitespace words: numbers
+    cost one token per digit and punctuation is never free. One JVM
+    ``regexp_extract_all`` — stays in codegen, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def portable_hash31(col: Column) -> Column:
+    """31-bit integer hash both engines compute identically.
+
+    First 8 hex chars of md5 → int, mod 2³¹−1. The cross-engine twin of the
+    shingle hash used by the dedup operators; at 100 TB swap ``xxhash64``
+    (JVM-native, no hex round-trip) for the same plan shape.
+    """
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).try_cast("long")
+        % 2_147_483_647
+    )
+
+
+WINNOW_K = 8  # char k-gram size
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Winnowed rolling-hash fingerprints → array<long> (distinct).
+
+    The Schleimer/Wilkerson/Aiken winnowing scheme (MOSS): hash every char
+    *k*-gram of the normalized text, slide a window of *w* hashes, keep each
+    window's minimum. Guarantees any shared substring of length ≥ k+w−1
+    yields a shared fingerprint, while storing only ~2/(w+1) of the hashes —
+    the standard local document fingerprint for near-dup/plagiarism search.
+    Pure higher-order functions; per-doc arrays are bounded by document
+    length (pipelines chunk documents upstream).
+    """
+    hashes = F.transform(char_ngrams(col, k), portable_hash31)
+    nwin = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+        )
+    )
+
+
 def doc_fingerprint_md5(col: Column | str) -> Column:
     """Content fingerprint: md5 hex of the normalized text.
 

@@ -556,6 +556,93 @@ def simhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return wide.select("doc_id", total.alias("simhash"))
 
 
+#: SimHash near-dup search: 4 byte-bands over the 32-bit signature. By
+#: pigeonhole, two signatures within hamming distance ≤ 3 MUST agree on at
+#: least one full byte — so band-join candidates + an exact hamming filter is
+#: a *complete* (not approximate) ≤3-bit near-dup search.
+SIMHASH_N_BANDS = 4
+SIMHASH_HAMMING_MAX = SIMHASH_N_BANDS - 1
+
+_SQL_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                 '[^\\p{{L}}\\p{{N}}]+'),
+           t -> t <> '') AS toks
+  FROM documents
+),
+dig AS (
+  SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 8)) AS digests
+  FROM tok
+),
+sig AS (SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM dig),
+bands AS (
+  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS band
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS j)
+),
+capped AS (
+  SELECT doc_id, simhash, j, band FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY j, band) AS bucket_n FROM bands
+  ) WHERE bucket_n <= {BAND_FREQUENCY_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM capped a JOIN capped b
+    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_SQL_SIMHASH_PAIRS)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-banded LSH + exact hamming ≤ 3 filter.
+
+    Same bucketed plan shape as :func:`dedup_minhash_pairs` — the shuffle
+    carries (band index, byte) keys, :func:`band_frequency_cap` bounds hot
+    buckets, and the hamming verify is one codegen ``bit_count(xor)`` per
+    candidate. Unlike MinHash-LSH this construction is exact for its radius:
+    4 bands over 32 bits guarantee every ≤3-bit pair shares a band
+    (pigeonhole), so recall is 1.0 by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures_df(d)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255))
+                    for j in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("j", "band"),
+    )
+    bands = band_frequency_cap(bands)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
 @register("dedup_simhash_signatures", oracle=_SQL_SIMHASH)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash, oracle-checked bit-for-bit against DuckDB.

@@ -13,12 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ting_data_etl_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
     STOPWORDS,
+    WINNOW_K,
+    WINNOW_W,
+    bpe_token_count,
     lang_id,
+    normalize_text,
     punct_ratio,
     quality_score,
     stopword_ratio,
     token_count,
+    winnow_fingerprints,
 )
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
@@ -58,6 +64,135 @@ FROM tok
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", token_count("text").alias("n_tokens"), "n_chars")
+
+
+# --- BPE-ish token budget --------------------------------------------------
+_SQL_BPE_COUNT = f"""
+WITH {_SQL_TOKS},
+b AS (
+  SELECT doc_id, toks,
+         length(text) AS n,
+         len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_bpe
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n_bpe AS INTEGER) AS n_bpe_tokens,
+       CAST(len(toks) AS INTEGER) AS n_ws_tokens,
+       CASE WHEN n_bpe > 0 THEN CAST(n AS DOUBLE) / n_bpe END AS chars_per_token
+FROM b
+"""
+
+
+@register("text_bpe_token_count", oracle=_SQL_BPE_COUNT)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget under the BPE-ish pre-tokenizer vs whitespace words.
+
+    ``chars_per_token`` is the compression-rate proxy curation pipelines use
+    to spot pathological documents (symbol soup tokenizes near 1 char/token,
+    prose near 4-5). One scan, two regexes, zero UDFs/shuffles — the plan is
+    a pure map at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_bpe = bpe_token_count("text")
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+        F.when(n_bpe > 0, F.length("text").cast("double") / n_bpe).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# --- winnowed rolling-hash fingerprints ------------------------------------
+# DuckDB twin of functions.text.portable_hash31
+_sql_shingle_hash_g = "(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 2147483647)"
+
+_SQL_WINNOW = f"""
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {WINNOW_K - 1}, 1) + 1),
+                        i -> substr(t, i, {WINNOW_K})) AS gs
+  FROM nrm
+),
+hx AS (
+  SELECT doc_id,
+         list_transform(gs, g -> {_sql_shingle_hash_g}) AS hs
+  FROM grams
+),
+win AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+           i -> list_min(list_slice(hs, i + 1, i + {WINNOW_W})))) AS fps
+  FROM hx
+)
+SELECT doc_id, unnest(fps) AS fp FROM win
+"""
+
+
+def winnow_fingerprints_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, fp) winnowed fingerprints — the dataset formulation.
+
+    The expression form (:func:`winnow_fingerprints`) materializes a hash
+    array per document and a *sliced copy per window* — O(len·w) interpreted
+    work that dominates on multi-KB documents. This form explodes the char
+    k-grams with their position, hashes them inside codegen, and takes each
+    window's minimum with ONE running ``min`` over a
+    ``rowsBetween(0, w-1)`` window — a single shuffle on doc_id and zero
+    array copies. Output is identical (parity pytest-pinned); positions
+    past ``nwin-1`` are trailing partial windows the winnowing definition
+    excludes.
+    """
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.functions.text import char_ngrams, portable_hash31
+
+    nrm = docs.select("doc_id", normalize_text(F.col(text_col)).alias("t"))
+    n_grams = F.greatest(F.length("t") - (k - 1), F.lit(1))
+    nwin = F.greatest(n_grams - (w - 1), F.lit(1))
+    ex = nrm.select(
+        "doc_id",
+        nwin.alias("nwin"),
+        F.posexplode(char_ngrams(F.col("t"), k)).alias("pos", "g"),
+    )
+    hx = ex.select(
+        "doc_id", "nwin", "pos", portable_hash31(F.col("g")).alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    mins = hx.select(
+        "doc_id", "pos", "nwin", F.min("h").over(win).alias("fp")
+    )
+    return (
+        mins.filter(F.col("pos") <= F.col("nwin") - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+@register("text_winnow_fingerprints", oracle=_SQL_WINNOW)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (MOSS-style) rolling-hash fingerprints per document.
+
+    The local-fingerprint complement to whole-doc hashing: any shared
+    substring of ≥ k+w−1 chars produces a shared fingerprint, so a
+    group-by on ``fp`` finds partial-overlap/quote-level duplication that
+    document-level fingerprints miss. Downstream plan is the same
+    shared-key self-join as the shingle pipelines (with the same
+    hot-bucket cap); this query materializes the fingerprint relation
+    itself, whose shuffle key is an 8-byte int.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints_df(d)
 
 
 # --- quality score ---------------------------------------------------------
