@@ -73,3 +73,43 @@ class TestRecall:
         # concentrate in nearby cells, so recall must beat the random-scan
         # expectation (= fraction scanned) by a wide margin
         assert recall >= 0.5
+
+    def test_srp_lsh_recall_vs_bruteforce(self, spark, sf_dir):
+        qs = entrymod.queries()
+        brute = qs["similarity_bruteforce_topk"](spark, sf_dir).collect()
+        srp = qs["similarity_srp_lsh_topk"](spark, sf_dir).collect()
+        truth: dict[int, set[int]] = {}
+        for r in brute:
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        got: dict[int, set[int]] = {}
+        for r in srp:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        recall = hits / total
+        print(f"SRP-LSH recall@5 = {recall:.3f} ({hits}/{total})")
+        # 9 of 256 buckets probed (~3.5% of the corpus scanned); SRP bit
+        # collisions concentrate angular neighbors, so recall must beat the
+        # random-scan expectation by a wide margin
+        assert recall >= 0.3
+
+
+class TestSrpBuckets:
+    def test_bucket_is_deterministic_and_bounded(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.operators.similarity import (
+            SRP_BITS,
+            _quantized,
+            srp_bucket,
+        )
+
+        from ting_data_etl_spark.operators.similarity import SRP_TABLES
+
+        q = _quantized(spark, sf_dir)
+        for t in range(SRP_TABLES):
+            b1 = q.select("vec_id", srp_bucket(F.col("q"), t).alias("b"))
+            rows = {r.vec_id: r.b for r in b1.collect()}
+            assert all(0 <= v < (1 << SRP_BITS) for v in rows.values())
+            rows2 = {r.vec_id: r.b for r in b1.collect()}
+            assert rows == rows2

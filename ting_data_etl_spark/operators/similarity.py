@@ -378,6 +378,180 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SRP-LSH: signed-random-projection bucketed cosine search --------------
+SRP_TABLES = 4  # independent hash tables (the recall knob)
+SRP_BITS = 6  # hyperplanes per table -> 64 buckets/table
+SRP_DIM = 64  # embedding dimensionality of the corpus
+
+
+def _srp_signs() -> list[list[list[int]]]:
+    """Deterministic ±1 hyperplane components (Rademacher via md5 parity).
+
+    ``signs[t][b][i]`` = component i of hyperplane b in table t. Computed
+    driver-side once and embedded as LITERALS in both the Spark plan and the
+    oracle SQL — the two engines never have to agree on an RNG, only on
+    integer dot products, which are exact.
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(hashlib.md5(f"srp:{t}:{b}:{i}".encode()).hexdigest()[0], 16) % 2
+                == 0
+                else -1
+                for i in range(SRP_DIM)
+            ]
+            for b in range(SRP_BITS)
+        ]
+        for t in range(SRP_TABLES)
+    ]
+
+
+SRP_SIGNS = _srp_signs()
+
+
+def srp_bucket(q, table: int) -> F.Column:
+    """SRP bucket id in one table: bit b = [q·h_b ≥ 0], packed into an int.
+
+    Charikar's sign-random-projection LSH for cosine: vectors within angle θ
+    collide on a bit with probability 1−θ/π. The dot products are integer
+    (quantized vectors × ±1 literals) so the bucket id is bit-identical in
+    DuckDB.
+    """
+    total = F.lit(0)
+    for b, signs in enumerate(SRP_SIGNS[table]):
+        s_arr = F.array(*[F.lit(s) for s in signs])
+        proj = dot_product(q, s_arr)
+        total = total + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return total.cast("int")
+
+
+def _sql_srp_bucket(t: int) -> str:
+    terms = []
+    for b, signs in enumerate(SRP_SIGNS[t]):
+        arr = "list_value(" + ", ".join(str(s) for s in signs) + ")"
+        terms.append(
+            f"CASE WHEN list_dot_product(q, {arr}) >= 0 THEN {1 << b} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+def _sql_srp_probes() -> str:
+    flips = ", ".join(f"xor(bucket, {1 << b})" for b in range(SRP_BITS))
+    return f"list_value(bucket, {flips})"
+
+
+_SQL_SRP = f"""
+WITH {_SQL_QUANT},
+bq AS (
+  SELECT vec_id, q, t, CASE t
+           {" ".join(f"WHEN {t} THEN {_sql_srp_bucket(t)}" for t in range(SRP_TABLES))}
+         END AS bucket
+  FROM q CROSS JOIN (SELECT unnest(range(0, {SRP_TABLES})) AS t)
+),
+probes AS (
+  SELECT vec_id, q, t, unnest({_sql_srp_probes()}) AS probe
+  FROM bq WHERE vec_id % {QUERY_MOD} = 0
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
+              THEN list_dot_product(a.q, b.q) /
+                   (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
+         END AS cosine
+  FROM probes a JOIN bq b ON a.t = b.t AND a.probe = b.bucket AND b.vec_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+         ) AS rn
+  FROM pairs
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("similarity_srp_lsh_topk", oracle=_SQL_SRP)
+def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-k: multi-table signed random projections.
+
+    The LSH leg of the ANN suite (IVF being the learned-partition leg): the
+    corpus is hashed into SRP_TABLES independent tables of 2^SRP_BITS
+    buckets; each query probes, per table, its own bucket plus the SRP_BITS
+    hamming-1 flips (multi-probe). Independent tables are the classic LSH
+    recall amplifier — a true neighbor is missed only if it misses in EVERY
+    table. The search is an equi-join on (table, bucket) — one shuffle keyed
+    by 8 bytes of ints, never a corpus broadcast — and, unlike the k-means
+    IVF, the hash family is data-independent: no training job, stable under
+    corpus drift, and fully oracle-checkable (probe expansion and bucket
+    assignment are deterministic integer arithmetic).
+
+    A neighbor reachable through several tables would be scored repeatedly,
+    so candidate (query, neighbor, cosine) rows are deduplicated before the
+    top-k window — a shuffle of 24-byte rows, after the vectors have
+    already been dropped.
+    """
+    q = _quantized(spark, sf_dir)
+    bq = q.select(
+        "vec_id",
+        "q",
+        "norm",
+        F.posexplode(
+            F.array(*[srp_bucket(F.col("q"), t) for t in range(SRP_TABLES)])
+        ).alias("t", "bucket"),
+    )
+    probes = bq.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("t").alias("qt"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(SRP_BITS)
+                ],
+            )
+        ).alias("probe"),
+    )
+    corpus = bq.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.col("t").alias("ct"),
+        F.col("bucket").alias("cbucket"),
+    )
+    pairs = (
+        probes.join(
+            corpus,
+            (F.col("qt") == F.col("ct"))
+            & (F.col("probe") == F.col("cbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
 _SQL_NEAR_PAIRS = f"""
 WITH {_SQL_QUANT}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
