@@ -28,14 +28,19 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_topk",
+    "similarity_srp_lsh_topk",
+    "text_bpe_token_count",
+    "text_winnow_fingerprints",
     "text_corpus_profile",
     "text_lang_id",
     "events_tumbling_5min",
     "events_sessionize_30min_gap",
     "streaming_tumbling_5min",
+    "streaming_stateful_sessionize",
     "e2e_csv_pipeline",
     "prim_fanout_verify",
 ]
