@@ -44,3 +44,71 @@ class TestDecoderInjection:
         media = documents_as_media(spark, sf_dir)
         small = media.filter(F.col("n_bytes") < 100).select("media_id", "n_bytes")
         assert small.count() == small.collect().__len__()
+
+
+class TestFrameSample:
+    def test_default_framer_is_stubbed(self, spark, sf_dir):
+        import pytest
+
+        from ting_data_etl_spark.operators.multimodal import (
+            documents_as_media,
+            sample_frames,
+        )
+
+        m = documents_as_media(spark, sf_dir).limit(1)
+        with pytest.raises(Exception) as exc:
+            sample_frames(m).collect()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
+
+    def test_row_expansion_and_stride(self, spark):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.operators.multimodal import (
+            FRAME_CHARS,
+            fake_framer,
+            sample_frames,
+        )
+
+        # 9 frames of text -> stride 4 keeps frames 0, 4, 8
+        text = "x" * (FRAME_CHARS * 8 + 10)
+        df = spark.createDataFrame(
+            [(1, text)], "media_id long, text string"
+        ).select(
+            "media_id",
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit("video").alias("media_type"),
+        )
+        rows = sample_frames(df, framer=fake_framer).collect()
+        assert [(r.frame_idx, r.frame_chars) for r in rows] == [
+            (0, FRAME_CHARS),
+            (4, FRAME_CHARS),
+            (8, 10),
+        ]
+
+
+class TestResize:
+    def test_resize_caps_payload(self, spark):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.operators.multimodal import (
+            RESIZE_CHARS,
+            fake_resizer,
+            resize_media,
+        )
+
+        long_text = "a" * (RESIZE_CHARS * 3)
+        short_text = "b" * 10
+        df = spark.createDataFrame(
+            [(1, long_text), (2, short_text)], "media_id long, text string"
+        ).select(
+            "media_id",
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit("image").alias("media_type"),
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        )
+        rows = {r.media_id: r for r in resize_media(df, fake_resizer).collect()}
+        assert rows[1].resized_bytes == RESIZE_CHARS
+        assert rows[1].orig_bytes == RESIZE_CHARS * 3
+        assert rows[2].resized_bytes == 10

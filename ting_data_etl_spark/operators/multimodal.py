@@ -123,6 +123,185 @@ def extract_features(
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_CHARS = 256  # chars per fake frame (stands in for a decoded frame)
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("frame_chars", IntegerType(), True),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def real_framer(payload: bytes, media_type: str):
+    """Production frame-extraction hook — video libs are not installed."""
+    raise NotImplementedError(
+        "frame extraction requires video libraries not present in this "
+        "container; inject fake_framer for tests"
+    )
+
+
+def fake_framer(payload: bytes, media_type: str) -> list[str]:
+    """Deterministic stand-in: the payload decodes to fixed-width char
+    'frames' (UTF-8 text chunks), so DuckDB can reproduce each frame's
+    digest and the plumbing is fully oracle-checked."""
+    if payload is None:
+        return []
+    text = bytes(payload).decode("utf-8")
+    return [
+        text[i : i + FRAME_CHARS] for i in range(0, len(text), FRAME_CHARS)
+    ]
+
+
+def sample_frames(
+    media: DataFrame,
+    framer: Callable[[bytes, str], list] = real_framer,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sample video/image payloads via ``mapInPandas`` (1 row → N rows).
+
+    The row-expanding shape a video pipeline needs (Arrow batches in,
+    *more* rows out — something no built-in expression family does over an
+    opaque decode step). Work stays per-partition: an input partition's
+    frames never shuffle, and the stride drops frames before they ever
+    materialize downstream. ``framer`` defaults to the stubbed production
+    hook; tests and the oracle query inject :func:`fake_framer`.
+    """
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            digests: list[str] = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                frames = framer(payload, mtype)
+                for fi in range(0, len(frames), stride):
+                    chunk = frames[fi]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+                    digests.append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_chars": pd.Series(sizes, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+_SQL_FRAMES = f"""
+WITH f AS (
+  SELECT doc_id AS media_id, text,
+         unnest(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT)))
+           AS frame_idx
+  FROM documents
+)
+SELECT media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(length(substr(text, CAST(frame_idx * {FRAME_CHARS} + 1 AS INTEGER), {FRAME_CHARS})) AS INTEGER)
+         AS frame_chars,
+       md5(substr(text, CAST(frame_idx * {FRAME_CHARS} + 1 AS INTEGER), {FRAME_CHARS})) AS frame_md5
+FROM f WHERE frame_idx % {FRAME_STRIDE} = 0
+"""
+
+
+@register("multimodal_frame_sample", oracle=_SQL_FRAMES)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over media payloads, digest per kept frame."""
+    m = documents_as_media(spark, sf_dir)
+    return sample_frames(m, framer=fake_framer)
+
+
+RESIZE_CHARS = 512  # fake 'resolution' cap — chars kept by the fake resizer
+
+
+def real_resizer(payload: bytes, media_type: str):
+    """Production resize hook — imaging libraries are not installed."""
+    raise NotImplementedError(
+        "resize requires imaging libraries not present in this container; "
+        "inject fake_resizer for tests"
+    )
+
+
+def fake_resizer(payload: bytes, media_type: str) -> bytes:
+    """Deterministic stand-in resize: cap the payload at RESIZE_CHARS chars
+    (re-encoded), preserving UTF-8 boundaries so the oracle can mirror it."""
+    if payload is None:
+        return b""
+    text = bytes(payload).decode("utf-8")
+    return text[:RESIZE_CHARS].encode("utf-8")
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("orig_bytes", LongType(), True),
+        StructField("resized_bytes", LongType(), True),
+        StructField("resized_md5", StringType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    resizer: Callable[[bytes, str], bytes] = real_resizer,
+) -> DataFrame:
+    """Resize payloads via ``mapInPandas``; emits new size + digest."""
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                resizer(p, t)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_bytes": pdf["n_bytes"],
+                    "resized_bytes": pd.Series(
+                        [len(r) for r in resized], dtype="int64"
+                    ),
+                    "resized_md5": pd.Series(
+                        [hashlib.md5(r).hexdigest() for r in resized],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+_SQL_RESIZE = f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+       CAST(octet_length(encode(substr(text, 1, {RESIZE_CHARS}))) AS BIGINT)
+         AS resized_bytes,
+       md5(substr(text, 1, {RESIZE_CHARS})) AS resized_md5
+FROM documents
+"""
+
+
+@register("multimodal_resize_meta", oracle=_SQL_RESIZE)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass over media payloads: byte counts + digest round-trip."""
+    m = documents_as_media(spark, sf_dir)
+    return resize_media(m, resizer=fake_resizer)
+
+
 _SQL_MEDIA = """
 SELECT doc_id AS media_id,
        'text' AS media_type,
