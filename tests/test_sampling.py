@@ -1,0 +1,102 @@
+"""Tests for deterministic sampling / mixture / split / sharding."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+
+class TestHashSample:
+    def test_map_only_plan_no_shuffle(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import sample_hash_mod
+
+        df = sample_hash_mod(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # sample is a pure map-side filter
+
+    def test_stable_across_repartitioning(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import sample_hash_mod
+
+        base = {r.doc_id for r in sample_hash_mod(spark, sf_dir).collect()}
+        re32 = {
+            r.doc_id
+            for r in sample_hash_mod(spark, sf_dir).repartition(32).collect()
+        }
+        assert base == re32
+        assert base  # non-empty
+
+
+class TestSplit:
+    def test_partition_of_corpus(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import stratified_split
+        from ting_data_etl_spark.sources.tables import load_table
+
+        rows = stratified_split(spark, sf_dir).collect()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert len(rows) == n_docs  # every doc assigned exactly once
+        splits = {r.split for r in rows}
+        assert splits == {"train", "val", "test"}
+        frac_train = sum(r.split == "train" for r in rows) / len(rows)
+        assert 0.7 < frac_train < 0.9
+
+    def test_assignment_stable_under_corpus_growth(self, spark, sf_dir):
+        """A doc's split must not depend on which other docs are present."""
+        from ting_data_etl_spark.operators.sampling import stratified_split
+
+        full = {r.doc_id: r.split for r in stratified_split(spark, sf_dir).collect()}
+        # same query over a filtered "smaller corpus"
+        from ting_data_etl_spark.operators.sampling import _bucket
+        from ting_data_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+        from ting_data_etl_spark.operators.sampling import (
+            SPLIT_TRAIN_PCT,
+            SPLIT_VAL_PCT,
+        )
+
+        b = _bucket(F.col("doc_id"))
+        sub = {
+            r.doc_id: r.split
+            for r in d.select(
+                "doc_id",
+                F.when(b < SPLIT_TRAIN_PCT, "train")
+                .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+                .otherwise("test")
+                .alias("split"),
+            ).collect()
+        }
+        for doc_id, split in sub.items():
+            assert full[doc_id] == split
+
+
+class TestShards:
+    def test_token_balance(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import shard_assignment
+        from ting_data_etl_spark.functions.text import token_count
+        from ting_data_etl_spark.sources.tables import load_table
+
+        shards = shard_assignment(spark, sf_dir).collect()
+        totals = [r.total_tokens for r in shards]
+        max_doc = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.max(token_count("text")).alias("m"))
+            .first()
+            .m
+        )
+        # longest-first round-robin: spread bounded by one max document
+        assert max(totals) - min(totals) <= max_doc
+        assert len(shards) == 16
+
+
+class TestMixture:
+    def test_rates_monotone(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import (
+            corpus_weighted_mixture,
+        )
+
+        counts = {
+            r.source: r.n_docs
+            for r in corpus_weighted_mixture(spark, sf_dir).collect()
+        }
+        # src0 keeps everything; every other configured rate keeps fewer
+        assert counts["src0"] >= counts["src1"] >= counts["src3"]

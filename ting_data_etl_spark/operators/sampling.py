@@ -1,0 +1,204 @@
+"""Deterministic sampling / source mixing / sharding for training pipelines.
+
+No reference-side counterpart (SURVEY.md §7.4 extension family). These are
+the corpus-assembly verbs between curation and training: reproducible
+subsampling, per-source mixture weighting, train/val/test splitting, and
+balanced shard assignment. All decisions derive from a *portable content
+hash* of the key — ``md5`` first-8-hex mod 100 — rather than ``rand()``:
+
+* reproducible across runs, cluster sizes, and partitionings (a re-run of
+  the pipeline samples the SAME documents — the property training-data
+  lineage audits require);
+* pure map-side predicates: a sample/split/mixture is a filter the parquet
+  scan absorbs, no shuffle, no state, no driver involvement;
+* engine-portable, so every operator here is full-hash oracle-checked
+  (DuckDB computes the identical md5 arithmetic).
+
+At 100 TB the md5 hex round-trip costs more than ``xxhash64``; flip
+``_bucket_expr`` to ``F.pmod(F.xxhash64(col), 100)`` for the same plan with
+a JVM-native hash (driver then checks rows-only, as with the other
+``*_fast`` variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.tables import load_table
+
+SAMPLE_PCT = 20  # sample_hash_mod keeps hash-bucket < 20 (a 20% sample)
+
+#: Mixture rates per source (percent kept). Upweights low-numbered sources;
+#: unlisted sources fall back to DEFAULT_MIX_PCT — the "everything else"
+#: bucket every mixture config carries.
+MIXTURE_PCT: dict[str, int] = {"src0": 100, "src1": 80, "src2": 60, "src3": 40}
+DEFAULT_MIX_PCT = 25
+
+SPLIT_TRAIN_PCT = 80  # [0, 80) train
+SPLIT_VAL_PCT = 10  # [80, 90) val; [90, 100) test
+
+N_SHARDS = 16
+
+
+def _bucket(col) -> F.Column:
+    """Deterministic hash bucket in [0, 100) from a key column."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .try_cast("long")
+        % 100
+    )
+
+
+def _sql_bucket(expr: str) -> str:
+    return f"(CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT) % 100)"
+
+
+# --- deterministic subsample -----------------------------------------------
+_SQL_SAMPLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_sql_bucket("doc_id")} < {SAMPLE_PCT}
+"""
+
+
+@register("sample_hash_mod", oracle=_SQL_SAMPLE)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible {SAMPLE_PCT}% subsample — a pure pushed-down filter.
+
+    The plan is a parquet scan with one predicate: no shuffle, no RNG state,
+    and the sampled set is stable under any repartitioning — unlike
+    ``df.sample()``, whose output depends on partition layout.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_bucket(F.col("doc_id")) < SAMPLE_PCT).select(
+        "doc_id", "source"
+    )
+
+
+# --- per-source weighted mixture -------------------------------------------
+def _mix_rate_expr() -> F.Column:
+    rate = F.lit(DEFAULT_MIX_PCT)
+    expr = F.when(F.lit(False), F.lit(0))
+    for src, pct in MIXTURE_PCT.items():
+        expr = expr.when(F.col("source") == src, F.lit(pct))
+    return expr.otherwise(rate)
+
+
+def _sql_mix_rate() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIXTURE_PCT.items()
+    )
+    return f"CASE {whens} ELSE {DEFAULT_MIX_PCT} END"
+
+
+_SQL_MIXTURE = f"""
+WITH kept AS (
+  SELECT doc_id, source
+  FROM documents
+  WHERE {_sql_bucket("doc_id")} < {_sql_mix_rate()}
+)
+SELECT source, COUNT(*) AS n_docs
+FROM kept GROUP BY source
+"""
+
+
+@register("corpus_weighted_mixture", oracle=_SQL_MIXTURE)
+def corpus_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixture: keep each doc iff hash < its source's rate.
+
+    The declarative form of "2 epochs of Wikipedia, 0.25 of CommonCrawl":
+    one scan, one map-side predicate comparing the doc's hash bucket to its
+    source's configured rate, then a count rollup for the mixture report.
+    Rates > 100 (true multi-epoch oversampling) extend this with a
+    ``sequence + explode`` repeat — same deterministic-hash machinery.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(_bucket(F.col("doc_id")) < _mix_rate_expr())
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
+# --- train/val/test split --------------------------------------------------
+_SQL_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_sql_bucket("doc_id")} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {_sql_bucket("doc_id")} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("stratified_split", oracle=_SQL_SPLIT)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content hash.
+
+    Hash-range splitting guarantees the three sets stay disjoint and stable
+    as the corpus grows (a doc's split never changes when other docs are
+    added — contamination-audit requirement). Map-only plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --- token-balanced shard assignment ---------------------------------------
+_SQL_SHARDS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                 '[^\\p{{L}}\\p{{N}}]+'),
+           t -> t <> '')) AS n_toks
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_toks,
+         (row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1) % {N_SHARDS}
+           AS shard
+  FROM tok
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM ranked GROUP BY shard
+"""
+
+
+@register("shard_assignment", oracle=_SQL_SHARDS)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output shards: longest-first round-robin.
+
+    Sorting by token count and dealing round-robin bounds any shard's token
+    total within one max-document of the mean — the cheap deterministic
+    approximation of bin packing that training-shard writers use.
+
+    Scale note: the global ``row_number`` serializes through one partition;
+    at 100 TB the same dealing runs hierarchically — round-robin within each
+    range-partitioned token band (``repartitionByRange(n_toks)`` +
+    ``sortWithinPartitions`` + partition-local row numbers), which keeps the
+    balance guarantee without a global sort. The single-window form here is
+    the oracle-checkable reference of that contract.
+    """
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", token_count("text").alias("n_toks"))
+    w = Window.orderBy(F.col("n_toks").desc(), F.col("doc_id"))
+    ranked = tok.select(
+        "doc_id",
+        "n_toks",
+        ((F.row_number().over(w) - 1) % N_SHARDS).alias("shard"),
+    )
+    return ranked.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )

@@ -40,6 +40,7 @@ def load_all() -> None:
     """Import every module that registers queries."""
     import ting_data_etl_spark.operators.dedup  # noqa: F401
     import ting_data_etl_spark.operators.multimodal  # noqa: F401
+    import ting_data_etl_spark.operators.sampling  # noqa: F401
     import ting_data_etl_spark.operators.similarity  # noqa: F401
     import ting_data_etl_spark.operators.text_queries  # noqa: F401
     import ting_data_etl_spark.operators.verify  # noqa: F401
