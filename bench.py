@@ -35,6 +35,9 @@ HEADLINE = [
     "similarity_srp_lsh_topk",
     "text_bpe_token_count",
     "text_winnow_fingerprints",
+    "multimodal_frame_sample",
+    "sample_hash_mod",
+    "shard_assignment",
     "text_corpus_profile",
     "text_lang_id",
     "events_tumbling_5min",

@@ -160,13 +160,21 @@ def winnow_fingerprints_df(
     nrm = docs.select("doc_id", normalize_text(F.col(text_col)).alias("t"))
     n_grams = F.greatest(F.length("t") - (k - 1), F.lit(1))
     nwin = F.greatest(n_grams - (w - 1), F.lit(1))
+    # explode positions, not a pre-built gram array: sequence/explode/
+    # substring/md5 all stay inside whole-stage codegen, and the document
+    # text is pipelined row-at-a-time (dropped before the shuffle) instead
+    # of allocating a len(text)-element string array per document
     ex = nrm.select(
         "doc_id",
         nwin.alias("nwin"),
-        F.posexplode(char_ngrams(F.col("t"), k)).alias("pos", "g"),
+        "t",
+        F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("pos"),
     )
     hx = ex.select(
-        "doc_id", "nwin", "pos", portable_hash31(F.col("g")).alias("h")
+        "doc_id",
+        "nwin",
+        "pos",
+        portable_hash31(F.col("t").substr(F.col("pos") + 1, F.lit(k))).alias("h"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     mins = hx.select(
@@ -247,11 +255,40 @@ FROM m
 
 @register("text_lang_id", oracle=_sql_langid())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID, dataset form.
+
+    The expression form (:func:`ting_data_etl_spark.functions.text.lang_id`)
+    re-tokenizes per language and filters with interpreted HOF lambdas; this
+    form explodes tokens ONCE and scores all languages with codegen ``isin``
+    case-sums in a single hash aggregate — one shuffle on doc_id. Same
+    votes, same deterministic tie-break (smallest language code), identical
+    output (both sides check against the same oracle).
+    """
+    from ting_data_etl_spark.functions.text import tokens
+
+    langs = sorted(STOPWORDS)
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    tok = d.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
-        lang_id("text").alias("lang_pred"),
+        F.explode_outer(tokens(F.col("text"))).alias("t"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("t").isin(STOPWORDS[lang]), 1).otherwise(0)
+        ).alias(f"h_{lang}")
+        for lang in langs
+    ]
+    h = tok.groupBy("doc_id", "lang_actual").agg(*aggs)
+    mx = F.greatest(*[F.col(f"h_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:
+        cond = F.col(f"h_{lang}") == mx
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return h.select(
+        "doc_id",
+        "lang_actual",
+        F.when(mx > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
     )
 
 
