@@ -1,0 +1,151 @@
+"""Temporal join operators over the events stream (SURVEY.md §7.4 extension).
+
+Spark has no native as-of or interval join; both are re-expressed here as
+single-shuffle window plans — the distributed formulation that replaces the
+per-row "latest earlier row" subquery a row store would run:
+
+* **as-of join** — probe events pick up the latest at-or-before reference
+  event of another type for the same key. Implemented as union → one window
+  scan carrying the last non-null reference (``last(..., ignorenulls)``),
+  i.e. O(n log n) sort within each user partition instead of O(n²) pairs.
+  The same construction `pandas.merge_asof` runs on one core, distributed.
+* **range activity** — per event, how many events the same user produced in
+  the trailing interval. A RANGE window frame on the microsecond timestamp:
+  the interval join collapses into a frame specification, no self-join.
+
+Both are fully oracle-checked (DuckDB runs the identical window plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.tables import load_table
+
+ASOF_PROBE = "purchase"  # probe side: each purchase ...
+ASOF_REF = "click"  # ... matches the user's latest at-or-before click
+
+RANGE_US = 5 * 60 * 1_000_000  # trailing 5-minute activity window
+
+
+_SQL_ASOF = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+  FROM events WHERE event_type IN ('{ASOF_REF}', '{ASOF_PROBE}')
+),
+u AS (
+  SELECT event_id, user_id, us, event_type,
+         CASE WHEN event_type = '{ASOF_REF}' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = '{ASOF_REF}' THEN event_id END AS ref_id,
+         CASE WHEN event_type = '{ASOF_REF}' THEN us END AS ref_us
+  FROM ev
+),
+m AS (
+  SELECT *,
+         last_value(ref_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_ref_id,
+         last_value(ref_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_ref_us
+  FROM u
+)
+SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+       matched_ref_id AS click_id, matched_ref_us AS click_us,
+       us - matched_ref_us AS gap_us
+FROM m WHERE event_type = '{ASOF_PROBE}'
+"""
+
+
+@register("events_asof_click_before_purchase", oracle=_SQL_ASOF)
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ⟕ the user's latest at-or-before click.
+
+    Plan: filter both event types in ONE scan, tag sides, one window pass
+    per user ordered by (time, side, id) — the reference side sorts before
+    a probe at the same timestamp, giving "at or before" semantics with a
+    deterministic tiebreak. One shuffle on user_id; the window state is a
+    single carried value, so the plan survives any corpus size per user
+    short of a single user exceeding a partition (salt the window by time
+    range in that case).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(ASOF_REF, ASOF_PROBE))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+        )
+    )
+    is_ref = F.col("event_type") == ASOF_REF
+    u = ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        "event_type",
+        F.when(is_ref, 0).otherwise(1).alias("side"),
+        F.when(is_ref, F.col("event_id")).alias("ref_id"),
+        F.when(is_ref, F.col("us")).alias("ref_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = u.select(
+        "event_id",
+        "user_id",
+        "us",
+        "event_type",
+        F.last("ref_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("ref_us", ignorenulls=True).over(w).alias("click_us"),
+    )
+    return m.filter(F.col("event_type") == ASOF_PROBE).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        "click_id",
+        "click_us",
+        (F.col("us") - F.col("click_us")).alias("gap_us"),
+    )
+
+
+_SQL_RANGE = f"""
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY us
+         RANGE BETWEEN {RANGE_US} PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+         AS n_prev_5min
+FROM ev
+"""
+
+
+@register("events_range_activity_5min", oracle=_SQL_RANGE)
+def events_range_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-interval join as a RANGE window frame.
+
+    "How many events did this user produce in the 5 minutes before this
+    one" is an interval self-join; expressing it as a RANGE frame over the
+    microsecond timestamp turns it into one shuffle + one ordered scan per
+    user, with the frame bound doing the interval matching. Simultaneous
+    events (same µs) count each other symmetrically — deterministic in both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-RANGE_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_prev_5min"),
+    )
