@@ -39,6 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every module that registers queries."""
     import ting_data_etl_spark.operators.dedup  # noqa: F401
+    import ting_data_etl_spark.operators.maintenance  # noqa: F401
     import ting_data_etl_spark.operators.multimodal  # noqa: F401
     import ting_data_etl_spark.operators.sampling  # noqa: F401
     import ting_data_etl_spark.operators.temporal  # noqa: F401
@@ -46,6 +47,7 @@ def load_all() -> None:
     import ting_data_etl_spark.operators.text_queries  # noqa: F401
     import ting_data_etl_spark.operators.verify  # noqa: F401
     import ting_data_etl_spark.plans.csv_e2e  # noqa: F401
+    import ting_data_etl_spark.sources.jsonl  # noqa: F401
     import ting_data_etl_spark.plans.jobs  # noqa: F401
     import ting_data_etl_spark.plans.primitives  # noqa: F401
     import ting_data_etl_spark.streaming.batch_windows  # noqa: F401
