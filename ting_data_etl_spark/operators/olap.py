@@ -1,0 +1,84 @@
+"""OLAP profile operators: exact quantiles and CUBE rollups (SURVEY §7.4).
+
+No reference-side counterpart (the reference has no distribution/rollup
+analytics). Two curation-dashboard staples:
+
+* **exact grouped quantiles** — Spark's ``percentile`` (exact, linear
+  interpolation) matches DuckDB's ``quantile_cont`` bit for bit on integer
+  inputs, so the length distribution is fully hash-checked. At 100 TB flip
+  to ``percentile_approx`` (single-pass KLL-style sketch, rows-only check)
+  — same plan shape, bounded memory.
+* **CUBE rollup** — every (event_type × hour) subtotal plus margins in ONE
+  pass: Catalyst expands the cube into grouping sets and aggregates them in
+  a single shuffle, vs. 4 separate queries a naive dashboard would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.functions.cleaning import sum_exact
+from ting_data_etl_spark.plans.oracles import sql_sum_exact
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.tables import load_table
+
+QUANTILES = [0.5, 0.9, 0.99]
+
+_SQL_QUANTILES = """
+SELECT source,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars
+FROM documents GROUP BY source
+"""
+
+
+@register("text_length_quantiles", oracle=_SQL_QUANTILES)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (exact p50/p90/p99).
+
+    The length histogram every curation dashboard starts from. Exact
+    percentile is one shuffle + per-group sort; the approx variant swaps in
+    with no plan change when group cardinality × corpus size demands it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = d.groupBy("source").agg(
+        F.percentile("n_chars", QUANTILES).alias("qs")
+    )
+    return q.select(
+        "source",
+        F.col("qs")[0].alias("p50_chars"),
+        F.col("qs")[1].alias("p90_chars"),
+        F.col("qs")[2].alias("p99_chars"),
+    )
+
+
+_SQL_CUBE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, value FROM events
+)
+SELECT event_type, hod,
+       COUNT(*) AS n_events,
+       {sql_sum_exact("value", 6)} AS total_value
+FROM ev
+GROUP BY CUBE (event_type, hod)
+"""
+
+
+@register("events_cube_type_hour", oracle=_SQL_CUBE)
+def events_cube_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all subtotals in one shuffle.
+
+    Catalyst expands the cube to its 4 grouping sets and computes them in a
+    single aggregation pass — the margins (NULL group keys) come free
+    instead of via separate queries. Fixed-point value sums keep the margin
+    totals bit-identical across engines regardless of merge order.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hod"), "value"
+    )
+    return ev.cube("event_type", "hod").agg(
+        F.count("*").alias("n_events"),
+        sum_exact("value", scale=6).alias("total_value"),
+    )
