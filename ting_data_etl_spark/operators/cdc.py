@@ -1,0 +1,134 @@
+"""CDC-style snapshot upsert: MERGE INTO semantics on plain parquet.
+
+No reference-side counterpart. The maintenance verb of every warehouse
+pipeline — apply a batch of inserts/updates/deletes to a snapshot — has no
+built-in operator on plain files (table formats like Delta/Iceberg wrap
+exactly this plan), so the engine composes it from one full-outer join:
+
+    merged = snapshot ⟗ changes on key
+    keep   = change is null        → snapshot row unchanged
+             change in (I, U)      → change row's values
+             change = D            → row dropped
+
+One shuffle per side, keyed by the primary key; with a bucketed snapshot
+(see :mod:`ting_data_etl_spark.operators.bucketed`) the snapshot side's
+shuffle disappears and each upsert batch only shuffles the (small) change
+set — the incremental-cost property CDC pipelines rely on.
+
+The change batch here is synthesized deterministically from the customer
+snapshot itself (every 7th key an update, every 13th a delete, inserts
+above the max key), so the oracle can rebuild the identical batch in SQL
+and the whole upsert is full-hash checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.tables import load_table
+
+UPDATE_MOD = 7  # every 7th custkey gets an update
+DELETE_MOD = 13  # every 13th a delete (delete wins where both apply)
+INSERT_COUNT = 100  # new keys appended above the snapshot's max key
+
+
+def synth_changes(snapshot: DataFrame) -> DataFrame:
+    """Deterministic I/U/D change batch derived from the snapshot."""
+    upd = (
+        snapshot.filter(
+            (F.col("c_custkey") % UPDATE_MOD == 0)
+            & (F.col("c_custkey") % DELETE_MOD != 0)
+        )
+        .select(
+            "c_custkey",
+            F.concat(F.lit("updated-"), F.col("c_name")).alias("c_name"),
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit("U").alias("op"),
+        )
+    )
+    dele = snapshot.filter(F.col("c_custkey") % DELETE_MOD == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit("D").alias("op"),
+    )
+    max_key = F.broadcast(
+        snapshot.agg(F.max("c_custkey").alias("mx"))
+    )
+    ins = (
+        snapshot.sparkSession.range(1, INSERT_COUNT + 1)
+        .crossJoin(max_key)
+        .select(
+            (F.col("mx") + F.col("id")).alias("c_custkey"),
+            F.concat(F.lit("new-customer-"), F.col("id")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("I").alias("op"),
+        )
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def apply_changes(snapshot: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE INTO as one full-outer join (the table-format plan, inlined)."""
+    s = snapshot.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("s_name"),
+        F.col("c_acctbal").alias("s_bal"),
+    )
+    c = changes.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("c_name_new"),
+        F.col("c_acctbal").alias("c_bal_new"),
+        "op",
+    )
+    m = s.join(c, s["k"] == c["ck"], "full_outer")
+    kept = m.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+    return kept.select(
+        F.coalesce(F.col("k"), F.col("ck")).alias("c_custkey"),
+        F.when(F.col("op").isin("I", "U"), F.col("c_name_new"))
+        .otherwise(F.col("s_name"))
+        .alias("c_name"),
+        F.when(F.col("op").isin("I", "U"), F.col("c_bal_new"))
+        .otherwise(F.col("s_bal"))
+        .alias("c_acctbal"),
+    )
+
+
+_SQL_UPSERT = f"""
+WITH upd AS (
+  SELECT c_custkey, 'updated-' || c_name AS c_name,
+         c_acctbal + 100.0 AS c_acctbal, 'U' AS op
+  FROM customer
+  WHERE c_custkey % {UPDATE_MOD} = 0 AND c_custkey % {DELETE_MOD} <> 0
+),
+dele AS (
+  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+         CAST(NULL AS DOUBLE) AS c_acctbal, 'D' AS op
+  FROM customer WHERE c_custkey % {DELETE_MOD} = 0
+),
+ins AS (
+  SELECT (SELECT MAX(c_custkey) FROM customer) + i AS c_custkey,
+         'new-customer-' || i AS c_name, 0.0 AS c_acctbal, 'I' AS op
+  FROM (SELECT unnest(range(1, {INSERT_COUNT + 1})) AS i)
+),
+changes AS (SELECT * FROM upd UNION ALL SELECT * FROM dele UNION ALL SELECT * FROM ins),
+m AS (
+  SELECT s.c_custkey AS k, s.c_name AS s_name, s.c_acctbal AS s_bal,
+         c.c_custkey AS ck, c.c_name AS c_name_new, c.c_acctbal AS c_bal_new,
+         c.op
+  FROM customer s FULL OUTER JOIN changes c ON s.c_custkey = c.c_custkey
+)
+SELECT COALESCE(k, ck) AS c_custkey,
+       CASE WHEN op IN ('I', 'U') THEN c_name_new ELSE s_name END AS c_name,
+       CASE WHEN op IN ('I', 'U') THEN c_bal_new ELSE s_bal END AS c_acctbal
+FROM m WHERE op IS NULL OR op <> 'D'
+"""
+
+
+@register("cdc_upsert_snapshot", oracle=_SQL_UPSERT)
+def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a synthesized I/U/D batch to the customer snapshot."""
+    snapshot = load_table(spark, sf_dir, "customer")
+    return apply_changes(snapshot, synth_changes(snapshot))

@@ -39,6 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every module that registers queries."""
     import ting_data_etl_spark.operators.bucketed  # noqa: F401
+    import ting_data_etl_spark.operators.cdc  # noqa: F401
     import ting_data_etl_spark.operators.dedup  # noqa: F401
     import ting_data_etl_spark.operators.maintenance  # noqa: F401
     import ting_data_etl_spark.operators.multimodal  # noqa: F401
