@@ -1,0 +1,81 @@
+"""Skew-mitigation utilities: salted joins and two-stage aggregation.
+
+No reference-side counterpart (single-process pandas never sees a shuffle).
+At cluster scale one hot key — a null join key, a boilerplate document, a
+bot user — lands an entire shuffle partition on one task and the stage runs
+at the speed of that straggler. AQE's skew-join splitting (enabled in
+``session.get_spark``) handles sort-merge joins it can observe; these
+utilities cover the cases AQE can't:
+
+* :func:`salted_join` — explode the dimension side S ways, salt the fact
+  side's key with ``hash % S``: the hot key's rows spread over S tasks.
+  For broadcast-sized dims prefer ``F.broadcast`` (no salt needed); the
+  salt is for large⨝large joins with known-hot keys.
+* :func:`two_stage_agg_sum` — pre-aggregate on (key, salt), then finish on
+  key: the classic fix for aggregations whose *combiner* is defeated (e.g.
+  ``collect_set``/exact distinct), where map-side combine can't shrink the
+  hot key. (Plain algebraic SUM/COUNT already combine map-side; the
+  utility exists for the non-algebraic cases and is proven equivalent.)
+
+Both are correctness-preserving rewrites — pytest pins them equal to the
+unsalted plans on adversarially skewed synthetic data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = DEFAULT_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the dimension replicated ``salt`` ways.
+
+    fact gains ``__salt = pmod(xxhash64(key, row-entropy), salt)``; dim is
+    exploded to one copy per salt value; the join key becomes
+    ``(key, __salt)``. Every hot fact key now spans ``salt`` tasks while
+    each dim row is duplicated only ``salt`` times — the right trade when
+    dim ≪ fact but dim is too big (or the key too hot) to broadcast.
+    """
+    f = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), salt),
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = f.join(d, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def two_stage_agg_sum(
+    df: DataFrame,
+    key: str,
+    value: Column | str,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """SUM per key via (key, salt) partial aggregation then key final.
+
+    Stage 1 shuffles on (key, salt) — the hot key's rows split across
+    ``salt`` reducers; stage 2 shuffles only ``#keys × salt`` pre-aggregated
+    rows. Returns (key, total).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    partial = (
+        df.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col(key), F.monotonically_increasing_id()), salt
+            ),
+        )
+        .groupBy(key, "__salt")
+        .agg(F.sum(v).alias("__part"))
+    )
+    return partial.groupBy(key).agg(F.sum("__part").alias("total"))

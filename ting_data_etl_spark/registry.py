@@ -44,6 +44,7 @@ def load_all() -> None:
     import ting_data_etl_spark.operators.maintenance  # noqa: F401
     import ting_data_etl_spark.operators.multimodal  # noqa: F401
     import ting_data_etl_spark.operators.olap  # noqa: F401
+    import ting_data_etl_spark.operators.quality  # noqa: F401
     import ting_data_etl_spark.operators.sampling  # noqa: F401
     import ting_data_etl_spark.operators.temporal  # noqa: F401
     import ting_data_etl_spark.operators.similarity  # noqa: F401
