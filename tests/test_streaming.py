@@ -183,3 +183,58 @@ class TestStatefulSessionize:
             (base_us, 1),
             (base_us + gap_us + 1, 1),
         }
+
+
+class TestStreamStreamJoin:
+    def test_matches_batch_interval_join(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.sources.tables import load_table
+
+        qs = entrymod.queries()
+        stream = {
+            (r.purchase_id, r.click_id)
+            for r in qs["streaming_click_purchase_join"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("cts"),
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("pts"),
+        )
+        batch = {
+            (r.purchase_id, r.click_id)
+            for r in p.join(
+                c,
+                (F.col("cu") == F.col("pu"))
+                & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+                & (F.col("cts") <= F.col("pts")),
+            ).collect()
+        }
+        assert stream == batch
+
+
+class TestStreamingDedup:
+    def test_doubled_stream_restored(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.sources.tables import load_table
+
+        qs = entrymod.queries()
+        got = {
+            r.event_type: r.n_events
+            for r in qs["streaming_dedup_exactly_once"](spark, sf_dir).collect()
+        }
+        want = {
+            r.event_type: r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want  # NOT doubled: dedup collapsed the 2x delivery

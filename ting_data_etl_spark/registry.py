@@ -55,5 +55,6 @@ def load_all() -> None:
     import ting_data_etl_spark.plans.jobs  # noqa: F401
     import ting_data_etl_spark.plans.primitives  # noqa: F401
     import ting_data_etl_spark.streaming.batch_windows  # noqa: F401
+    import ting_data_etl_spark.streaming.joins  # noqa: F401
     import ting_data_etl_spark.streaming.stateful  # noqa: F401
     import ting_data_etl_spark.streaming.windows  # noqa: F401

@@ -1,0 +1,131 @@
+"""Stream-stream join and streaming deduplication (SURVEY §7.4 streaming).
+
+The two remaining Structured Streaming state machines the engine needs
+beyond windows/sessions (:mod:`windows`) and custom state
+(:mod:`stateful`):
+
+* **stream⨝stream interval join** — purchases matched to same-user clicks
+  within a trailing 30-minute interval. Both sides carry watermarks and the
+  join condition carries the event-time range — exactly what lets Spark
+  bound the join state (clicks older than watermark+interval are evicted)
+  instead of buffering both streams forever. Inner joins emit on match, so
+  the bounded availableNow run produces the complete result.
+* **streaming dedup** — ``dropDuplicates`` on the event id with a
+  watermark bounding the dedup state. Exercised honestly: the input stream
+  is UNIONED WITH ITSELF (every event arrives twice, as with at-least-once
+  sources), and the deduplicated per-type totals must equal the batch
+  truth — the exactly-once-from-at-least-once pattern every ingest
+  pipeline runs.
+
+Both queries check against full-hash DuckDB oracles over the same events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.functions.cleaning import sum_exact
+from ting_data_etl_spark.plans.oracles import sql_sum_exact
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.streaming.windows import (
+    run_stream_to_table,
+    stage_events_stream,
+)
+
+JOIN_LOOKBACK_MIN = 30
+
+
+_SQL_SS_JOIN = f"""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS click_us
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL {JOIN_LOOKBACK_MIN} MINUTE
+ AND c.ts <= p.ts
+"""
+
+
+def click_purchase_join_stream(events: DataFrame) -> DataFrame:
+    """Purchases ⨝ same-user clicks in the trailing 30-minute interval."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {JOIN_LOOKBACK_MIN} MINUTES")
+        )
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
+@register("streaming_click_purchase_join", oracle=_SQL_SS_JOIN)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join run to completion (availableNow).
+
+    The watermark + time-range pair is the state-bound contract: click
+    state older than watermark − interval is evicted every batch, so the
+    join's memory is O(interval × rate), not O(stream). Append mode — the
+    only mode stream-stream inner joins support — emits each match once.
+    """
+    events = stage_events_stream(spark, sf_dir)
+    return run_stream_to_table(click_purchase_join_stream(events), "append")
+
+
+_SQL_STREAM_DEDUP = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_sum_exact("value", 6)} AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_dedup_exactly_once", oracle=_SQL_STREAM_DEDUP)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once totals from an at-least-once stream via streaming dedup.
+
+    The input stream is unioned with itself — every event arrives twice,
+    the delivery model of any at-least-once source — then
+    ``dropDuplicates("event_id")`` with a watermark reduces it back; the
+    per-type totals must equal the batch truth over the ORIGINAL events
+    (the oracle). The watermark bounds dedup state: ids older than it are
+    dropped from the state store, which is the production memory contract.
+    """
+    doubled = stage_events_stream(spark, sf_dir).unionByName(
+        stage_events_stream(spark, sf_dir)
+    )
+    dd = doubled.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    agg = dd.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        sum_exact("value", scale=6).alias("total_value"),
+    )
+    return run_stream_to_table(agg, "complete")
