@@ -42,9 +42,23 @@ def stage_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     join: one shuffle now, zero on every later join. Both tables use the
     SAME bucket count and key — the co-location requirement.
     """
+    import os
+    import shutil
+
     tag = _table_tag(sf_dir)
     t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
     if sf_dir not in _STAGED_BUCKETS:
+        # the warehouse dir outlives the in-memory catalog: a previous
+        # process's table files would make saveAsTable fail with
+        # LOCATION_ALREADY_EXISTS, so clear both catalog entry and location
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        for t in (t_orders, t_lineitem):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = os.path.join(warehouse, t.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
         load_table(spark, sf_dir, "orders").write.bucketBy(
             N_BUCKETS, "o_orderkey"
         ).sortBy("o_orderkey").mode("overwrite").saveAsTable(t_orders)
