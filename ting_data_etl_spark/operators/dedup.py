@@ -165,16 +165,59 @@ def minhash_signature(text_col) -> F.Column:
     return F.array(*[perm_min(a, b) for a, b in PERMS])
 
 
-def minhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sig: array<long>) via explode → 16 min-aggregates.
+def word_shingles_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id[, extra], s) word n-gram shingle rows — codegen formulation.
 
-    The scale formulation: one md5 per (doc, shingle) row inside codegen,
-    one shuffle on doc_id (int keys), map-side partial mins. Identical
-    output to :func:`minhash_signature`.
+    :func:`ting_data_etl_spark.functions.text.word_ngrams` materializes a
+    per-document shingle ARRAY through an interpreted ``transform`` (a
+    slice+concat per shingle, out of codegen) before exploding. This form
+    explodes tokens once and assembles each shingle from ``lead`` windows —
+    tokenize/explode/lead/concat all inside whole-stage codegen, one shuffle
+    on doc_id, no per-doc array allocation. Output rows are identical
+    (parity pytest-pinned), including the edge cases: documents shorter
+    than *n* tokens yield one partial shingle; empty documents yield the
+    single empty shingle (via ``posexplode_outer``'s null row).
     """
-    sh = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col(text_col), SHINGLE_N)).alias("s")
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id",
+        *extra_cols,
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "t"),
     )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    cnt = Window.partitionBy("doc_id")
+    sh = tok.select(
+        "doc_id",
+        *extra_cols,
+        "pos",
+        F.concat_ws(
+            " ", "t", *[F.lead("t", i).over(wdoc) for i in range(1, n)]
+        ).alias("s"),
+        F.count("pos").over(cnt).alias("__n_tok"),
+    )
+    keep = F.col("pos").isNull() | (
+        F.col("pos") <= F.greatest(F.col("__n_tok") - n, F.lit(0))
+    )
+    return sh.filter(keep).drop("pos", "__n_tok")
+
+
+def minhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig: array<long>) via shingle rows → 16 min-aggregates.
+
+    The scale formulation: :func:`word_shingles_df` keeps shingle assembly
+    in codegen, one md5 per (doc, shingle) row, and the groupBy reuses the
+    window's doc_id partitioning (no second shuffle), map-side partial
+    mins. Identical output to :func:`minhash_signature`.
+    """
+    sh = word_shingles_df(docs, text_col)
     hx = sh.select("doc_id", _shingle_hash_spark(F.col("s")).alias("x"))
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
@@ -391,19 +434,16 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic — deterministic across engines.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    word_ngrams(F.col("text"), SHINGLE_N),
-                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).try_cast(
-                        "long"
-                    ),
-                )
-            )
-        ).alias("shingle"),
+    sh = (
+        word_shingles_df(d, extra_cols=("source",))
+        .select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+            .try_cast("long")
+            .alias("shingle"),
+        )
+        .distinct()
     )
     sh = shingle_frequency_cap(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
