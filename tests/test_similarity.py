@@ -113,3 +113,26 @@ class TestSrpBuckets:
             assert all(0 <= v < (1 << SRP_BITS) for v in rows.values())
             rows2 = {r.vec_id: r.b for r in b1.collect()}
             assert rows == rows2
+
+
+class TestSrpUdfParity:
+    def test_udf_matches_expression_buckets(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.operators.similarity import (
+            SRP_TABLES,
+            _quantized,
+            srp_bucket,
+            srp_buckets_udf,
+        )
+
+        q = _quantized(spark, sf_dir).limit(200)
+        both = q.select(
+            "vec_id",
+            F.array(
+                *[srp_bucket(F.col("q"), t) for t in range(SRP_TABLES)]
+            ).alias("expr_b"),
+            srp_buckets_udf()(F.col("q")).alias("udf_b"),
+        )
+        for r in both.collect():
+            assert list(r.expr_b) == list(r.udf_b), r.vec_id

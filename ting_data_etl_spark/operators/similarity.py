@@ -428,6 +428,35 @@ def srp_bucket(q, table: int) -> F.Column:
     return total.cast("int")
 
 
+def srp_buckets_udf():
+    """All SRP table buckets in one Arrow-batched matmul — the hot path.
+
+    (batch × d) @ (d × T·B) signs matrix → sign bits → per-table packed
+    bucket ids, returned as ``array<int>`` of length SRP_TABLES. Integer
+    dot products with ±1 literals are exact in float64 (|Σ| ≤ 64·10⁵ ≪
+    2⁵³), so the buckets are bit-identical to the expression form
+    (:func:`srp_bucket`) and the DuckDB oracle — parity is pytest-pinned.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.asarray(
+        [SRP_SIGNS[t][b] for t in range(SRP_TABLES) for b in range(SRP_BITS)],
+        dtype=np.float64,
+    ).T  # (d, T*B)
+    weights = np.tile(
+        np.array([1 << b for b in range(SRP_BITS)], dtype=np.int64),
+        SRP_TABLES,
+    ).reshape(SRP_TABLES, SRP_BITS)
+
+    def buckets(qs: pd.Series) -> pd.Series:
+        Q = np.vstack(qs.to_numpy()).astype(np.float64)  # (batch, d)
+        bits = (Q @ S >= 0).reshape(len(Q), SRP_TABLES, SRP_BITS)
+        packed = (bits * weights).sum(axis=2).astype("int32")
+        return pd.Series(list(packed))
+
+    return pandas_udf(buckets, "array<int>")
+
+
 def _sql_srp_bucket(t: int) -> str:
     terms = []
     for b, signs in enumerate(SRP_SIGNS[t]):
@@ -494,13 +523,12 @@ def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     already been dropped.
     """
     q = _quantized(spark, sf_dir)
+    assign = srp_buckets_udf()
     bq = q.select(
         "vec_id",
         "q",
         "norm",
-        F.posexplode(
-            F.array(*[srp_bucket(F.col("q"), t) for t in range(SRP_TABLES)])
-        ).alias("t", "bucket"),
+        F.posexplode(assign(F.col("q"))).alias("t", "bucket"),
     )
     probes = bq.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
