@@ -136,3 +136,38 @@ class TestSrpUdfParity:
         )
         for r in both.collect():
             assert list(r.expr_b) == list(r.udf_b), r.vec_id
+
+
+class TestCosineUdfParity:
+    def test_udf_matches_expression_cosine(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.operators.similarity import (
+            _cosine_pre,
+            _quantized,
+            cosine_udf,
+        )
+
+        q = _quantized(spark, sf_dir).limit(50)
+        a = q.select(
+            F.col("vec_id").alias("ia"),
+            F.col("q").alias("qa"),
+            F.col("norm").alias("na"),
+        )
+        b = q.select(
+            F.col("vec_id").alias("ib"),
+            F.col("q").alias("qb"),
+            F.col("norm").alias("nb"),
+        )
+        pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+            "ia",
+            "ib",
+            _cosine_pre(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+            ).alias("expr_cos"),
+            cosine_udf()(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+            ).alias("udf_cos"),
+        )
+        for r in pairs.collect():
+            assert r.expr_cos == r.udf_cos, (r.ia, r.ib)
