@@ -171,3 +171,32 @@ class TestCosineUdfParity:
         )
         for r in pairs.collect():
             assert r.expr_cos == r.udf_cos, (r.ia, r.ib)
+
+
+class TestLabelStats:
+    def test_exact_variance_arithmetic(self, spark, monkeypatch):
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        import ting_data_etl_spark.operators.similarity as sim
+
+        # two labels with known dispersion
+        rows = [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [5.0, 5.0], 1),
+            (4, [5.0, 5.0], 1),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        monkeypatch.setattr(sim, "load_table", lambda s, d, n: emb)
+        got = {
+            r.label: (r.n_vectors, r.var_trace, r.mean_sq_norm)
+            for r in sim.embedding_label_stats(spark, "unused").collect()
+        }
+        # quantized x10000: label 0 dims -> var((1e4,3e4)) + var((2e4,4e4))
+        # each = 1e8; trace = 2e8
+        assert got[1][1] == 0.0  # identical vectors -> zero dispersion
+        assert got[0][0] == 2 and got[1][0] == 2
+        assert abs(got[0][1] - 2e8) < 1e-6

@@ -661,3 +661,64 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pairs.filter(F.col("cosine") >= 0.3)
+
+
+# --- per-label embedding statistics (grouped-map applyInPandas) ------------
+_SQL_LABEL_STATS = f"""
+WITH {_SQL_QUANT},
+e AS (
+  SELECT label, generate_subscripts(q, 1) AS dim, unnest(q) AS x FROM q
+),
+d AS (
+  SELECT label, dim, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sx2
+  FROM e GROUP BY label, dim
+),
+t AS (
+  SELECT label, MAX(n) AS n,
+         SUM(n * sx2 - sx * sx) AS scaled_var,
+         SUM(sx2) AS ssx2
+  FROM d GROUP BY label
+)
+SELECT label,
+       CAST(n AS BIGINT) AS n_vectors,
+       CAST(scaled_var AS DOUBLE) / (n * n) AS var_trace,
+       CAST(ssx2 AS DOUBLE) / n AS mean_sq_norm
+FROM t
+"""
+
+
+@register("embedding_label_stats", oracle=_SQL_LABEL_STATS)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label dispersion stats via grouped-map ``applyInPandas``.
+
+    The cluster-quality numbers an embedding-curation pipeline watches:
+    covariance trace (within-label dispersion) and mean squared norm per
+    label. Grouped-map pandas is the right tool here — a per-group dense
+    matrix reduction — and the arithmetic is kept EXACT so the pandas path
+    hash-matches the SQL oracle: the variance numerator is computed as the
+    integer ``Σ_dims (n·Σx² − (Σx)²)`` in arbitrary-precision Python ints
+    (DuckDB: HUGEINT), and floats appear only in the single final division —
+    int→double rounding and one divide are IEEE-identical in both engines.
+    One shuffle on label; group size bounds driver-free memory.
+    """
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.vstack(pdf["q"].to_numpy()).astype(np.int64)  # (n, d)
+        n = M.shape[0]
+        sx = [int(v) for v in M.sum(axis=0)]
+        sx2 = [int(v) for v in (M.astype(object) ** 2).sum(axis=0)]
+        scaled_var = sum(n * b - a * a for a, b in zip(sx, sx2))
+        ssx2 = sum(sx2)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [n],
+                "var_trace": [float(scaled_var) / (n * n)],
+                "mean_sq_norm": [float(ssx2) / n],
+            }
+        )
+
+    q = _quantized(spark, sf_dir).select("label", "q")
+    return q.groupBy("label").applyInPandas(
+        stats, "label int, n_vectors long, var_trace double, mean_sq_norm double"
+    )
