@@ -82,3 +82,32 @@ class TestSimhashPairs:
                 want.add((a, b, h))
         assert got == want
         assert (1, 4, 0) in got  # exact dup pair found at distance 0
+
+
+class TestConnectedComponents:
+    def test_chain_two_components_singleton(self, spark):
+        from ting_data_etl_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 8)], "doc_id long"
+        )
+        # chain 1-2-3-4 (diameter forces >1 iteration), pair 5-6, singleton 7
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: r.component
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+    def test_empty_pairs_all_singletons(self, spark):
+        from ting_data_etl_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.component
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2}

@@ -275,7 +275,7 @@ hx AS (
 sig AS (SELECT doc_id, {_sql_perm_mins()} AS sig FROM hx)
 """
 
-_SQL_MINHASH_PAIRS = f"""
+_SQL_MINHASH_PAIRS_CTE = f"""
 {_MINHASH_SIG_SQL},
 bands AS (
   SELECT doc_id, j,
@@ -288,10 +288,16 @@ capped AS (
   SELECT doc_id, j, band FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY j, band) AS bucket_n FROM bands
   ) WHERE bucket_n <= {BAND_FREQUENCY_CAP}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM capped a JOIN capped b
-  ON a.band = b.band AND a.j = b.j AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.j = b.j AND a.doc_id < b.doc_id
+)"""
+
+_SQL_MINHASH_PAIRS = f"""
+{_SQL_MINHASH_PAIRS_CTE}
+SELECT doc_a, doc_b FROM mh_pairs
 """
 
 
@@ -694,3 +700,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     return simhash_signatures_df(d)
+
+
+# --- connected components over near-dup pairs ------------------------------
+CC_MAX_ITERS = 25
+
+_SQL_CC = f"""
+{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: (doc_id, component).
+
+    The canonical iterative algorithm on Spark: each round joins the
+    current labels across the edge set and takes the per-node minimum —
+    two shuffles per round, converging in O(component diameter) rounds
+    (near-dup clusters are shallow, so typically ≤ 5). ``localCheckpoint``
+    truncates the lineage each round so the plan does not grow with the
+    iteration count — the standard guard for driver-side iteration. At
+    larger diameters swap in the large-star/small-star round-compressed
+    variant; the fixpoint contract (and this function's tests) stay the
+    same. Fixpoint detection is an exact count of changed labels, so
+    termination is data-driven, with ``max_iters`` as the safety bound.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.col("component").alias("old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("component") < F.col("old")).count()
+        labels = updated.drop("old")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    return labels
+
+
+@register("dedup_connected_components", oracle=_SQL_CC)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: every document labeled with its component's min id.
+
+    The step after candidate generation in every dedup pipeline — LSH pairs
+    only say "these two look alike"; keeping one doc per *cluster* needs the
+    transitive closure. Singleton documents are their own component. Oracle:
+    a recursive-CTE transitive closure over the identical pair set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    return connected_components(d.select("doc_id"), pairs)
