@@ -100,3 +100,35 @@ class TestMixture:
         }
         # src0 keeps everything; every other configured rate keeps fewer
         assert counts["src0"] >= counts["src1"] >= counts["src3"]
+
+
+class TestPacking:
+    def test_budget_bound(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.functions.text import token_count
+        from ting_data_etl_spark.operators.sampling import (
+            PACK_BUDGET,
+            pack_sequences,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        seqs = pack_sequences(spark, sf_dir).collect()
+        max_doc = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.max(token_count("text")).alias("m"))
+            .first()
+            .m
+        )
+        # first-fit-in-order guarantee: budget-max_doc < tokens (except the
+        # final partial sequence) and tokens < budget + max_doc
+        totals = sorted(
+            (r.seq_id, r.total_tokens) for r in seqs
+        )
+        for seq_id, total in totals[:-1]:
+            assert total > PACK_BUDGET - max_doc
+        for seq_id, total in totals:
+            assert total < PACK_BUDGET + max_doc
+        # all docs packed exactly once
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in seqs) == n_docs

@@ -202,3 +202,66 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
     )
+
+
+# --- sequence packing (token-budget bins) ----------------------------------
+PACK_BUDGET = 1024  # tokens per packed training sequence
+
+_SQL_PACK = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                 '[^\\p{{L}}\\p{{N}}]+'),
+           t -> t <> '')) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_toks,
+         CAST(FLOOR((SUM(n_toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_toks) / {PACK_BUDGET}) AS INTEGER) AS seq_id
+  FROM tok
+)
+SELECT seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM packed GROUP BY seq_id
+"""
+
+
+@register("pack_sequences", oracle=_SQL_PACK)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ≤-budget training sequences (streaming fill).
+
+    The sequence-packing verb of LLM data prep: documents fill sequence
+    *seq_id = floor(preceding-token-cumsum / budget)* in a deterministic
+    order, so each packed sequence holds ≥ budget−max_doc and < budget+max_doc
+    tokens — the first-fit-in-order approximation packers use when exact bin
+    packing (NP-hard, sequential) is off the table.
+
+    Scale note: the cumulative sum orders globally, which serializes one
+    partition — the same trade as ``shard_assignment``; at 100 TB the
+    cumsum runs per range-partitioned band (two-level packing: band offset
+    = sum of earlier bands' totals, computed from #bands partial sums) with
+    identical output. This single-window form is the oracle-checkable
+    reference of that contract.
+    """
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", token_count("text").alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = tok.select(
+        "doc_id",
+        "n_toks",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / PACK_BUDGET)
+        .cast("int")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )

@@ -129,3 +129,59 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_exact("value", scale=6).alias("total_value"),
     )
     return run_stream_to_table(agg, "complete")
+
+
+# --- parquet file sink round-trip (exactly-once sink metadata) -------------
+_STAGED_SINK: dict[str, str] = {}
+
+_SQL_FILE_SINK = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_type IN ('purchase', 'error')
+GROUP BY event_type
+"""
+
+
+@register("streaming_parquet_sink_roundtrip", oracle=_SQL_FILE_SINK)
+def streaming_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → filter → parquet FILE sink → read back → profile.
+
+    The production sink pattern the memory-sink parity queries skip: a
+    stateless streaming filter written to a parquet directory with a real
+    checkpoint. The sink's ``_spark_metadata`` transaction log is what makes
+    file output exactly-once — a batch reader (as here) sees only files the
+    log committed, so retries/failures never double-count. The read-back
+    aggregation must match the batch truth over the original events.
+    """
+    import os
+    import tempfile
+
+    from ting_data_etl_spark.streaming.windows import stage_events_stream
+
+    if sf_dir not in _STAGED_SINK:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "ting_stream_parquet_sink",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+        ev = stage_events_stream(spark, sf_dir)
+        kept = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        q = (
+            kept.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STAGED_SINK[sf_dir] = out
+    back = spark.read.parquet(_STAGED_SINK[sf_dir])
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
