@@ -149,3 +149,41 @@ def events_range_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_prev_5min"),
     )
+
+
+# --- semi-structured props extraction --------------------------------------
+_SQL_JSON_PROPS = """
+WITH x AS (
+  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM x GROUP BY event_type
+"""
+
+
+@register("events_json_props_extract", oracle=_SQL_JSON_PROPS)
+def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a semi-structured JSON column.
+
+    The schema-on-read verb for event payloads: ``from_json`` with a PINNED
+    schema (never schema inference — it scans twice and drifts), projecting
+    the typed field before the aggregate so the shuffle carries longs, not
+    JSON strings. Malformed documents yield NULL (PERMISSIVE), surfacing in
+    ``n_with_k`` < ``n_events`` rather than failing the job — the standard
+    poison-pill posture for event streams.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    x = ev.select("event_type", k.alias("k"))
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
