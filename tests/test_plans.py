@@ -55,3 +55,84 @@ class TestNoRowAtATimeUdfs:
             pytest.skip("materializing query — plan checked in its own test")
         df = entrymod.queries()[name](spark, sf_dir)
         assert "BatchEvalPython" not in plan_str(df)
+
+
+class TestShuffleBudgets:
+    """Pin the Exchange count of plans whose whole design is shuffle economy."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_asof_join_single_shuffle(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.temporal import events_asof
+
+        plan = self._plan(events_asof(spark, sf_dir))
+        assert plan.count("Exchange") == 1  # the user_id window shuffle
+
+    def test_range_activity_single_shuffle(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.temporal import (
+            events_range_activity,
+        )
+
+        plan = self._plan(events_range_activity(spark, sf_dir))
+        assert plan.count("Exchange") == 1
+
+    def test_json_extract_single_shuffle_carries_longs(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.temporal import (
+            events_json_props_extract,
+        )
+
+        df = events_json_props_extract(spark, sf_dir)
+        plan = self._plan(df)
+        assert plan.count("Exchange") == 1  # only the final aggregation
+        # map-side combine runs BEFORE the shuffle, so the exchange carries
+        # partial aggregates of the typed long — never the JSON string
+        exchange_line = next(
+            l for l in plan.splitlines() if "Exchange" in l
+        )
+        assert "props" not in exchange_line
+        assert "partial_sum" in plan  # partial agg below the exchange
+
+    def test_stratified_split_map_only(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import stratified_split
+
+        assert "Exchange" not in self._plan(stratified_split(spark, sf_dir))
+
+    def test_minhash_signatures_single_shuffle(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.dedup import (
+            minhash_signatures_df,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        plan = self._plan(minhash_signatures_df(d))
+        # one exchange: the doc_id window; the groupBy reuses its partitioning
+        assert plan.count("Exchange") == 1
+
+
+class TestApproxVariants:
+    """The at-scale approximate swaps must stay near their exact twins."""
+
+    def test_approx_count_distinct_tolerance(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        row = d.agg(
+            F.countDistinct("doc_id").alias("exact"),
+            F.approx_count_distinct("doc_id", rsd=0.05).alias("approx"),
+        ).first()
+        assert abs(row.approx - row.exact) / row.exact < 0.15
+
+    def test_percentile_approx_tolerance(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        row = d.agg(
+            F.expr("percentile(n_chars, 0.5)").alias("exact"),
+            F.expr("percentile_approx(n_chars, 0.5, 1000)").alias("approx"),
+        ).first()
+        assert abs(row.approx - row.exact) / max(row.exact, 1) < 0.05
