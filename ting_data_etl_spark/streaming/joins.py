@@ -160,9 +160,11 @@ def streaming_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     from ting_data_etl_spark.streaming.windows import stage_events_stream
 
     if sf_dir not in _STAGED_SINK:
+        # v2: path versioned past a pre-durable-staging sink whose input
+        # files were re-minted per process (duplicated appends)
         base = os.path.join(
             tempfile.gettempdir(),
-            "ting_stream_parquet_sink",
+            "ting_stream_parquet_sink_v2",
             sf_dir.strip("/").replace("/", "_"),
         )
         out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")

@@ -64,7 +64,12 @@ def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(
             tempfile.gettempdir(), "ting_stream_stage", sf_dir.strip("/").replace("/", "_")
         )
-        batch.write.mode("overwrite").parquet(out)
+        # durable staging: only write if a committed stage isn't already on
+        # disk. Re-staging per process would mint new part filenames, which
+        # a checkpointed file-source consumer (the parquet-sink round-trip)
+        # would treat as NEW input and reprocess — duplicating its output.
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            batch.write.mode("overwrite").parquet(out)
         _STAGED[sf_dir] = out
     return spark.readStream.schema(batch.schema).parquet(_STAGED[sf_dir])
 
