@@ -44,6 +44,15 @@ HEADLINE = [
     "events_sessionize_30min_gap",
     "streaming_tumbling_5min",
     "streaming_stateful_sessionize",
+    "streaming_click_purchase_join",
+    "dedup_connected_components",
+    "events_asof_click_before_purchase",
+    "events_cube_type_hour",
+    "cdc_upsert_snapshot",
+    "bucketed_join_revenue_by_priority",
+    "dq_lineitem_expectations",
+    "pack_sequences",
+    "jsonl_roundtrip_profile",
     "e2e_csv_pipeline",
     "prim_fanout_verify",
 ]

@@ -745,6 +745,9 @@ def connected_components(
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # materialize the edge set ONCE — without this every iteration's join
+    # would re-run the whole upstream candidate-pair pipeline
+    edges = edges.localCheckpoint(eager=True)
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
