@@ -132,3 +132,39 @@ class TestPacking:
         # all docs packed exactly once
         n_docs = load_table(spark, sf_dir, "documents").count()
         assert sum(r.n_docs for r in seqs) == n_docs
+
+
+class TestBandedVariants:
+    """The documented 100TB formulations must equal the reference forms."""
+
+    def test_shard_assignment_banded_identical(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import (
+            shard_assignment,
+            shard_assignment_banded,
+        )
+
+        ref = {
+            r.shard: (r.n_docs, r.total_tokens)
+            for r in shard_assignment(spark, sf_dir).collect()
+        }
+        banded = {
+            r.shard: (r.n_docs, r.total_tokens)
+            for r in shard_assignment_banded(spark, sf_dir).collect()
+        }
+        assert ref == banded
+
+    def test_pack_sequences_banded_identical(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import (
+            pack_sequences,
+            pack_sequences_banded,
+        )
+
+        ref = {
+            r.seq_id: (r.n_docs, r.total_tokens)
+            for r in pack_sequences(spark, sf_dir).collect()
+        }
+        banded = {
+            r.seq_id: (r.n_docs, r.total_tokens)
+            for r in pack_sequences_banded(spark, sf_dir).collect()
+        }
+        assert ref == banded

@@ -265,3 +265,134 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
     )
+
+
+# --- banded (two-phase) variants of the global-window operators ------------
+def _band_offsets(df: DataFrame, value_col: str) -> DataFrame:
+    """Per-partition row/total offsets via one tiny driver-side prefix sum.
+
+    Phase 1 of the distributed scan pattern: each range-band reports its
+    (count, sum); the driver prefix-sums B rows (B = #bands, not #rows) and
+    broadcasts the offsets back. This is the only driver involvement — B
+    scalars, never data.
+    """
+    import pyspark.sql.functions as F_
+
+    per_band = (
+        df.groupBy("__band")
+        .agg(
+            F_.count("*").alias("band_rows"),
+            F_.sum(value_col).alias("band_total"),
+        )
+        .orderBy("__band")
+        .collect()
+    )
+    offsets, row_off, tot_off = [], 0, 0
+    for r in per_band:
+        offsets.append((r["__band"], row_off, tot_off))
+        row_off += r["band_rows"]
+        tot_off += r["band_total"]
+    spark = df.sparkSession
+    return F.broadcast(
+        spark.createDataFrame(
+            offsets, "__band int, row_offset long, total_offset long"
+        )
+    )
+
+
+def shard_assignment_banded(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """The 100 TB formulation of :func:`shard_assignment` — no global sort.
+
+    Range-partition by the sort key into *n_bands* bands, rank locally
+    within each band, and convert to global ranks with the per-band offsets
+    from :func:`_band_offsets`. Every shuffle is bounded (range exchange +
+    in-band sorts); the only serialized work is a B-row prefix sum on the
+    driver. Output is IDENTICAL to the single-window form (pytest-pinned):
+    the (n_toks desc, doc_id) composite key is unique, so band-local ranks
+    + offsets reproduce the exact global ranking.
+    """
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", token_count("text").alias("n_toks"))
+    banded = tok.repartitionByRange(
+        n_bands, F.col("n_toks").desc(), F.col("doc_id")
+    ).withColumn("__band", F.spark_partition_id())
+    banded = banded.persist()
+    try:
+        offsets = _band_offsets(banded, "n_toks")
+        local = Window.partitionBy("__band").orderBy(
+            F.col("n_toks").desc(), F.col("doc_id")
+        )
+        ranked = (
+            banded.withColumn("__lr", F.row_number().over(local))
+            .join(offsets, "__band")
+            .select(
+                "doc_id",
+                "n_toks",
+                ((F.col("row_offset") + F.col("__lr") - 1) % N_SHARDS).alias(
+                    "shard"
+                ),
+            )
+        )
+        out = ranked.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        banded.unpersist()
+
+
+def pack_sequences_banded(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """The 100 TB formulation of :func:`pack_sequences` — two-phase cumsum.
+
+    Band-local cumulative sums plus the broadcast band total-offsets give
+    the exact global running total (the textbook distributed prefix scan),
+    so sequence ids match the single-window form bit for bit
+    (pytest-pinned) while no partition ever sees more than its band.
+    """
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", token_count("text").alias("n_toks"))
+    banded = tok.repartitionByRange(n_bands, "doc_id").withColumn(
+        "__band", F.spark_partition_id()
+    )
+    banded = banded.persist()
+    try:
+        offsets = _band_offsets(banded, "n_toks")
+        local = Window.partitionBy("__band").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        packed = (
+            banded.withColumn("__lc", F.sum("n_toks").over(local))
+            .join(offsets, "__band")
+            .select(
+                "doc_id",
+                "n_toks",
+                F.floor(
+                    (F.col("total_offset") + F.col("__lc") - F.col("n_toks"))
+                    / PACK_BUDGET
+                )
+                .cast("int")
+                .alias("seq_id"),
+            )
+        )
+        out = packed.groupBy("seq_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        banded.unpersist()
