@@ -41,6 +41,7 @@ def load_all() -> None:
     import ting_data_etl_spark.operators.bucketed  # noqa: F401
     import ting_data_etl_spark.operators.cdc  # noqa: F401
     import ting_data_etl_spark.operators.dedup  # noqa: F401
+    import ting_data_etl_spark.operators.layout  # noqa: F401
     import ting_data_etl_spark.operators.maintenance  # noqa: F401
     import ting_data_etl_spark.operators.multimodal  # noqa: F401
     import ting_data_etl_spark.operators.olap  # noqa: F401
