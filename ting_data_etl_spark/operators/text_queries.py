@@ -18,13 +18,9 @@ from ting_data_etl_spark.functions.text import (
     WINNOW_K,
     WINNOW_W,
     bpe_token_count,
-    lang_id,
     normalize_text,
-    punct_ratio,
     quality_score,
-    stopword_ratio,
     token_count,
-    winnow_fingerprints,
 )
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table

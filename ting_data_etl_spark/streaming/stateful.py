@@ -46,7 +46,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructType
 
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
