@@ -94,3 +94,100 @@ def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("unique:l_orderkey:l_linenumber"),
         ).otherwise(F.col("check_name")),
     )
+
+
+# --- ANALYZE-style column statistics ---------------------------------------
+_SQL_TABLE_STATS = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT l_orderkey) AS ndv_ok,
+         COUNT(l_orderkey) AS nn_ok,
+         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         COUNT(DISTINCT l_returnflag) AS ndv_rf,
+         MIN(epoch_us(l_shipdate)) AS min_ship_us,
+         MAX(epoch_us(l_shipdate)) AS max_ship_us
+  FROM lineitem
+)
+SELECT col_name, n_rows, n_nulls, ndv, min_val, max_val FROM s,
+LATERAL (VALUES
+  ('l_orderkey', n, CAST(n - nn_ok AS BIGINT), CAST(ndv_ok AS BIGINT),
+   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  ('l_quantity', n, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(min_qty AS DOUBLE), CAST(max_qty AS DOUBLE)),
+  ('l_returnflag', n, CAST(0 AS BIGINT), CAST(ndv_rf AS BIGINT),
+   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  ('l_shipdate', n, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(min_ship_us AS DOUBLE), CAST(max_ship_us AS DOUBLE))
+) AS t(col_name, n_rows, n_nulls, ndv, min_val, max_val)
+"""
+
+
+@register("table_stats_lineitem", oracle=_SQL_TABLE_STATS)
+def table_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics in one scan.
+
+    The stats a cost-based optimizer feeds on (row count, per-column null
+    count / NDV / min / max), computed with one aggregation pass instead of
+    a query per column. Exact NDV here; at 100 TB swap
+    ``approx_count_distinct`` per column — same single-scan plan, bounded
+    memory (and the pytest tolerance in ``test_plans`` bounds the error).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_orderkey").alias("ndv_ok"),
+        F.count("l_orderkey").alias("nn_ok"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count_distinct("l_returnflag").alias("ndv_rf"),
+        F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("min_ship_us"),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("max_ship_us"),
+    ).first()
+    rows = [
+        ("l_orderkey", s.n, s.n - s.nn_ok, s.ndv_ok, None, None),
+        ("l_quantity", s.n, 0, None, float(s.min_qty), float(s.max_qty)),
+        ("l_returnflag", s.n, 0, s.ndv_rf, None, None),
+        ("l_shipdate", s.n, 0, None, float(s.min_ship_us), float(s.max_ship_us)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows long, n_nulls long, ndv long, "
+        "min_val double, max_val double",
+    )
+
+
+# --- equi-width histogram (CBO histogram / drift monitor) ------------------
+HIST_BINS = 20
+
+_SQL_HISTOGRAM = f"""
+WITH b AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_BINS})) AS INTEGER),
+               {HIST_BINS - 1}) AS bin
+  FROM events, b
+)
+SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin
+"""
+
+
+@register("events_value_histogram", oracle=_SQL_HISTOGRAM)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values: the CBO/drift-monitor sketch.
+
+    Two passes: a tiny min/max aggregate (broadcast back as literals via a
+    cross join, never collected per-row), then one binning aggregation.
+    Bin arithmetic is identical FP in both engines (same divisions, same
+    floor), and the max value clamps into the last bin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = F.broadcast(ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = ev.crossJoin(bounds).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("n"))

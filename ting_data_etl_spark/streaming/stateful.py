@@ -79,19 +79,23 @@ def stage_events_time_split(spark: SparkSession, sf_dir: str) -> str:
             "ting_stream_stage_split",
             sf_dir.strip("/").replace("/", "_"),
         )
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "value"
-        )
-        ev.repartitionByRange(N_STAGE_FILES, "ts", "event_id").write.mode(
-            "overwrite"
-        ).parquet(out)
-        parts = sorted(
-            f for f in os.listdir(out) if f.endswith(".parquet")
-        )
-        base = int(os.path.getmtime(os.path.join(out, parts[-1])))
-        for i, name in enumerate(parts):
-            p = os.path.join(out, name)
-            os.utime(p, (base + i, base + i))
+        # durable: a committed stage keeps its part filenames AND its
+        # ascending mtimes, so re-use is free and checkpointed consumers
+        # never see re-minted input files
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "value"
+            )
+            ev.repartitionByRange(N_STAGE_FILES, "ts", "event_id").write.mode(
+                "overwrite"
+            ).parquet(out)
+            parts = sorted(
+                f for f in os.listdir(out) if f.endswith(".parquet")
+            )
+            base = int(os.path.getmtime(os.path.join(out, parts[-1])))
+            for i, name in enumerate(parts):
+                p = os.path.join(out, name)
+                os.utime(p, (base + i, base + i))
         _STAGED_SPLIT[sf_dir] = out
     return _STAGED_SPLIT[sf_dir]
 
