@@ -74,6 +74,20 @@ def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(batch.schema).parquet(_STAGED[sf_dir])
 
 
+#: State-store partition count for the bounded streaming runs. Unlike batch
+#: shuffles (AQE re-coalesces at runtime), a stateful query's partition
+#: count is FROZEN into its checkpoint at creation — so it must be sized to
+#: the state, not the CPU count. These bounded replays carry tiny state;
+#: 32 partitions would spend more time opening/committing 32 state stores
+#: per batch than computing (measured ~2× at sf0.1). On a production
+#: cluster with large state, size this to state-bytes / executor-memory
+#: BEFORE the first run — it cannot be changed later without a new
+#: checkpoint.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
+
+
 def run_stream_to_table(
     sdf: DataFrame, output_mode: str, once: bool = False
 ) -> DataFrame:
@@ -82,15 +96,25 @@ def run_stream_to_table(
     ``availableNow`` (or ``once``) processes the full backlog then stops —
     the bounded-execution mode Structured Streaming provides for exactly
     this batch-parity pattern. Returns the sink table as a batch DataFrame.
+    The shuffle-partition conf is pushed to the state-sized value for the
+    stream's lifetime and restored after (it is read at query START).
     """
+    spark = sdf.sparkSession
     name = f"ting_stream_sink_{next(_SINK_IDS)}"
-    writer = sdf.writeStream.format("memory").queryName(name).outputMode(output_mode)
-    if once:
-        q = writer.trigger(once=True).start()
-    else:
-        q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        writer = (
+            sdf.writeStream.format("memory").queryName(name).outputMode(output_mode)
+        )
+        if once:
+            q = writer.trigger(once=True).start()
+        else:
+            q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def tumbling_stream(events: DataFrame) -> DataFrame:
