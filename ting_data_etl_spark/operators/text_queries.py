@@ -327,3 +327,37 @@ def text_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total_chars"),
         (F.sum("n_punct").cast("double") / F.sum("n")).alias("punct_ratio"),
     )
+
+
+# --- corpus vocabulary: top tokens -----------------------------------------
+TOP_TOKENS = 20
+
+_SQL_TOP_TOKENS = f"""
+WITH {_SQL_TOKS},
+t AS (SELECT unnest(toks) AS tok FROM tok),
+c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok)
+SELECT tok, n FROM c
+ORDER BY n DESC, tok ASC LIMIT {TOP_TOKENS}
+"""
+
+
+@register("text_top_tokens", oracle=_SQL_TOP_TOKENS)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-{TOP_TOKENS} tokens — the corpus vocabulary head.
+
+    explode → count → ``TakeOrderedAndProject`` (per-partition heaps, no
+    global sort); deterministic tiebreak on the token itself. The shape a
+    tokenizer-training or stopword-mining pass runs first. At 100 TB the
+    count's map-side partial aggregation is what keeps the shuffle at
+    |vocab| rows, not |corpus| tokens.
+    """
+    from ting_data_etl_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(TOP_TOKENS)
+    )
