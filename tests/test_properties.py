@@ -1,0 +1,122 @@
+"""Hypothesis property tests for the cleaning expressions (SURVEY §5.3).
+
+The reference's correctness strategy is generator + invariant; these
+properties pin the Spark expressions against an independent Python model of
+the reference semantics over adversarial generated inputs. Each example
+batch evaluates in ONE Spark job (a generated list becomes one DataFrame).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.functions.cleaning import (
+    NULL_SENTINELS,
+    parse_month,
+    to_number,
+)
+
+# messy-number-ish strings: digits, separators, %, sentinels, junk
+_numberish = st.one_of(
+    st.sampled_from(NULL_SENTINELS + ["  NULL ", " nan", "None "]),
+    st.from_regex(r" ?-?[0-9]{1,3}(,[0-9]{3}){0,2}(\.[0-9]{1,4})? ?%?", fullmatch=True),
+    st.text(alphabet="0123456789,.%- abc", max_size=12),
+)
+
+_monthish = st.one_of(
+    st.from_regex(r"[0-9]{1,2}", fullmatch=True),
+    st.from_regex(r"20[0-9]{2}[-/]?(0[1-9]|1[0-2])", fullmatch=True),
+    st.text(alphabet="0123456789-/ 月", max_size=10),
+)
+
+
+def _model_to_number(s: str):
+    t = s.strip()
+    if t in NULL_SENTINELS:
+        return None
+    t = re.sub(r"[,%]", "", t)
+    # model Spark's try_cast(double): strict float literal parse
+    try:
+        v = float(t)
+    except ValueError:
+        return None
+    return v
+
+
+def _model_parse_month(s: str):
+    digits = re.sub(r"[^0-9]", "", s.strip())
+    mm = digits[-2:] if len(digits) >= 6 else digits
+    if not mm or len(mm) > 10:
+        return None
+    try:
+        m = int(mm)
+    except ValueError:
+        return None
+    return m if 1 <= m <= 12 else None
+
+
+class TestCleaningProperties:
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(st.lists(_numberish, min_size=1, max_size=60))
+    def test_to_number_matches_model(self, spark, values):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, v string")
+        got = {r.i: r.out for r in df.select("i", to_number("v").alias("out")).collect()}
+        for i, v in enumerate(values):
+            want = _model_to_number(v)
+            if want is None:
+                assert got[i] is None, (v, got[i])
+            else:
+                assert got[i] is not None and abs(got[i] - want) < 1e-9, (v, got[i], want)
+
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(st.lists(_monthish, min_size=1, max_size=60))
+    def test_parse_month_matches_model(self, spark, values):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, v string")
+        got = {r.i: r.out for r in df.select("i", parse_month("v").alias("out")).collect()}
+        for i, v in enumerate(values):
+            assert got[i] == _model_parse_month(v), (v, got[i])
+
+
+class TestWinnowingProperty:
+    @settings(
+        max_examples=4, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(
+        st.text(alphabet="abcdefg ", min_size=0, max_size=40),
+        st.text(alphabet="hijklmn ", min_size=0, max_size=40),
+        st.text(alphabet="opqrstu ", min_size=15, max_size=60),
+    )
+    def test_shared_substring_guarantee(self, spark, prefix, suffix, shared):
+        """Winnowing guarantee: docs sharing a normalized substring of
+        length >= k+w-1 always share at least one fingerprint."""
+        from ting_data_etl_spark.functions.text import (
+            WINNOW_K,
+            WINNOW_W,
+            normalize_text,
+        )
+        from ting_data_etl_spark.operators.text_queries import (
+            winnow_fingerprints_df,
+        )
+
+        # normalize the shared chunk so insertion into different contexts
+        # can't change it (collapse/strip whitespace)
+        shared_n = re.sub(r"\s+", " ", shared).strip()
+        if len(shared_n) < WINNOW_K + WINNOW_W - 1:
+            return  # guarantee doesn't apply
+        docs = spark.createDataFrame(
+            [(1, f"{prefix} {shared_n} "), (2, f" {shared_n} {suffix}")],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints_df(docs).collect()
+        by_doc: dict[int, set] = {1: set(), 2: set()}
+        for r in fps:
+            by_doc[r.doc_id].add(r.fp)
+        assert by_doc[1] & by_doc[2], (prefix, shared_n, suffix)
