@@ -111,3 +111,48 @@ class TestConnectedComponents:
             for r in connected_components(nodes, pairs).collect()
         }
         assert got == {0: 0, 1: 1, 2: 2}
+
+
+class TestPointerJumpCC:
+    def test_matches_label_propagation(self, spark):
+        from ting_data_etl_spark.operators.dedup import (
+            connected_components,
+            connected_components_jump,
+        )
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
+        pairs = spark.createDataFrame(
+            # long chain (deep graph), a star, a pair, singletons
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (8, 9), (8, 10), (9, 10)],
+            "doc_a long, doc_b long",
+        )
+        a = {
+            r.doc_id: r.component
+            for r in connected_components(nodes, pairs).collect()
+        }
+        b = {
+            r.doc_id: r.component
+            for r in connected_components_jump(nodes, pairs).collect()
+        }
+        assert a == b
+        assert b[6] == 1 and b[10] == 8 and b[7] == 7 and b[11] == 11
+
+    def test_matches_on_lsh_pairs(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.dedup import (
+            connected_components_jump,
+            dedup_connected_components,
+            dedup_minhash_pairs,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        ref = {
+            r.doc_id: r.component
+            for r in dedup_connected_components(spark, sf_dir).collect()
+        }
+        nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+        pairs = dedup_minhash_pairs(spark, sf_dir)
+        two = {
+            r.doc_id: r.component
+            for r in connected_components_jump(nodes, pairs).collect()
+        }
+        assert ref == two

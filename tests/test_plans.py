@@ -136,3 +136,36 @@ class TestApproxVariants:
             F.expr("percentile_approx(n_chars, 0.5, 1000)").alias("approx"),
         ).first()
         assert abs(row.approx - row.exact) / max(row.exact, 1) < 0.05
+
+
+class TestShuffleOrderDeterminism:
+    """Fixed-point sums must be bit-identical under different partitionings —
+    the property that makes results reproducible on any cluster size."""
+
+    def test_flagship_identical_under_repartitioning(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+
+        q = entrymod.queries()["flagship_pricing_summary"]
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            a = {tuple(r) for r in q(spark, sf_dir).collect()}
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            b = {tuple(r) for r in q(spark, sf_dir).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b
+
+    def test_job_23_2_identical_under_repartitioning(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+
+        q = entrymod.queries()["job_23_2_monthly_yoy"]
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            a = {tuple(r) for r in q(spark, sf_dir).collect()}
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            b = {tuple(r) for r in q(spark, sf_dir).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b

@@ -789,3 +789,80 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_pairs(spark, sf_dir)
     return connected_components(d.select("doc_id"), pairs)
+
+
+def connected_components_jump(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Connected components via min-label propagation + pointer jumping.
+
+    The round-compressed variant of :func:`connected_components` for deep
+    graphs: each round takes one neighbor hop (min over adjacent labels, as
+    in plain propagation) and then a POINTER JUMP — every node re-labels to
+    its label's label (``comp := comp(comp)``, a self-join on the label
+    table). Labels are always valid node ids, so the jump is well-defined;
+    chains of length n collapse in O(log n) rounds instead of O(n) (the
+    same round-compression goal as Kiveris et al.'s large-star/small-star,
+    with a simpler invariant). Fixpoint = labels unchanged; output
+    identical to plain propagation (equality pytest-pinned on chains,
+    triangles, and the LSH pair set).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        hopped = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        ptr = hopped.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        jumped = (
+            hopped.join(ptr, hopped["component"] == ptr["p_id"], "left")
+            .select(
+                "doc_id",
+                F.col("component").alias("old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        # fixpoint vs the PREVIOUS round's labels, not just the jump step
+        changed = (
+            jumped.join(
+                labels.select(
+                    F.col("doc_id").alias("l_id"),
+                    F.col("component").alias("l_comp"),
+                ),
+                jumped["doc_id"] == F.col("l_id"),
+            )
+            .filter(F.col("component") != F.col("l_comp"))
+            .count()
+        )
+        labels = jumped.drop("old")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_jump: no fixpoint in {max_iters} iters"
+        )
+    return labels
