@@ -735,9 +735,9 @@ def connected_components(
     (near-dup clusters are shallow, so typically ≤ 5). ``localCheckpoint``
     truncates the lineage each round so the plan does not grow with the
     iteration count — the standard guard for driver-side iteration. At
-    larger diameters swap in the large-star/small-star round-compressed
-    variant; the fixpoint contract (and this function's tests) stay the
-    same. Fixpoint detection is an exact count of changed labels, so
+    larger diameters use :func:`connected_components_jump` (pointer
+    jumping, O(log n) rounds, pinned equal by the tests).
+    Fixpoint detection is an exact count of changed labels, so
     termination is data-driven, with ``max_iters`` as the safety bound.
     """
     edges = pairs.select(
