@@ -238,3 +238,51 @@ class TestStreamingDedup:
             .collect()
         }
         assert got == want  # NOT doubled: dedup collapsed the 2x delivery
+
+
+class TestForeachBatchUpsert:
+    def test_incremental_merge_matches_batch_truth(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.sources.tables import load_table
+
+        qs = entrymod.queries()
+        got = {
+            r.user_id: (r.n_purchases, r.total_value)
+            for r in qs["streaming_foreachbatch_upsert"](spark, sf_dir).collect()
+        }
+        want = {
+            r.user_id: (r.n, r.tv)
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                (
+                    F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+                    .cast("double")
+                    / 1_000_000
+                ).alias("tv"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_merges_across_multiple_generations(self, spark, sf_dir):
+        """The upsert must really be incremental: one generation dir per
+        micro-batch that contained purchases."""
+        import os
+        import tempfile
+
+        from ting_data_etl_spark.streaming.stateful import N_STAGE_FILES
+
+        qs = entrymod.queries()
+        fb_base = os.path.join(tempfile.gettempdir(), "ting_fb_upsert")
+        before = set(os.listdir(fb_base)) if os.path.exists(fb_base) else set()
+        qs["streaming_foreachbatch_upsert"](spark, sf_dir).collect()
+        after = set(os.listdir(fb_base))
+        new_runs = after - before
+        assert len(new_runs) == 1
+        run_dir = os.path.join(fb_base, new_runs.pop())
+        gens = [d for d in os.listdir(run_dir) if d.startswith("gen_")]
+        assert len(gens) == N_STAGE_FILES  # one merge per staged micro-batch

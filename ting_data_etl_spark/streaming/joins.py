@@ -187,3 +187,100 @@ def streaming_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# --- foreachBatch incremental merge (the production sink API) --------------
+_SQL_FB_UPSERT = """
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+         AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+@register("streaming_foreachbatch_upsert", oracle=_SQL_FB_UPSERT)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained per-user totals via ``foreachBatch`` merge.
+
+    The canonical production sink: each micro-batch's delta is merged into a
+    persistent aggregate table ("MERGE INTO" per batch — here emulated with
+    generation directories on plain parquet, exactly what table formats wrap
+    with a transaction log). The stream replays the 4 time-ordered staged
+    files one batch at a time, so the final state is genuinely built from
+    incremental merges, and must equal the one-shot batch aggregate over
+    all events (the oracle). Fixed-point sums make the merge associative —
+    per-batch partial sums combine exactly regardless of batch boundaries.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ting_data_etl_spark.streaming.stateful import (
+        stage_events_time_split,
+    )
+
+    staged = stage_events_time_split(spark, sf_dir)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    # the time-split stage carries (event_id, ts, user_id, value) only;
+    # purchases are identified by a broadcast semi-join on the id set
+    base = os.path.join(
+        tempfile.gettempdir(), "ting_fb_upsert", uuid.uuid4().hex
+    )
+    os.makedirs(base, exist_ok=True)
+    gens: list[str] = []
+
+    from ting_data_etl_spark.sources.tables import load_table
+
+    purchase_ids = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id")
+    )
+    pid = F.broadcast(purchase_ids)
+
+    def merge(batch_df, batch_id: int) -> None:
+        delta = (
+            batch_df.join(pid, "event_id")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_purchases"),
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                    "vscaled"
+                ),
+            )
+        )
+        if gens:
+            prev = batch_df.sparkSession.read.parquet(gens[-1])
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_purchases").alias("n_purchases"),
+                    F.sum("vscaled").alias("vscaled"),
+                )
+            )
+        else:
+            merged = delta
+        out = os.path.join(base, f"gen_{batch_id}")
+        merged.coalesce(4).write.mode("overwrite").parquet(out)
+        gens.append(out)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(gens[-1])
+    return final.select(
+        "user_id",
+        "n_purchases",
+        (F.col("vscaled").cast("double") / 1_000_000).alias("total_value"),
+    )
