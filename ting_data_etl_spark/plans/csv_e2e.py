@@ -119,3 +119,81 @@ def e2e_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_exact("amount").alias("total_amount"),
         F.count("*").alias("n_rows"),
     )
+
+
+# --- S1: directory scan over a heterogeneous messy corpus ------------------
+SCAN_DIR = os.path.join(tempfile.gettempdir(), "ting_s1_scan_corpus")
+_SCAN_SEED = 424242
+_KEY_COL = "store_id"
+
+
+def _stage_scan_corpus() -> list[tuple[str, int]]:
+    """Generate the seeded corpus (idempotent) and locate each header.
+
+    Returns [(path, n_prefix_lines)] for the files that HAVE the key column
+    — keyless files are the reader-contract skips. The prefix count is
+    discovered the same way the reader does (first row whose cells contain
+    the key column name), so the oracle's ``skip=`` matches the reader's
+    drop exactly.
+    """
+    import csv as _csv
+
+    from ting_data_etl_spark.sources.csv_gen import generate_messy_csvs
+
+    paths = generate_messy_csvs(SCAN_DIR, n_files=8, seed=_SCAN_SEED)
+    kept: list[tuple[str, int]] = []
+    for p in paths:
+        with open(p, newline="", encoding="utf-8") as f:
+            for i, row in enumerate(_csv.reader(f)):
+                if _KEY_COL in [c.strip() for c in row]:
+                    kept.append((p, i))
+                    break
+    return kept
+
+
+_SCAN_FILES = _stage_scan_corpus()
+
+_SQL_SCAN = "\nUNION ALL\n".join(
+    f"""
+SELECT '{os.path.basename(p)}' AS file_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {_KEY_COL} IS NOT NULL AND trim({_KEY_COL}) <> ''
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_keys
+FROM read_csv('{p}', skip={skip}, header=true, all_varchar=true,
+              null_padding=true)
+"""
+    for p, skip in _SCAN_FILES
+)
+
+
+@register("csv_dir_scan_profile", oracle=_SQL_SCAN)
+def csv_dir_scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 directory scan: every readable CSV profiled, keyless files skipped.
+
+    The reference's ingest loop (``fan_out_by_storeid.py:7-10`` + ``28-30``)
+    as a registered query: enumerate ``*.csv``, header-scan each (S3), skip
+    files without the key column (with a warning), and report per-file row
+    and valid-key counts. Per-file schemas differ (3-8 random columns), so
+    the union happens on the PROFILE, not the data — the schema-group
+    pattern for heterogeneous corpora. Oracle: per-file ``read_csv`` with
+    the identical skip counts, union-alled.
+    """
+    from ting_data_etl_spark.sources.csv import (
+        filter_valid_keys,
+        read_messy_csv,
+        scan_csv_dir,
+    )
+
+    _stage_scan_corpus()  # idempotent regeneration for cold processes
+    profiles = []
+    for path in scan_csv_dir(SCAN_DIR):
+        res = read_messy_csv(spark, path, _KEY_COL)
+        if res.skipped:
+            continue  # keyless file: the reader contract says skip + warn
+        df = res.df
+        n = df.count()
+        valid = filter_valid_keys(df, _KEY_COL).count()
+        profiles.append((os.path.basename(path), n, valid))
+    return spark.createDataFrame(
+        profiles, "file_name string, n_rows long, n_valid_keys long"
+    )
