@@ -866,3 +866,63 @@ def connected_components_jump(
             f"connected_components_jump: no fixpoint in {max_iters} iters"
         )
     return labels
+
+
+# --- ensemble dedup: lexical ∪ semantic candidates → clusters --------------
+_SQL_ENSEMBLE_CC = f"""
+{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cos_pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)) <> 0
+    AND list_dot_product(a.qv, b.qv) /
+        (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.3
+),
+all_pairs AS (
+  SELECT doc_a, doc_b FROM mh_pairs
+  UNION
+  SELECT doc_a, doc_b FROM cos_pairs
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM all_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM all_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+@register("dedup_ensemble_components", oracle=_SQL_ENSEMBLE_CC)
+def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup clusters: lexical ∪ semantic candidate pairs.
+
+    The production dedup shape: MinHash-LSH catches lexical near-dups
+    (edits, boilerplate), embedding-cosine catches semantic ones
+    (paraphrases, translations) — each misses the other's class, so the
+    candidate relations are UNIONED (embeddings keyed 1:1 to documents)
+    before a single transitive-closure clustering picks one keeper per
+    combined component. Composition of three already-verified operators;
+    the oracle rebuilds the identical union + closure in SQL.
+    """
+    from ting_data_etl_spark.operators.similarity import dedup_embedding_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    lexical = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    semantic = dedup_embedding_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    pairs = lexical.unionByName(semantic).distinct()
+    return connected_components_jump(d.select("doc_id"), pairs)
