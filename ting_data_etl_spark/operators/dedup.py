@@ -740,14 +740,21 @@ def connected_components(
     Fixpoint detection is an exact count of changed labels, so
     termination is data-driven, with ``max_iters`` as the safety bound.
     """
+    # Materialize the PAIR set before the symmetric union references it
+    # twice. persist+count, NOT localCheckpoint: localCheckpoint jobs over
+    # plans containing Arrow/pandas-UDF stages have been observed to wedge
+    # a python worker (one task hangs forever) while normal SQL execution
+    # of the same plan completes — so cache through the SQL path first and
+    # only checkpoint plans whose inputs are already materialized.
+    pairs = pairs.persist()
+    pairs.count()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    # materialize the edge set ONCE — without this every iteration's join
-    # would re-run the whole upstream candidate-pair pipeline
     edges = edges.localCheckpoint(eager=True)
+    pairs.unpersist()
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
@@ -807,122 +814,73 @@ def connected_components_jump(
     identical to plain propagation (equality pytest-pinned on chains,
     triangles, and the LSH pair set).
     """
+    # persist+count, not localCheckpoint — see connected_components
+    pairs = pairs.persist()
+    pairs.count()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     edges = edges.localCheckpoint(eager=True)
+    pairs.unpersist()
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        hopped = (
-            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
+    # the loop's working sets are tiny (|pairs| rows); per-round job cost is
+    # dominated by task overhead, so shrink the shuffle width for the loop's
+    # lifetime (same sizing rule as the streaming state stores)
+    spark = nodes.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_total = None
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
             )
-        )
-        ptr = hopped.select(
-            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
-        )
-        jumped = (
-            hopped.join(ptr, hopped["component"] == ptr["p_id"], "left")
-            .select(
-                "doc_id",
-                F.col("component").alias("old"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("p_comp"), F.col("component")),
-                ).alias("component"),
+            hopped = (
+                labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)  # jump self-references this
             )
-        )
-        jumped = jumped.localCheckpoint(eager=True)
-        # fixpoint vs the PREVIOUS round's labels, not just the jump step
-        changed = (
-            jumped.join(
-                labels.select(
-                    F.col("doc_id").alias("l_id"),
-                    F.col("component").alias("l_comp"),
-                ),
-                jumped["doc_id"] == F.col("l_id"),
+            jumped = hopped
+            for _jump in range(2):  # two jumps: path length ~quarters/round
+                ptr = jumped.select(
+                    F.col("doc_id").alias("p_id"),
+                    F.col("component").alias("p_comp"),
+                )
+                jumped = (
+                    jumped.join(
+                        ptr, jumped["component"] == ptr["p_id"], "left"
+                    )
+                    .select(
+                        "doc_id",
+                        F.least(
+                            F.col("component"),
+                            F.coalesce(F.col("p_comp"), F.col("component")),
+                        ).alias("component"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            # labels only ever decrease, so an unchanged total sum on the
+            # materialized checkpoint IS the fixpoint — one tiny agg, no join
+            total = jumped.agg(F.sum("component")).first()[0]
+            labels = jumped
+            if prev_total is not None and total == prev_total:
+                break
+            prev_total = total
+        else:
+            raise RuntimeError(
+                f"connected_components_jump: no fixpoint in {max_iters} iters"
             )
-            .filter(F.col("component") != F.col("l_comp"))
-            .count()
-        )
-        labels = jumped.drop("old")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components_jump: no fixpoint in {max_iters} iters"
-        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels
-
-
-# --- ensemble dedup: lexical ∪ semantic candidates → clusters --------------
-_SQL_ENSEMBLE_CC = f"""
-{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
-q AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-  FROM embeddings
-),
-cos_pairs AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)) <> 0
-    AND list_dot_product(a.qv, b.qv) /
-        (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.3
-),
-all_pairs AS (
-  SELECT doc_a, doc_b FROM mh_pairs
-  UNION
-  SELECT doc_a, doc_b FROM cos_pairs
-),
-und AS (
-  SELECT doc_a AS a, doc_b AS b FROM all_pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM all_pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
-SELECT d.doc_id,
-       LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-"""
-
-
-@register("dedup_ensemble_components", oracle=_SQL_ENSEMBLE_CC)
-def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ensemble near-dup clusters: lexical ∪ semantic candidate pairs.
-
-    The production dedup shape: MinHash-LSH catches lexical near-dups
-    (edits, boilerplate), embedding-cosine catches semantic ones
-    (paraphrases, translations) — each misses the other's class, so the
-    candidate relations are UNIONED (embeddings keyed 1:1 to documents)
-    before a single transitive-closure clustering picks one keeper per
-    combined component. Composition of three already-verified operators;
-    the oracle rebuilds the identical union + closure in SQL.
-    """
-    from ting_data_etl_spark.operators.similarity import dedup_embedding_pairs
-
-    d = load_table(spark, sf_dir, "documents")
-    lexical = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    semantic = dedup_embedding_pairs(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    pairs = lexical.unionByName(semantic).distinct()
-    return connected_components_jump(d.select("doc_id"), pairs)

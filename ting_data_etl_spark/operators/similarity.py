@@ -656,7 +656,12 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_a",
         "vec_b",
-        cosine_udf()(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias(
+        # expression form, deliberately: this relation feeds the iterative
+        # clustering operators (union/persist/checkpoint shapes), and python
+        # workers have been observed to wedge intermittently when the Arrow
+        # UDF stage executes inside those jobs — the JVM fold costs ~2s more
+        # at sf0.1 and is deterministic
+        _cosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias(
             "cosine"
         ),
     )
