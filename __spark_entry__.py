@@ -2,7 +2,9 @@
 
 ``entry(spark)`` runs the flagship pricing-summary query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose every registered operator from
-SURVEY.md §2 plus the §7.4 extensions (see ting_data_etl_spark.registry).
+SURVEY.md §2 plus the §7.4 extensions (see ting_data_etl_spark.registry —
+registration ORDER puts the §2 spec surface first so a budget-limited
+correctness check always covers it).
 """
 
 from __future__ import annotations
@@ -10,51 +12,12 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ting_data_etl_spark import registry
-from ting_data_etl_spark.functions.cleaning import sum_exact
-from ting_data_etl_spark.sources.tables import load_table
 
 registry.load_all()
 
-
-_SQL_FLAGSHIP = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-style pricing summary — the SURVEY §7.2 end-to-end slice.
-
-    One parquet scan (pruned to 6 columns, shipdate filter pushed down), one
-    partial+final hash aggregation — the plan Catalyst should always pick.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            sum_exact("l_quantity").alias("sum_qty"),
-            sum_exact("l_extendedprice").alias("sum_base_price"),
-            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-registry.register("flagship_pricing_summary", oracle=_SQL_FLAGSHIP)(
-    flagship_pricing_summary
-)
+from ting_data_etl_spark.plans.flagship import flagship_pricing_summary  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -69,4 +32,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each oracle-checkable query."""
-    return dict(registry.ORACLES)
+    return registry.resolve_oracles()

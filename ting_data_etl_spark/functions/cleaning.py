@@ -83,12 +83,23 @@ def fmt_pct(col: Column, decimals: int = 2) -> Column:
 
     Replaces the reference's row-wise ``_fmt_pct`` ``Series.apply`` UDF
     (``aggregate_by_store.py:209-215``, ``f"{x*100:.2f}%"``) with pure
-    builtins — stays in whole-stage codegen. ``format_string`` (no thousands
-    separators) matches the reference's f-string output; the only divergence
-    is exact decimal-tie rounding (Java HALF_UP vs Python round-half-even),
-    unreachable for ratios of real sums.
+    builtins — stays in whole-stage codegen.
+
+    The rounding is made EXPLICIT half-up (away from zero) on a scaled
+    integer — ``sign · floor(|ratio·100|·10^d + 0.5)`` — before formatting,
+    and the DuckDB oracle applies the identical arithmetic: ``floor``/
+    ``abs`` are exact IEEE ops in both engines, and formatting ``k/10^d``
+    with ``%.df`` is tie-free (the nearest double to a d-decimal value is
+    never a formatting tie), so engine printf tie-mode differences (Java
+    HALF_UP vs C half-even) can never surface. The only divergence from the
+    reference's f-string is dyadic exact ties, where Python rounds half-even
+    and this rounds half-up.
     """
-    pct = F.format_string(f"%.{decimals}f", col * 100)
+    scale = float(10**decimals)
+    snapped = (
+        F.signum(col) * F.floor(F.abs(col * 100) * scale + F.lit(0.5)) / scale
+    )
+    pct = F.format_string(f"%.{decimals}f", snapped)
     return F.when(col.isNotNull(), F.concat(pct, F.lit("%"))).otherwise(F.lit(""))
 
 

@@ -1,0 +1,85 @@
+"""Ensemble dedup: lexical ∪ semantic candidate pairs → one clustering.
+
+The production dedup composition (re-landed from its round-2 withdrawal):
+MinHash-LSH catches lexical near-dups (edits, boilerplate), embedding-cosine
+catches semantic ones (paraphrases, translations) — each misses the other's
+class, so the candidate relations are UNIONED (embeddings keyed 1:1 to
+documents) before a single transitive-closure clustering picks one keeper
+per combined component.
+
+Flake-free composition rules (learned round 2, where the first landing hung
+nondeterministically at sf0.1): every stage of the composed plan stays on
+the JVM — the semantic candidates use the EXPRESSION forms of the SRP
+buckets and the cosine fold (``srp_candidate_pairs(use_arrow=False)``), so
+the persist/localCheckpoint jobs inside the iterative clustering never
+execute an Arrow-UDF stage. Bucket/cosine parity between the expression and
+Arrow forms is pytest-pinned, so the relation is identical to the one the
+standalone ``dedup_embedding_cosine_pairs`` query registers.
+
+This module lazy-imports ``operators.dedup`` inside the query function and
+builds its oracle through a callable: registration order is the driver's
+check order, and a top-level dedup import would register that whole family
+ahead of this query (see ``registry.load_all``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.tables import load_table
+
+
+def _sql_ensemble_cc() -> str:
+    """Recursive-CTE oracle: identical pair union + transitive closure."""
+    from ting_data_etl_spark.operators.dedup import _SQL_MINHASH_PAIRS_CTE
+    from ting_data_etl_spark.operators.similarity import sql_srp_pair_ctes
+
+    return f"""
+{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+{sql_srp_pair_ctes()},
+all_pairs AS (
+  SELECT doc_a, doc_b FROM mh_pairs
+  UNION
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM cos_pairs
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM all_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM all_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+@register("dedup_ensemble_components", oracle=_sql_ensemble_cc)
+def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup clusters: lexical ∪ semantic candidate pairs.
+
+    Composition of three already-verified operators — MinHash-LSH pairs,
+    SRP-candidate cosine pairs, pointer-jump connected components — with
+    the whole composed plan JVM-only (see module docstring). The oracle
+    rebuilds the identical union + recursive closure in SQL.
+    """
+    from ting_data_etl_spark.operators.dedup import (
+        connected_components_jump,
+        dedup_minhash_pairs,
+    )
+    from ting_data_etl_spark.operators.similarity import srp_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    lexical = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    semantic = srp_candidate_pairs(spark, sf_dir, use_arrow=False).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    pairs = lexical.unionByName(semantic).distinct()
+    return connected_components_jump(d.select("doc_id"), pairs)

@@ -171,7 +171,6 @@ FROM ranked GROUP BY shard
 """
 
 
-@register("shard_assignment", oracle=_SQL_SHARDS)
 def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced output shards: longest-first round-robin.
 
@@ -179,12 +178,10 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     total within one max-document of the mean — the cheap deterministic
     approximation of bin packing that training-shard writers use.
 
-    Scale note: the global ``row_number`` serializes through one partition;
-    at 100 TB the same dealing runs hierarchically — round-robin within each
-    range-partitioned token band (``repartitionByRange(n_toks)`` +
-    ``sortWithinPartitions`` + partition-local row numbers), which keeps the
-    balance guarantee without a global sort. The single-window form here is
-    the oracle-checkable reference of that contract.
+    The global ``row_number`` here serializes through one partition, so
+    this single-window form is NOT the registered query — it is the
+    semantic reference that :func:`shard_assignment_banded` (registered,
+    pytest-pinned identical) distributes.
     """
     from pyspark.sql import Window
 
@@ -230,7 +227,6 @@ FROM packed GROUP BY seq_id
 """
 
 
-@register("pack_sequences", oracle=_SQL_PACK)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into ≤-budget training sequences (streaming fill).
 
@@ -240,12 +236,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens — the first-fit-in-order approximation packers use when exact bin
     packing (NP-hard, sequential) is off the table.
 
-    Scale note: the cumulative sum orders globally, which serializes one
-    partition — the same trade as ``shard_assignment``; at 100 TB the
-    cumsum runs per range-partitioned band (two-level packing: band offset
-    = sum of earlier bands' totals, computed from #bands partial sums) with
-    identical output. This single-window form is the oracle-checkable
-    reference of that contract.
+    The global cumulative sum serializes through one partition, so this
+    single-window form is NOT the registered query — it is the semantic
+    reference that :func:`pack_sequences_banded` (registered, pytest-pinned
+    identical) distributes as a two-phase prefix scan.
     """
     from pyspark.sql import Window
 
@@ -300,10 +294,15 @@ def _band_offsets(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+@register("shard_assignment", oracle=_SQL_SHARDS)
 def shard_assignment_banded(
     spark: SparkSession, sf_dir: str, n_bands: int = 8
 ) -> DataFrame:
     """The 100 TB formulation of :func:`shard_assignment` — no global sort.
+
+    This banded form IS the registered ``shard_assignment`` query (round 3):
+    the oracle stays the single-window SQL because the outputs are
+    identical by construction.
 
     Range-partition by the sort key into *n_bands* bands, rank locally
     within each band, and convert to global ranks with the per-band offsets
@@ -349,10 +348,15 @@ def shard_assignment_banded(
         banded.unpersist()
 
 
+@register("pack_sequences", oracle=_SQL_PACK)
 def pack_sequences_banded(
     spark: SparkSession, sf_dir: str, n_bands: int = 8
 ) -> DataFrame:
     """The 100 TB formulation of :func:`pack_sequences` — two-phase cumsum.
+
+    This banded form IS the registered ``pack_sequences`` query (round 3):
+    the oracle stays the single-window SQL because the outputs are
+    identical by construction.
 
     Band-local cumulative sums plus the broadcast band total-offsets give
     the exact global running total (the textbook distributed prefix scan),

@@ -120,8 +120,45 @@ FROM (
 """
 
 
+# The dense baseline broadcasts the corpus — fine for the measured-baseline
+# role, catastrophic if it ever became the production path. Gate it: above
+# this many corpus vectors the caller must use an ANN variant instead. The
+# bound is checked from parquet FOOTER metadata (no Spark job, no scan).
+BRUTEFORCE_MAX_CORPUS_ROWS = 1_000_000
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    """Row count of the embeddings table from parquet footer metadata."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pa_pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pa_pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pa_pq.ParquetFile(path).metadata.num_rows
+
+
+def assert_broadcastable_corpus(
+    n_rows: int, limit: int = BRUTEFORCE_MAX_CORPUS_ROWS
+) -> None:
+    """Raise if a corpus is too large for the brute-force broadcast plan."""
+    if n_rows > limit:
+        raise ValueError(
+            f"similarity_bruteforce_topk: corpus has {n_rows} vectors, above "
+            f"the broadcast gate of {limit}. The O(Q*N) dense baseline must "
+            "not run at corpus scale - use similarity_srp_lsh_topk or "
+            "similarity_ivf_kmeans_topk."
+        )
+
+
 @register("similarity_bruteforce_topk", oracle=_SQL_BRUTE)
 def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assert_broadcastable_corpus(_corpus_rows(sf_dir))
     q = _quantized(spark, sf_dir)
     queries = q.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -619,7 +656,13 @@ def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_NEAR_PAIRS = f"""
+NEAR_DUP_THRESHOLD = 0.3
+
+# Exact-within-label reference form (round-2 registered semantics): all
+# pairs inside a coarse bucket. Kept UNREGISTERED as the recall reference —
+# the per-block all-pairs join is O(N²/|blocks|) at corpus scale, which is
+# exactly what the registered candidate-driven form exists to avoid.
+_SQL_NEAR_PAIRS_LABELBLOCK = f"""
 WITH {_SQL_QUANT}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.q, b.q) /
@@ -627,16 +670,17 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
   AND list_dot_product(a.q, b.q) /
-      (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.3
+      (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= {NEAR_DUP_THRESHOLD}
 """
 
 
-@register("dedup_embedding_cosine_pairs", oracle=_SQL_NEAR_PAIRS)
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.3) within coarse buckets.
+def dedup_embedding_pairs_labelblock(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All-pairs-within-label near-dup pairs — the small-N recall reference.
 
-    The embedding leg of the dedup suite: semantic near-dups that n-gram
-    methods miss. Same bucketed-join scale shape as :func:`similarity_ivf`.
+    Used by the tests to measure the candidate-driven form's recall; not
+    registered (fixed-cardinality blocks make each block all-pairs).
     """
     q = _quantized(spark, sf_dir)
     a = q.select(
@@ -656,16 +700,139 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_a",
         "vec_b",
-        # expression form, deliberately: this relation feeds the iterative
-        # clustering operators (union/persist/checkpoint shapes), and python
-        # workers have been observed to wedge intermittently when the Arrow
-        # UDF stage executes inside those jobs — the JVM fold costs ~2s more
-        # at sf0.1 and is deterministic
         _cosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias(
             "cosine"
         ),
     )
-    return pairs.filter(F.col("cosine") >= 0.3)
+    return pairs.filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+
+
+def srp_candidate_pairs(
+    spark: SparkSession, sf_dir: str, use_arrow: bool = True
+) -> DataFrame:
+    """Near-dup candidate pairs from the SRP-LSH tables, cosine-verified.
+
+    The sublinear shape of embedding dedup at 100 TB: a pair is a candidate
+    iff its SRP buckets collide within hamming distance 1 in ANY of the
+    SRP_TABLES tables (the same multi-probe family as
+    :func:`similarity_srp_lsh_topk`), and only candidates pay a cosine
+    evaluation. Every join is an equi-join on (table, bucket) ints — one
+    bounded shuffle, no per-block all-pairs blowup, candidate volume scales
+    with bucket occupancy, not N².
+
+    ``use_arrow=False`` builds the identical relation from pure JVM
+    expressions (``srp_bucket`` + the HOF cosine fold) — required when the
+    relation feeds iterative persist/checkpoint loops, where Arrow-UDF
+    stages have wedged python workers (see ``connected_components``); bucket
+    and cosine parity between the two forms is pytest-pinned.
+    """
+    q = _quantized(spark, sf_dir)
+    if use_arrow:
+        assign = srp_buckets_udf()
+        bq = q.select(
+            "vec_id",
+            "q",
+            "norm",
+            F.posexplode(assign(F.col("q"))).alias("t", "bucket"),
+        )
+    else:
+        bq = q.select(
+            "vec_id",
+            "q",
+            "norm",
+            F.posexplode(
+                F.array(*[srp_bucket(F.col("q"), t) for t in range(SRP_TABLES)])
+            ).alias("t", "bucket"),
+        )
+    probes = bq.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+        F.col("t").alias("ta"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(SRP_BITS)
+                ],
+            )
+        ).alias("probe"),
+    )
+    corpus = bq.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+        F.col("t").alias("tb"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cos = (
+        cosine_udf()(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+        if use_arrow
+        else _cosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+    )
+    pairs = (
+        probes.join(
+            corpus,
+            (F.col("ta") == F.col("tb"))
+            & (F.col("probe") == F.col("cbucket"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+        # a pair can collide in several tables/probes; dedupe the narrow
+        # (id, id, cosine) rows after the vectors have been dropped
+        .distinct()
+    )
+    return pairs
+
+
+def sql_srp_pair_ctes() -> str:
+    """CTE fragment computing ``cos_pairs`` — the DuckDB twin of
+    :func:`srp_candidate_pairs` (shared SRP constants). Composable: the
+    ensemble-dedup oracle reuses it inside its recursive closure."""
+    return f"""{_SQL_QUANT},
+bq AS (
+  SELECT vec_id, q, t, CASE t
+           {" ".join(f"WHEN {t} THEN {_sql_srp_bucket(t)}" for t in range(SRP_TABLES))}
+         END AS bucket
+  FROM q CROSS JOIN (SELECT unnest(range(0, {SRP_TABLES})) AS t)
+),
+srp_probes AS (
+  SELECT vec_id, q, t, unnest({_sql_srp_probes()}) AS probe
+  FROM bq
+),
+cos_pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.q, b.q) /
+           (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cosine
+  FROM srp_probes a JOIN bq b
+    ON a.t = b.t AND a.probe = b.bucket AND a.vec_id < b.vec_id
+  WHERE sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
+    AND list_dot_product(a.q, b.q) /
+        (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= {NEAR_DUP_THRESHOLD}
+)"""
+
+
+_SQL_NEAR_PAIRS = f"""
+WITH {sql_srp_pair_ctes()}
+SELECT vec_a, vec_b, cosine FROM cos_pairs
+"""
+
+
+@register("dedup_embedding_cosine_pairs", oracle=_SQL_NEAR_PAIRS)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.3), SRP-candidate-driven.
+
+    The embedding leg of the dedup suite: semantic near-dups that n-gram
+    methods miss. Candidates come from the SRP-LSH tables (hamming-≤1
+    multi-probe) and only candidates pay a cosine — the registered plan has
+    no all-pairs join anywhere; the exact within-label form
+    (:func:`dedup_embedding_pairs_labelblock`) remains as the tested recall
+    reference. The oracle mirrors the candidate generation exactly, so the
+    hash comparison checks the whole candidate+verify pipeline.
+    """
+    return srp_candidate_pairs(spark, sf_dir, use_arrow=True)
 
 
 # --- per-label embedding statistics (grouped-map applyInPandas) ------------
@@ -726,4 +893,45 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized(spark, sf_dir).select("label", "q")
     return q.groupBy("label").applyInPandas(
         stats, "label int, n_vectors long, var_trace double, mean_sq_norm double"
+    )
+
+
+@register("similarity_recall_report")
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of each ANN variant against the brute-force truth.
+
+    The accuracy side of the ANN cost/recall trade, computed distributed
+    and registered so the driver sees it every round: each method's top-k
+    is left-joined to the brute-force top-k on (query, neighbor) and the
+    hit fraction aggregated per method. Rows-only check (the IVF leg has a
+    k-means model with no SQL twin); the brute-force truth itself is
+    oracle-checked via ``similarity_bruteforce_topk``.
+    """
+    truth = (
+        similarity_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    tagged = (
+        similarity_ivf_kmeans(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("method", F.lit("ivf_kmeans"))
+        .unionByName(
+            similarity_srp_lsh(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .withColumn("method", F.lit("srp_lsh"))
+        )
+    )
+    denom = truth.agg(F.count("*").alias("n_truth"))
+    return (
+        tagged.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "method",
+            "n_hits",
+            "n_truth",
+            (F.col("n_hits") / F.col("n_truth")).alias("recall_at_5"),
+        )
     )

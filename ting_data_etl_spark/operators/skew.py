@@ -43,7 +43,19 @@ def salted_join(
     ``(key, __salt)``. Every hot fact key now spans ``salt`` tasks while
     each dim row is duplicated only ``salt`` times — the right trade when
     dim ≪ fact but dim is too big (or the key too hot) to broadcast.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are supported: the
+    dim side is exploded ``salt`` ways, so a right/full outer join would
+    emit every unmatched dim row ``salt`` times — silently wrong. Such
+    joins must salt the other way around (swap the sides) or dedupe
+    unmatched rows, which this utility deliberately refuses to guess.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded dim side "
+            "would duplicate unmatched rows; use 'inner' or 'left', or swap "
+            "the sides"
+        )
     f = fact.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), salt),

@@ -9,9 +9,11 @@ with the DuckDB oracle reading the SAME file via ``read_csv(skip=…,
 all_varchar=true)`` — so the whole CSV path, not just the relational tail,
 is hash-compared.
 
-The fixture is seeded and regenerated at import time (idempotent,
-deterministic bytes), so the oracle can run in any order relative to the
-Spark side.
+The fixtures are seeded and deterministic, staged LAZILY — inside the query
+functions on the Spark side and inside the callable oracles at
+``oracle_sql()`` resolution time — so importing the registry never touches
+the filesystem, while the oracle can still run in any order relative to the
+Spark side (idempotent bytes at a fixed path).
 """
 
 from __future__ import annotations
@@ -73,11 +75,6 @@ def write_fixture(path: str = FIXTURE_PATH) -> str:
     return path
 
 
-# Regenerate at import: the registry imports this module in both the Spark
-# process and (via oracle registration) before the driver's DuckDB run.
-write_fixture()
-
-
 _SQL_E2E = f"""
 WITH raw AS (
   SELECT * FROM read_csv('{FIXTURE_PATH}', header = true,
@@ -98,7 +95,18 @@ GROUP BY store_id, month
 """
 
 
-@register("e2e_csv_pipeline", oracle=_SQL_E2E)
+def _oracle_e2e() -> str:
+    """Stage the fixture, then hand the static SQL to DuckDB.
+
+    Callable-oracle form: staging happens at ``oracle_sql()`` resolution
+    time (and inside the query function for the Spark side), never at
+    module import — importing the registry must not write to /tmp.
+    """
+    write_fixture()
+    return _SQL_E2E
+
+
+@register("e2e_csv_pipeline", oracle=_oracle_e2e)
 def e2e_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 → P7 → F1/F5/F6 (to_number) / F3/F4/F7 (parse_month) → A2.
 
@@ -151,10 +159,16 @@ def _stage_scan_corpus() -> list[tuple[str, int]]:
     return kept
 
 
-_SCAN_FILES = _stage_scan_corpus()
+def _oracle_scan() -> str:
+    """Stage the scan corpus and build the per-file union SQL from it.
 
-_SQL_SCAN = "\nUNION ALL\n".join(
-    f"""
+    Callable-oracle form: the SQL embeds the discovered (path, skip) pairs,
+    so it can only be built after staging — which therefore happens at
+    resolution time, not import time.
+    """
+    scan_files = _stage_scan_corpus()
+    return "\nUNION ALL\n".join(
+        f"""
 SELECT '{os.path.basename(p)}' AS file_name,
        COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN {_KEY_COL} IS NOT NULL AND trim({_KEY_COL}) <> ''
@@ -162,11 +176,11 @@ SELECT '{os.path.basename(p)}' AS file_name,
 FROM read_csv('{p}', skip={skip}, header=true, all_varchar=true,
               null_padding=true)
 """
-    for p, skip in _SCAN_FILES
-)
+        for p, skip in scan_files
+    )
 
 
-@register("csv_dir_scan_profile", oracle=_SQL_SCAN)
+@register("csv_dir_scan_profile", oracle=_oracle_scan)
 def csv_dir_scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 directory scan: every readable CSV profiled, keyless files skipped.
 
@@ -175,13 +189,15 @@ def csv_dir_scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     files without the key column (with a warning), and report per-file row
     and valid-key counts. Per-file schemas differ (3-8 random columns), so
     the union happens on the PROFILE, not the data — the schema-group
-    pattern for heterogeneous corpora. Oracle: per-file ``read_csv`` with
-    the identical skip counts, union-alled.
+    pattern for heterogeneous corpora. Both profile counts come from ONE
+    aggregation per file (count + conditional sum), so a 10k-file corpus
+    costs 10k Spark jobs, not 20k. Oracle: per-file ``read_csv`` with the
+    identical skip counts, union-alled.
     """
     from ting_data_etl_spark.sources.csv import (
-        filter_valid_keys,
         read_messy_csv,
         scan_csv_dir,
+        valid_key_condition,
     )
 
     _stage_scan_corpus()  # idempotent regeneration for cold processes
@@ -190,10 +206,13 @@ def csv_dir_scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = read_messy_csv(spark, path, _KEY_COL)
         if res.skipped:
             continue  # keyless file: the reader contract says skip + warn
-        df = res.df
-        n = df.count()
-        valid = filter_valid_keys(df, _KEY_COL).count()
-        profiles.append((os.path.basename(path), n, valid))
+        row = res.df.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(valid_key_condition(_KEY_COL), 1).otherwise(0)
+            ).alias("valid"),
+        ).first()
+        profiles.append((os.path.basename(path), row.n, row.valid or 0))
     return spark.createDataFrame(
         profiles, "file_name string, n_rows long, n_valid_keys long"
     )

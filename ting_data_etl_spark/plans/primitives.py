@@ -341,7 +341,10 @@ r AS (
 )
 SELECT o_orderpriority,
        CASE WHEN ratio IS NOT NULL
-            THEN printf('%.2f', ratio * 100) || '%' ELSE '' END AS f_share_pct,
+            THEN printf('%.2f',
+                        sign(ratio) * floor(abs(ratio * 100) * 100 + 0.5) / 100)
+                 || '%'
+            ELSE '' END AS f_share_pct,
        '' AS null_pct
 FROM r
 """

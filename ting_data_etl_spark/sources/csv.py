@@ -185,8 +185,11 @@ def read_messy_csv(
     return MessyCsvResult(df=df, header=cols, meta_rows=meta)
 
 
+def valid_key_condition(key_col: str) -> F.Column:
+    """Non-blank/non-NULL key predicate (reference ``fan_out_by_storeid.py:33-37``)."""
+    return F.col(key_col).isNotNull() & (F.length(F.trim(F.col(key_col))) > 0)
+
+
 def filter_valid_keys(df: DataFrame, key_col: str) -> DataFrame:
     """Drop rows with blank/NULL key (reference ``fan_out_by_storeid.py:33-37``)."""
-    return df.filter(
-        F.col(key_col).isNotNull() & (F.length(F.trim(F.col(key_col))) > 0)
-    )
+    return df.filter(valid_key_condition(key_col))

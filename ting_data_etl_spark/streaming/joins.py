@@ -117,13 +117,19 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delivery model of any at-least-once source — then
     ``dropDuplicates("event_id")`` with a watermark reduces it back; the
     per-type totals must equal the batch truth over the ORIGINAL events
-    (the oracle). The watermark bounds dedup state: ids older than it are
-    dropped from the state store, which is the production memory contract.
+    (the oracle). The watermark bounds dedup state only when the event-time
+    column is part of the dedup subset — ``dropDuplicates(["event_id"])``
+    alone would keep every id forever — so the subset is
+    ``(event_id, ts)``: duplicate deliveries carry the same event time, and
+    state older than the watermark is evicted, which is the production
+    memory contract.
     """
     doubled = stage_events_stream(spark, sf_dir).unionByName(
         stage_events_stream(spark, sf_dir)
     )
-    dd = doubled.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    dd = doubled.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["event_id", "ts"]
+    )
     agg = dd.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         sum_exact("value", scale=6).alias("total_value"),
@@ -234,7 +240,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         tempfile.gettempdir(), "ting_fb_upsert", uuid.uuid4().hex
     )
     os.makedirs(base, exist_ok=True)
-    gens: list[str] = []
+    last_gen: dict[str, int] = {"id": -1}
 
     from ting_data_etl_spark.sources.tables import load_table
 
@@ -246,6 +252,13 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     pid = F.broadcast(purchase_ids)
 
     def merge(batch_df, batch_id: int) -> None:
+        # Idempotent under micro-batch retry: generation gen_{batch_id} is
+        # computed ONLY from the immutable previous generation
+        # gen_{batch_id-1} plus this batch's delta, and written with
+        # overwrite — re-running a batch_id reproduces the identical
+        # generation instead of re-merging into state that already contains
+        # its contribution (the exactly-once contract foreachBatch asks the
+        # sink to provide).
         delta = (
             batch_df.join(pid, "event_id")
             .groupBy("user_id")
@@ -256,8 +269,11 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
                 ),
             )
         )
-        if gens:
-            prev = batch_df.sparkSession.read.parquet(gens[-1])
+        prev_path = os.path.join(base, f"gen_{batch_id - 1}")
+        if batch_id > 0 and os.path.exists(
+            os.path.join(prev_path, "_SUCCESS")
+        ):
+            prev = batch_df.sparkSession.read.parquet(prev_path)
             merged = (
                 prev.unionByName(delta)
                 .groupBy("user_id")
@@ -270,7 +286,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             merged = delta
         out = os.path.join(base, f"gen_{batch_id}")
         merged.coalesce(4).write.mode("overwrite").parquet(out)
-        gens.append(out)
+        last_gen["id"] = max(last_gen["id"], batch_id)
 
     q = (
         stream.writeStream.foreachBatch(merge)
@@ -278,7 +294,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
-    final = spark.read.parquet(gens[-1])
+    final = spark.read.parquet(os.path.join(base, f"gen_{last_gen['id']}"))
     return final.select(
         "user_id",
         "n_purchases",
