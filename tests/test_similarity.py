@@ -200,3 +200,57 @@ class TestLabelStats:
         assert got[1][1] == 0.0  # identical vectors -> zero dispersion
         assert got[0][0] == 2 and got[1][0] == 2
         assert abs(got[0][1] - 2e8) < 1e-6
+
+
+class TestRecallReportScaleShape:
+    """r5 redesign pins: the registered recall report must be independent of
+    the brute-force baseline's corpus-broadcast gate (VERDICT r04 item 4)."""
+
+    def test_truth_is_sample_bounded(self, spark, sf_dir):
+        from ting_data_etl_spark.operators import similarity as S
+
+        ids = S._recall_sample_ids(spark, sf_dir)
+        assert len(ids) <= S.RECALL_SAMPLE_Q
+        assert ids == sorted(ids)  # deterministic lowest-id sample
+        truth = S._bruteforce_truth_sampled(spark, sf_dir, ids)
+        rows = truth.collect()
+        assert len(rows) <= len(ids) * S.TOP_K
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r)
+        for q, rs in per_q.items():
+            assert len(rs) <= S.TOP_K
+            assert q in ids
+
+    def test_two_phase_topk_matches_single_window(self, spark, sf_dir):
+        """Salted phase-1 + re-rank must equal the gated baseline's exact
+        top-k for the same queries."""
+        from ting_data_etl_spark.operators import similarity as S
+
+        ids = S._recall_sample_ids(spark, sf_dir)
+        sampled = {
+            (r.query_id, r.neighbor_id)
+            for r in S._bruteforce_truth_sampled(spark, sf_dir, ids).collect()
+        }
+        full = {
+            (r.query_id, r.neighbor_id)
+            for r in S.similarity_bruteforce(spark, sf_dir).collect()
+            if r.query_id in set(ids)
+        }
+        assert sampled == full
+
+    def test_report_runs_above_bruteforce_gate(self, spark, sf_dir, monkeypatch):
+        """Force the gate to trip: the baseline must refuse, the report must
+        still run (it has no full-corpus broadcast subplan anymore)."""
+        import pytest
+
+        from ting_data_etl_spark.operators import similarity as S
+
+        monkeypatch.setattr(S, "BRUTEFORCE_MAX_CORPUS_ROWS", 0)
+        with pytest.raises(ValueError, match="broadcast gate"):
+            S.similarity_bruteforce(spark, sf_dir)
+        rows = S.similarity_recall_report(spark, sf_dir).collect()
+        assert {r.method for r in rows} == {"ivf_kmeans", "srp_lsh"}
+        for r in rows:
+            assert 0.0 <= r.recall_at_5 <= 1.0
+            assert r.n_truth <= S.RECALL_SAMPLE_Q * S.TOP_K

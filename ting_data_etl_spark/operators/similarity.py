@@ -143,10 +143,15 @@ def _corpus_rows(sf_dir: str) -> int:
     return pa_pq.ParquetFile(path).metadata.num_rows
 
 
-def assert_broadcastable_corpus(
-    n_rows: int, limit: int = BRUTEFORCE_MAX_CORPUS_ROWS
-) -> None:
-    """Raise if a corpus is too large for the brute-force broadcast plan."""
+def assert_broadcastable_corpus(n_rows: int, limit: int | None = None) -> None:
+    """Raise if a corpus is too large for the brute-force broadcast plan.
+
+    *limit* defaults to the module-level ``BRUTEFORCE_MAX_CORPUS_ROWS`` read
+    at CALL time, so deployments (and tests) can tune the gate by setting
+    the module constant.
+    """
+    if limit is None:
+        limit = BRUTEFORCE_MAX_CORPUS_ROWS
     if n_rows > limit:
         raise ValueError(
             f"similarity_bruteforce_topk: corpus has {n_rows} vectors, above "
@@ -399,7 +404,9 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 @register("similarity_ivf_kmeans_topk")
-def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf_kmeans(
+    spark: SparkSession, sf_dir: str, query_ids: list[int] | None = None
+) -> DataFrame:
     """IVF top-k with a REAL k-means coarse quantizer and multi-probe.
 
     Corpus vectors live in their nearest centroid's list; each query probes
@@ -422,14 +429,16 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("cn"),
         F.element_at(assign1(F.col("q")), 1).alias("list_id"),
     )
-    queries = (
-        q.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qv"),
-            F.col("norm").alias("qn"),
-            F.explode(assign_probe(F.col("q"))).alias("probe_list"),
-        )
+    qpred = (
+        F.col("vec_id").isin(query_ids)
+        if query_ids is not None
+        else F.col("vec_id") % QUERY_MOD == 0
+    )
+    queries = q.filter(qpred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(assign_probe(F.col("q"))).alias("probe_list"),
     )
     pairs = queries.join(
         corpus,
@@ -579,7 +588,9 @@ FROM (
 
 
 @register("similarity_srp_lsh_topk", oracle=_SQL_SRP)
-def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_srp_lsh(
+    spark: SparkSession, sf_dir: str, query_ids: list[int] | None = None
+) -> DataFrame:
     """LSH-bucketed cosine top-k: multi-table signed random projections.
 
     The LSH leg of the ANN suite (IVF being the learned-partition leg): the
@@ -606,7 +617,12 @@ def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm",
         F.posexplode(assign(F.col("q"))).alias("t", "bucket"),
     )
-    probes = bq.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    qpred = (
+        F.col("vec_id").isin(query_ids)
+        if query_ids is not None
+        else F.col("vec_id") % QUERY_MOD == 0
+    )
+    probes = bq.filter(qpred).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
         F.col("norm").alias("qn"),
@@ -896,28 +912,118 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall is estimated over a FIXED query sample, independent of corpus size.
+# The truth leg is then O(|sample| * N) with |sample| constant — the sample
+# vectors broadcast (32 x d ints, a few KB) and the corpus STREAMS past them
+# in one codegen pass; the full-corpus broadcast of the gated brute-force
+# baseline never appears in this plan, so the report keeps working at any N.
+RECALL_SAMPLE_Q = 32
+# Salt width for the two-phase top-k: phase 1 takes a per-(query, salt)
+# top-k so no single reducer ever sorts a whole corpus worth of pairs;
+# phase 2 re-ranks the Q * SALT * k survivors.
+_RECALL_TOPK_SALT = 64
+
+
+def _recall_sample_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Deterministic bounded query sample: lowest RECALL_SAMPLE_Q query ids.
+
+    ``orderBy().limit()`` compiles to TakeOrdered — a per-partition heap +
+    driver merge of RECALL_SAMPLE_Q ids, never a global sort. The collect is
+    a bounded scalar (≤ 32 longs), same class as the k-means model collect.
+    """
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(RECALL_SAMPLE_Q)
+        .collect()
+    )
+    return [r.vec_id for r in rows]
+
+
+def _bruteforce_truth_sampled(
+    spark: SparkSession, sf_dir: str, query_ids: list[int]
+) -> DataFrame:
+    """Exact top-k truth for a fixed query sample, corpus-broadcast-free.
+
+    The sampled query vectors broadcast; the corpus streams. Top-k runs in
+    two phases so the per-query pair stream (N rows per sampled query) is
+    never sorted by one reducer: phase 1 partitions by (query, salt-of-
+    neighbor) — Q*SALT well-sized groups of skinny 24-byte rows — and keeps
+    k each; phase 2 ranks the Q*SALT*k survivors.
+    """
+    from pyspark.sql import Window
+
+    q = _quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+        F.pmod(F.xxhash64("neighbor_id"), F.lit(_RECALL_TOPK_SALT)).alias(
+            "salt"
+        ),
+    )
+    order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    local = (
+        pairs.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
 @register("similarity_recall_report")
 def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of each ANN variant against the brute-force truth.
+    """Recall@5 of each ANN variant against sampled brute-force truth.
 
     The accuracy side of the ANN cost/recall trade, computed distributed
     and registered so the driver sees it every round: each method's top-k
-    is left-joined to the brute-force top-k on (query, neighbor) and the
-    hit fraction aggregated per method. Rows-only check (the IVF leg has a
-    k-means model with no SQL twin); the brute-force truth itself is
-    oracle-checked via ``similarity_bruteforce_topk``.
+    is left-joined to the exact top-k on (query, neighbor) and the hit
+    fraction aggregated per method.
+
+    Scale shape (r5 redesign): recall is ESTIMATED over a fixed
+    RECALL_SAMPLE_Q-query sample, so the exact-truth leg broadcasts the
+    sample and streams the corpus — O(sample * N) work, no full-corpus
+    broadcast anywhere in the plan, no dependence on the brute-force
+    baseline's size gate. The ANN legs search only the sampled queries
+    (their corpus-side hashing is unchanged — that cost is the index, not
+    the query set). Rows-only check (the IVF leg has a k-means model with
+    no SQL twin); the exact-cosine arithmetic itself is oracle-checked via
+    ``similarity_bruteforce_topk``.
     """
+    sample_ids = _recall_sample_ids(spark, sf_dir)
     truth = (
-        similarity_bruteforce(spark, sf_dir)
+        _bruteforce_truth_sampled(spark, sf_dir, sample_ids)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
     tagged = (
-        similarity_ivf_kmeans(spark, sf_dir)
+        similarity_ivf_kmeans(spark, sf_dir, query_ids=sample_ids)
         .select("query_id", "neighbor_id")
         .withColumn("method", F.lit("ivf_kmeans"))
         .unionByName(
-            similarity_srp_lsh(spark, sf_dir)
+            similarity_srp_lsh(spark, sf_dir, query_ids=sample_ids)
             .select("query_id", "neighbor_id")
             .withColumn("method", F.lit("srp_lsh"))
         )

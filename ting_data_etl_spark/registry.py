@@ -19,9 +19,19 @@ OracleSpec = "str | Callable[[], str]"
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str | Callable[[], str]] = {}
 
+# Rotation queue: queries marked ``defer=True`` at decoration time land here
+# and only enter QUERIES when ``flush_deferred()`` runs at the END of
+# ``load_all()``. This lets a module keep its queries defined (and tested) in
+# one place while rotating stable, repeatedly-green entries OUT of the
+# driver's finite first-N correctness budget to make room for recently
+# changed families — without moving code between modules.
+_DEFERRED: list[tuple[str, "str | Callable[[], str] | None", QueryFn]] = []
+
 
 def register(
-    name: str, oracle: str | Callable[[], str] | None = None
+    name: str,
+    oracle: str | Callable[[], str] | None = None,
+    defer: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under *name* with an optional SQL oracle.
 
@@ -30,18 +40,34 @@ def register(
     later-registering modules) from import time to ``resolve_oracles()``
     time, keeping module import pure and registration order intact.
 
+    *defer* pushes the query to the back of the registration order (after
+    every non-deferred family) regardless of module import position — used
+    to rotate multi-round-green queries out of the driver's budget window.
+
     Queries without an oracle get the driver's weaker rows-only check — used
     only for genuinely non-SQL-expressible ops (hash families DuckDB lacks,
     stateful streaming).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
+        if defer:
+            _DEFERRED.append((name, oracle, fn))
+        else:
+            QUERIES[name] = fn
+            if oracle is not None:
+                ORACLES[name] = oracle
         return fn
 
     return deco
+
+
+def flush_deferred() -> None:
+    """Append every ``defer=True`` registration, in decoration order."""
+    for name, oracle, fn in _DEFERRED:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+    _DEFERRED.clear()
 
 
 def resolve_oracles() -> dict[str, str]:
@@ -57,14 +83,18 @@ def load_all() -> None:
 
     ORDER IS THE CONTRACT: the correctness driver checks registered queries
     in registration order under a finite (~50) budget, so the SURVEY §2 spec
-    surface — flagship, the seven reference jobs, the twelve primitives, the
+    surface — flagship, the seven reference jobs, the primitives, the
     fan-out/verify composite, streaming, and the CSV/JSONL I/O paths —
-    registers FIRST, followed by this round's changed/new extension queries
-    (sampling's banded forms, the candidate-driven similarity family, the
-    ensemble dedup). Families unchanged since their last green driver row
-    register last. Module import order is transitive (an import that pulls
-    in another registering module registers that module's queries at that
-    point), so modules below avoid top-level imports of later families.
+    registers FIRST, followed by this round's changed families. Round 5
+    changed the shared events loader (``sources/tables.py`` ts
+    normalization), so every events-touching family — streaming (already
+    §2-first), temporal, olap, quality — sits inside the budget this round;
+    to make room, eight primitives with two consecutive green driver rows
+    (r03+r04) are marked ``defer=True`` and flushed to the back. Families
+    unchanged since their last green driver row register last. Module import
+    order is transitive (an import that pulls in another registering module
+    registers that module's queries at that point), so modules below avoid
+    top-level imports of later families.
     """
     # --- SURVEY §2 spec surface -------------------------------------------
     import ting_data_etl_spark.plans.flagship  # noqa: F401
@@ -75,20 +105,24 @@ def load_all() -> None:
     import ting_data_etl_spark.streaming.stateful  # noqa: F401
     import ting_data_etl_spark.streaming.joins  # noqa: F401
     import ting_data_etl_spark.streaming.batch_windows  # noqa: F401
+    # --- changed this round: events-loader dependents ----------------------
+    import ting_data_etl_spark.operators.temporal  # noqa: F401
+    import ting_data_etl_spark.operators.olap  # noqa: F401
+    import ting_data_etl_spark.operators.quality  # noqa: F401
+    # --- §2 I/O paths ------------------------------------------------------
     import ting_data_etl_spark.plans.csv_e2e  # noqa: F401
     import ting_data_etl_spark.sources.jsonl  # noqa: F401
-    # --- changed/new this round -------------------------------------------
+    # --- recently changed extension families --------------------------------
     import ting_data_etl_spark.operators.sampling  # noqa: F401
     import ting_data_etl_spark.operators.similarity  # noqa: F401
     import ting_data_etl_spark.operators.ensemble  # noqa: F401
     # --- unchanged extension families (green latest-checked rows) ----------
     import ting_data_etl_spark.operators.dedup  # noqa: F401
     import ting_data_etl_spark.operators.text_queries  # noqa: F401
-    import ting_data_etl_spark.operators.temporal  # noqa: F401
     import ting_data_etl_spark.operators.multimodal  # noqa: F401
-    import ting_data_etl_spark.operators.olap  # noqa: F401
-    import ting_data_etl_spark.operators.quality  # noqa: F401
     import ting_data_etl_spark.operators.bucketed  # noqa: F401
     import ting_data_etl_spark.operators.cdc  # noqa: F401
     import ting_data_etl_spark.operators.layout  # noqa: F401
     import ting_data_etl_spark.operators.maintenance  # noqa: F401
+    # --- rotated-out stable queries (defer=True) ----------------------------
+    flush_deferred()

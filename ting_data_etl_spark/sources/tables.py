@@ -31,20 +31,56 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects; it is read as long nanos
-    (``nanosAsLong``) and converted to a microsecond TimestampType —
-    truncation matches DuckDB's own ns→µs read behavior, so oracle
-    comparisons stay exact.
+    ``events`` goes through :func:`normalize_events_ts` because the driver's
+    generator has shipped ``ts`` under several physical encodings across
+    testdata regenerations (TIMESTAMP(NANOS), int64 nanos, timestamp[us]).
+    The loader sniffs the dtype Spark actually infers and normalizes to a
+    microsecond ``TimestampType`` in the UTC session zone, so every
+    downstream event-time operator sees one stable type regardless of how
+    the parquet was written.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        e = spark.read.parquet(path)
-        return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return _load_events(spark, path)
     return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table and normalize ``ts`` to TimestampType.
+
+    Handles every physical encoding the testdata generator has produced:
+
+    * ``timestamp[us]``/``[ms]`` without UTC adjustment — Spark infers
+      TIMESTAMP_NTZ; cast to TimestampType (lossless: session tz is UTC).
+    * ``timestamp[us]`` UTC-adjusted — already TimestampType; pass through.
+    * ``TIMESTAMP(NANOS)`` — Spark's parquet reader rejects the footer
+      outright; retry with ``nanosAsLong`` and convert ns → µs.
+    * raw ``int64`` nanos — reads as LongType; convert ns → µs.
+
+    The ns→µs truncation matches DuckDB's own nanosecond read behavior, so
+    oracle comparisons stay exact.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        e = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) footer: schema inference itself throws. Only this
+        # legacy encoding needs the nanosAsLong escape hatch.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        e = spark.read.parquet(path)
+
+    dt = e.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return e.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if isinstance(dt, T.TimestampType):
+        return e
+    raise TypeError(
+        f"events.ts read as unsupported type {dt}; expected timestamp or int64 nanos"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
