@@ -8,13 +8,19 @@ documents) before a single transitive-closure clustering picks one keeper
 per combined component.
 
 Flake-free composition rules (learned round 2, where the first landing hung
-nondeterministically at sf0.1): every stage of the composed plan stays on
-the JVM — the semantic candidates use the EXPRESSION forms of the SRP
-buckets and the cosine fold (``srp_candidate_pairs(use_arrow=False)``), so
-the persist/localCheckpoint jobs inside the iterative clustering never
-execute an Arrow-UDF stage. Bucket/cosine parity between the expression and
-Arrow forms is pytest-pinned, so the relation is identical to the one the
-standalone ``dedup_embedding_cosine_pairs`` query registers.
+nondeterministically at sf0.1): the iterative clustering's
+persist/localCheckpoint jobs must never execute an Arrow-UDF stage. Round 3
+guaranteed that by using the EXPRESSION forms of the SRP buckets and cosine
+fold — correct but ~4× slower on the candidate stream (measured 17.1 s vs
+4.5 s at sf0.1). Round 5 restores the Arrow forms and cuts the lineage
+instead: the candidate pair relation is STAGED to parquet and read back
+before clustering, so the plan the CC loop iterates over starts at a plain
+parquet scan — no Arrow stage exists anywhere in its lineage. This is also
+the shape that survives 100 TB: candidate generation is the expensive
+write-once stage, and checkpointing it means the O(log n) clustering rounds
+re-read a narrow two-column relation instead of re-deriving candidates.
+Bucket/cosine parity between the expression and Arrow forms is
+pytest-pinned, so the relation is identical either way.
 
 This module lazy-imports ``operators.dedup`` inside the query function and
 builds its oracle through a callable: registration order is the driver's
@@ -70,6 +76,10 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole composed plan JVM-only (see module docstring). The oracle
     rebuilds the identical union + recursive closure in SQL.
     """
+    import os
+    import shutil
+    import tempfile
+
     from ting_data_etl_spark.operators.dedup import (
         connected_components_jump,
         dedup_minhash_pairs,
@@ -78,8 +88,22 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     lexical = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    semantic = srp_candidate_pairs(spark, sf_dir, use_arrow=False).select(
+    semantic = srp_candidate_pairs(spark, sf_dir, use_arrow=True).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     pairs = lexical.unionByName(semantic).distinct()
-    return connected_components_jump(d.select("doc_id"), pairs)
+    # Materialization barrier: the CC loop's checkpoint jobs iterate over a
+    # plain parquet scan, never the Arrow candidate stages (module docstring).
+    stage = tempfile.mkdtemp(prefix="ting_ensemble_pairs_")
+    try:
+        out = os.path.join(stage, "pairs")
+        pairs.write.mode("overwrite").parquet(out)
+        labels = connected_components_jump(
+            d.select("doc_id"), spark.read.parquet(out)
+        )
+    finally:
+        # connected_components_jump materializes every round eagerly and
+        # localCheckpoints its result, so the staged relation is consumed
+        # in full before this point.
+        shutil.rmtree(stage, ignore_errors=True)
+    return labels
