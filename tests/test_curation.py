@@ -1,0 +1,132 @@
+"""Tests for the curation suite: Gopher rules, repetition, contamination,
+canonical-keeper dedup, ORC round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.operators import curation as C
+
+
+def _rows(spark, docs, query_fn, tmp_path):
+    """Run a curation query against a synthetic documents table."""
+    import os
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(str(sf), "documents.parquet"))
+    return {r.doc_id: r for r in query_fn(spark, str(sf)).collect()}
+
+
+class TestGopherRules:
+    def test_metrics_and_gate(self, spark, tmp_path):
+        good = "the quick brown fox jumps over the lazy dog " * 5  # 45 words
+        symbolic = "spam # " * 30  # '#' every other word
+        empty = "!!! ..."
+        docs = [
+            (1, good, "en", "s", len(good)),
+            (2, symbolic, "en", "s", len(symbolic)),
+            (3, empty, "en", "s", len(empty)),
+        ]
+        out = _rows(spark, docs, C.text_gopher_quality_rules, tmp_path)
+        assert out[1].n_words == 45
+        assert out[1].passes_gopher == 1
+        assert abs(out[1].mean_word_len - (35 / 9)) < 1e-12
+        assert out[1].alpha_word_frac == 1.0
+        # '#' is not a token, so 30 hashes over 30 words -> ratio 1.0
+        assert out[2].symbol_word_ratio == pytest.approx(1.0)
+        assert out[2].passes_gopher == 0
+        # no tokens at all -> NULL metrics, gate coalesces to fail
+        assert out[3].n_words == 0
+        assert out[3].mean_word_len is None
+        assert out[3].passes_gopher == 0
+
+    def test_ellipsis_counted_in_threes(self, spark, tmp_path):
+        docs = [(1, "w ...... x " * 10, "en", "s", 1)]
+        out = _rows(spark, docs, C.text_gopher_quality_rules, tmp_path)
+        # '......' = two '...' occurrences per repeat, 20 words total
+        assert out[1].symbol_word_ratio == pytest.approx(20 / 20)
+
+
+class TestRepetition:
+    def test_dup_lines_and_top_bigram(self, spark, tmp_path):
+        text = "a b\na b\nc d\n\n  \n"
+        docs = [(1, text, "en", "s", len(text)), (2, "solo", "en", "s", 4)]
+        out = _rows(spark, docs, C.text_repetition_metrics, tmp_path)
+        r = out[1]
+        # 3 non-blank lines, one duplicated -> 1/3
+        assert r.n_lines == 3
+        assert r.dup_line_frac == pytest.approx(1 / 3)
+        # tokens: a b a b c d -> bigrams: ab ba ab bc cd; top 'a b' x2 of 5
+        assert r.n_bigrams == 5
+        assert r.top_bigram_frac == pytest.approx(2 / 5)
+        # single-token doc: zero bigrams, NULL fraction
+        assert out[2].n_bigrams == 0
+        assert out[2].top_bigram_frac is None
+
+
+class TestContamination:
+    def test_benchmark_overlap_flags(self, spark, tmp_path):
+        bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        clean_text = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+        docs = [
+            (C.BENCHMARK_MOD, bench_text, "en", "s", 1),  # benchmark member
+            (1, bench_text, "en", "s", 1),  # fully contaminated copy
+            (2, clean_text, "en", "s", 1),  # disjoint
+        ]
+        out = _rows(spark, docs, C.dedup_contamination_check, tmp_path)
+        assert C.BENCHMARK_MOD not in out  # benchmark side not scored
+        assert out[1].n_contaminated == out[1].n_grams == 2
+        assert out[1].contamination_frac == 1.0 and out[1].flagged == 1
+        assert out[2].n_contaminated == 0 and out[2].flagged == 0
+
+    def test_short_doc_whole_text_shingle(self, spark, tmp_path):
+        docs = [
+            (C.BENCHMARK_MOD, "tiny doc", "en", "s", 1),
+            (1, "tiny doc", "en", "s", 1),
+        ]
+        out = _rows(spark, docs, C.dedup_contamination_check, tmp_path)
+        assert out[1].n_grams == 1 and out[1].contamination_frac == 1.0
+
+
+class TestKeepCanonical:
+    def test_keeper_is_component_min_with_sizes(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.dedup import (
+            dedup_connected_components,
+        )
+
+        keep = {
+            r.keeper_doc_id: r
+            for r in C.dedup_keep_canonical(spark, sf_dir).collect()
+        }
+        comps = dedup_connected_components(spark, sf_dir).collect()
+        sizes: dict[int, int] = {}
+        for r in comps:
+            sizes[r.component] = sizes.get(r.component, 0) + 1
+        assert {k: r.cluster_size for k, r in keep.items()} == sizes
+        assert all(r.n_dropped == r.cluster_size - 1 for r in keep.values())
+
+
+class TestOrcRoundtrip:
+    def test_profile_matches_parquet_truth(self, spark, sf_dir):
+        from ting_data_etl_spark.sources.orc import orc_roundtrip_profile
+        from ting_data_etl_spark.sources.tables import load_table
+
+        got = {
+            r.lang: (r.n_docs, r.total_chars)
+            for r in orc_roundtrip_profile(spark, sf_dir).collect()
+        }
+        truth = {
+            r.lang: (r.n, r.chars)
+            for r in load_table(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("text")).cast("long").alias("chars"),
+            )
+            .collect()
+        }
+        assert got == truth

@@ -1,0 +1,357 @@
+"""Corpus-curation operators: quality gates, repetition, contamination,
+canonical-keeper dedup output.
+
+No reference-side counterpart (the reference has no text analytics); these
+extend the SURVEY.md §7.4 training-data-pipeline families with the filters a
+pretraining curation pass actually runs:
+
+* **Gopher-style quality rules** (Rae et al. 2021, §A1.1): word count, mean
+  word length, symbol-to-word ratio, alphabetic-word fraction — combined
+  into one pass/fail gate per document.
+* **Repetition metrics** (same paper's repetition filters): duplicate-line
+  fraction and most-frequent-bigram share, computed entirely inside array
+  higher-order functions — a pure per-row map, zero shuffles, which is the
+  shape that matters at 100 TB (the whole pass is one scan).
+* **Benchmark contamination**: word-8-gram overlap of every corpus document
+  against a held-out benchmark set, via a broadcast join on a 31-bit shingle
+  hash — the standard decontamination sweep before training.
+* **Canonical-keeper dedup**: the OUTPUT side of the dedup suite — cluster
+  near-dup candidates (MinHash-LSH pairs), keep the lowest doc_id per
+  component, report keeper + cluster size. This is the relation a curation
+  pipeline actually persists.
+
+Every query has a full-value DuckDB oracle; the tokenizer/hash CTEs mirror
+``functions/text.py`` exactly (same split regex, same md5-fold hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.functions.text import (
+    normalize_text,
+    portable_hash31,
+    tokens,
+    word_ngrams,
+)
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.tables import load_table
+
+# Shared tokenizer CTE — identical to text_queries._SQL_TOKS but kept local
+# so this module has no import-order coupling to the text family.
+_SQL_TOKS = """
+tok AS (
+  SELECT doc_id, text,
+         list_filter(
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                 '[^\\p{L}\\p{N}]+'),
+           t -> t <> '') AS toks
+  FROM documents
+)
+"""
+
+# --- Gopher-style quality rules --------------------------------------------
+# Thresholds from Rae et al. 2021 (Gopher), Appendix A1.1, adapted to the
+# synthetic corpus (the word-count floor is lowered; the testdata documents
+# are short).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.6
+
+_SQL_GOPHER = f"""
+WITH {_SQL_TOKS},
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+         END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}'))) AS DOUBLE)
+                   / len(toks)
+         END AS alpha_word_frac,
+         CASE WHEN len(toks) > 0
+              THEN CAST(length(text) - length(replace(text, '#', ''))
+                        + (length(text) - length(replace(text, '...', ''))) / 3
+                        AS DOUBLE) / len(toks)
+         END AS symbol_word_ratio
+  FROM tok
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+       alpha_word_frac, symbol_word_ratio,
+       CAST(COALESCE(
+         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+         AND symbol_word_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+         AND alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC}, FALSE) AS INT) AS passes_gopher
+FROM m
+"""
+
+
+@register("text_gopher_quality_rules", oracle=_SQL_GOPHER)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule metrics + combined gate, one codegen scan.
+
+    Every metric is an array higher-order expression over the token array —
+    no UDF, no shuffle, no second scan: the filter pass over 100 TB is one
+    map stage whose cost is the read itself. The ``#``/``...`` counts use
+    length-difference-after-replace, identical non-overlapping left-to-right
+    semantics in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = d.select("doc_id", "text", toks.alias("toks"))
+    n = F.size("toks")
+    sum_len = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
+    n_alpha = F.size(F.filter("toks", _matches_letter))
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    m = t.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.when(n > 0, sum_len.cast("double") / n).alias("mean_word_len"),
+        F.when(n > 0, n_alpha.cast("double") / n).alias("alpha_word_frac"),
+        F.when(n > 0, (n_hash + n_ellipsis).cast("double") / n).alias(
+            "symbol_word_ratio"
+        ),
+    )
+    gate = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (F.col("symbol_word_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC)
+    )
+    return m.withColumn(
+        "passes_gopher", F.coalesce(gate, F.lit(False)).cast("int")
+    )
+
+
+def _matches_letter(t):
+    """Single-arg lambda for HOF filter (no default-arg closures)."""
+    return t.rlike(r"\p{L}")
+
+
+# --- repetition metrics ----------------------------------------------------
+_SQL_REPETITION = f"""
+WITH {_SQL_TOKS},
+ln AS (
+  SELECT doc_id, toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bigrams
+  FROM ln
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CASE WHEN len(lines) > 0
+            THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+       END AS dup_line_frac,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CASE WHEN len(bigrams) > 0
+            THEN CAST(list_max(list_transform(list_distinct(bigrams),
+                   b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+                 / len(bigrams)
+       END AS top_bigram_frac
+FROM bg
+"""
+
+
+@register("text_repetition_metrics", oracle=_SQL_REPETITION)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: duplicate-line and top-bigram fractions.
+
+    Both metrics live entirely inside array expressions on one row — the
+    duplicate-line fraction via ``array_distinct``, the top-bigram share via
+    a nested HOF (per distinct bigram, count its occurrences, take the max).
+    Nested-lambda counting is O(u·n) per document — bounded by document
+    length, embarrassingly parallel, and shuffle-free, which beats an
+    explode → groupBy(doc, bigram) → window pipeline that would shuffle the
+    whole corpus twice at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    t = d.select("doc_id", tokens("text").alias("toks"), lines.alias("lines"))
+    n_toks = F.size("toks")
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so short docs must
+    # short-circuit to an empty array rather than build a bogus sequence
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = t.select("doc_id", "lines", bigrams.alias("bigrams"))
+    n_lines = F.size("lines")
+    n_bg = F.size("bigrams")
+    top_count = F.array_max(
+        F.transform(F.array_distinct("bigrams"), _count_in_bigrams)
+    )
+    return b.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct("lines"))).cast("double")
+            / n_lines,
+        ).alias("dup_line_frac"),
+        n_bg.cast("long").alias("n_bigrams"),
+        F.when(n_bg > 0, top_count.cast("double") / n_bg).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def _count_in_bigrams(b):
+    """Nested HOF: occurrences of *b* in the row's ``bigrams`` array."""
+    return F.size(F.filter("bigrams", lambda x: x == b))
+
+
+# --- benchmark contamination -----------------------------------------------
+#: Documents whose id is divisible by this are the held-out "benchmark" set.
+BENCHMARK_MOD = 41
+CONTAM_NGRAM = 8  # word n-gram width, the standard decontamination shingle
+CONTAM_FLAG_FRAC = 0.1
+
+_sql_h31 = "(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 2147483647)"
+
+_SQL_CONTAMINATION = f"""
+WITH {_SQL_TOKS},
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - {CONTAM_NGRAM - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {CONTAM_NGRAM - 1}), ' ')) AS gs
+  FROM tok
+),
+hashed AS (
+  SELECT DISTINCT doc_id, {_sql_h31} AS h
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+),
+bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % {BENCHMARK_MOD} = 0),
+corpus AS (SELECT doc_id, h FROM hashed WHERE doc_id % {BENCHMARK_MOD} <> 0)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(b.h) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(b.h) AS DOUBLE) / COUNT(*) AS contamination_frac,
+       CAST(CAST(COUNT(b.h) AS DOUBLE) / COUNT(*) >= {CONTAM_FLAG_FRAC} AS INT)
+         AS flagged
+FROM corpus c LEFT JOIN bench b ON c.h = b.h
+GROUP BY c.doc_id
+"""
+
+
+@register("dedup_contamination_check", oracle=_SQL_CONTAMINATION)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-8-gram benchmark-contamination sweep, broadcast-join shaped.
+
+    Corpus documents are scored by the fraction of their distinct 8-gram
+    hashes that appear anywhere in the benchmark subset (ids divisible by
+    ``BENCHMARK_MOD``). The benchmark gram set is orders of magnitude
+    smaller than the corpus — benchmarks are fixed-size while corpora grow —
+    so it broadcasts and the corpus side streams: per-doc distinct grams is
+    the only shuffle (16-byte rows keyed by a 31-bit hash + doc id). Join on
+    :func:`portable_hash31` of the shingle, not the string — the shuffle and
+    broadcast carry longs, not text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hashed = (
+        d.select(
+            "doc_id",
+            F.explode(word_ngrams("text", CONTAM_NGRAM)).alias("g"),
+        )
+        .select("doc_id", portable_hash31(F.col("g")).alias("h"))
+        .distinct()
+    )
+    bench = (
+        hashed.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = hashed.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+    frac = F.count("hit").cast("double") / F.count("*")
+    return (
+        corpus.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            frac.alias("contamination_frac"),
+            (frac >= CONTAM_FLAG_FRAC).cast("int").alias("flagged"),
+        )
+    )
+
+
+# --- canonical-keeper dedup output -----------------------------------------
+def _sql_keep_canonical() -> str:
+    """Recursive-CTE twin: MinHash-LSH pairs → closure → keeper + size."""
+    from ting_data_etl_spark.operators.dedup import _SQL_MINHASH_PAIRS_CTE
+
+    return f"""
+{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+labeled AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT component AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM labeled GROUP BY component
+"""
+
+
+@register("dedup_keep_canonical", oracle=_sql_keep_canonical)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT relation: one keeper per near-dup cluster.
+
+    Clusters MinHash-LSH candidate pairs with pointer-jump connected
+    components, then keeps the minimum doc id per component — which IS the
+    component label under min-label propagation, so the keeper needs no
+    extra join: one groupBy over the labeled nodes yields keeper id, cluster
+    size, and dropped count. Singleton documents appear with
+    ``cluster_size = 1`` — the keep-list a curation pipeline writes out.
+    """
+    from ting_data_etl_spark.operators.dedup import (
+        connected_components_jump,
+        dedup_minhash_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = connected_components_jump(
+        d.select("doc_id"), dedup_minhash_pairs(spark, sf_dir)
+    )
+    return labeled.groupBy(F.col("component").alias("keeper_doc_id")).agg(
+        F.count("*").alias("cluster_size"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )

@@ -217,7 +217,7 @@ FROM (
 """
 
 
-@register("similarity_ivf_topk", oracle=_SQL_IVF)
+@register("similarity_ivf_topk", defer=True, oracle=_SQL_IVF)
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe only the query's coarse partition (label).
 

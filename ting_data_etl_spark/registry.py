@@ -116,6 +116,9 @@ def load_all() -> None:
     import ting_data_etl_spark.operators.sampling  # noqa: F401
     import ting_data_etl_spark.operators.similarity  # noqa: F401
     import ting_data_etl_spark.operators.ensemble  # noqa: F401
+    # --- NEW this round: curation suite + ORC round-trip --------------------
+    import ting_data_etl_spark.operators.curation  # noqa: F401
+    import ting_data_etl_spark.sources.orc  # noqa: F401
     # --- unchanged extension families (green latest-checked rows) ----------
     import ting_data_etl_spark.operators.dedup  # noqa: F401
     import ting_data_etl_spark.operators.text_queries  # noqa: F401
