@@ -130,3 +130,35 @@ class TestOrcRoundtrip:
             .collect()
         }
         assert got == truth
+
+
+class TestE2EStatus:
+    def test_statuses_consistent_with_stages(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.dedup import (
+            dedup_connected_components,
+        )
+
+        st = {
+            r.doc_id: r.status
+            for r in C.curation_e2e_status(spark, sf_dir).collect()
+        }
+        gop = {
+            r.doc_id: r.passes_gopher
+            for r in C.text_gopher_quality_rules(spark, sf_dir).collect()
+        }
+        comp = {
+            r.doc_id: r.component
+            for r in dedup_connected_components(spark, sf_dir).collect()
+        }
+        assert set(st.values()) <= {
+            "benchmark", "low_quality", "contaminated", "duplicate", "kept"
+        }
+        for doc, s in st.items():
+            if doc % C.BENCHMARK_MOD == 0:
+                assert s == "benchmark"
+            elif gop[doc] == 0:
+                assert s == "low_quality"
+            if s == "duplicate":
+                assert comp[doc] != doc
+            if s == "kept":
+                assert comp[doc] == doc and gop[doc] == 1

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ting_data_etl_spark.functions.text import (
-    normalize_text,
     portable_hash31,
     tokens,
     word_ngrams,
@@ -41,7 +40,7 @@ from ting_data_etl_spark.sources.tables import load_table
 # Shared tokenizer CTE — identical to text_queries._SQL_TOKS but kept local
 # so this module has no import-order coupling to the text family.
 _SQL_TOKS = """
-tok AS (
+ctok AS (
   SELECT doc_id, text,
          list_filter(
            regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
@@ -62,8 +61,9 @@ GOPHER_MAX_MEAN_WORD_LEN = 10.0
 GOPHER_MAX_SYMBOL_RATIO = 0.1
 GOPHER_MIN_ALPHA_FRAC = 0.6
 
-_SQL_GOPHER = f"""
-WITH {_SQL_TOKS},
+# CTE chain ending in `gop` — composable (standalone below and in the e2e
+# status oracle). Requires `ctok` in scope.
+_SQL_GOPHER_CTES = f"""
 m AS (
   SELECT doc_id,
          len(toks) AS n_words,
@@ -79,16 +79,25 @@ m AS (
                         + (length(text) - length(replace(text, '...', ''))) / 3
                         AS DOUBLE) / len(toks)
          END AS symbol_word_ratio
-  FROM tok
-)
-SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
-       alpha_word_frac, symbol_word_ratio,
-       CAST(COALESCE(
-         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-         AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
-         AND symbol_word_ratio < {GOPHER_MAX_SYMBOL_RATIO}
-         AND alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC}, FALSE) AS INT) AS passes_gopher
-FROM m
+  FROM ctok
+),
+gop AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+         alpha_word_frac, symbol_word_ratio,
+         CAST(COALESCE(
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+           AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+           AND symbol_word_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+           AND alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC}, FALSE) AS INT) AS passes_gopher
+  FROM m
+)"""
+
+_SQL_GOPHER = f"""
+WITH {_SQL_TOKS},
+{_SQL_GOPHER_CTES}
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+       passes_gopher
+FROM gop
 """
 
 
@@ -146,7 +155,7 @@ ln AS (
   SELECT doc_id, toks,
          list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                      l -> l <> '') AS lines
-  FROM tok
+  FROM ctok
 ),
 bg AS (
   SELECT doc_id, lines,
@@ -234,28 +243,36 @@ CONTAM_FLAG_FRAC = 0.1
 
 _sql_h31 = "(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 2147483647)"
 
-_SQL_CONTAMINATION = f"""
-WITH {_SQL_TOKS},
+# CTE chain ending in `contam` — composable (used standalone below and by
+# the e2e status oracle). Requires `ctok` in scope.
+_SQL_CONTAM_CTES = f"""
 grams AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(toks) - {CONTAM_NGRAM - 1}, 1) + 1),
            i -> array_to_string(list_slice(toks, i, i + {CONTAM_NGRAM - 1}), ' ')) AS gs
-  FROM tok
+  FROM ctok
 ),
 hashed AS (
   SELECT DISTINCT doc_id, {_sql_h31} AS h
   FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
 ),
 bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % {BENCHMARK_MOD} = 0),
-corpus AS (SELECT doc_id, h FROM hashed WHERE doc_id % {BENCHMARK_MOD} <> 0)
-SELECT c.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(COUNT(b.h) AS BIGINT) AS n_contaminated,
-       CAST(COUNT(b.h) AS DOUBLE) / COUNT(*) AS contamination_frac,
-       CAST(CAST(COUNT(b.h) AS DOUBLE) / COUNT(*) >= {CONTAM_FLAG_FRAC} AS INT)
-         AS flagged
-FROM corpus c LEFT JOIN bench b ON c.h = b.h
-GROUP BY c.doc_id
+corpus AS (SELECT doc_id, h FROM hashed WHERE doc_id % {BENCHMARK_MOD} <> 0),
+contam AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(b.h) AS BIGINT) AS n_contaminated,
+         CAST(COUNT(b.h) AS DOUBLE) / COUNT(*) AS contamination_frac,
+         CAST(CAST(COUNT(b.h) AS DOUBLE) / COUNT(*) >= {CONTAM_FLAG_FRAC} AS INT)
+           AS flagged
+  FROM corpus c LEFT JOIN bench b ON c.h = b.h
+  GROUP BY c.doc_id
+)"""
+
+_SQL_CONTAMINATION = f"""
+WITH {_SQL_TOKS},
+{_SQL_CONTAM_CTES}
+SELECT doc_id, n_grams, n_contaminated, contamination_frac, flagged FROM contam
 """
 
 
@@ -354,4 +371,88 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy(F.col("component").alias("keeper_doc_id")).agg(
         F.count("*").alias("cluster_size"),
         (F.count("*") - 1).alias("n_dropped"),
+    )
+
+
+# --- end-to-end curation status --------------------------------------------
+def _sql_e2e_status() -> str:
+    """Composite oracle: gopher gate + contamination + dedup closure, one
+    statement. The MinHash CTE chain defines its own ``tok``; this module's
+    fragments use ``ctok``, so the chains compose without collision."""
+    from ting_data_etl_spark.operators.dedup import _SQL_MINHASH_PAIRS_CTE
+
+    return f"""
+{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+labeled AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+{_SQL_TOKS},
+{_SQL_GOPHER_CTES},
+{_SQL_CONTAM_CTES}
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % {BENCHMARK_MOD} = 0 THEN 'benchmark'
+            WHEN g.passes_gopher = 0 THEN 'low_quality'
+            WHEN COALESCE(ct.flagged, 0) = 1 THEN 'contaminated'
+            WHEN l.component <> d.doc_id THEN 'duplicate'
+            ELSE 'kept' END AS status
+FROM documents d
+JOIN gop g ON d.doc_id = g.doc_id
+LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+JOIN labeled l ON d.doc_id = l.doc_id
+"""
+
+
+@register("curation_e2e_status", oracle=_sql_e2e_status)
+def curation_e2e_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE relation: every document's fate.
+
+    Composes the three verified stages — Gopher quality gate, benchmark
+    contamination sweep, MinHash-LSH + pointer-jump dedup — into the
+    per-document status a production curation run persists, with fixed
+    precedence: ``benchmark`` (held out) → ``low_quality`` →
+    ``contaminated`` → ``duplicate`` (not its cluster's keeper) → ``kept``.
+    Each stage keeps its own optimal plan shape (codegen scan / broadcast
+    join / iterative CC); the composition is three joins on ``doc_id``.
+    The oracle rebuilds the identical statement over DuckDB CTE chains,
+    recursive closure included.
+    """
+    from ting_data_etl_spark.operators.dedup import (
+        connected_components_jump,
+        dedup_minhash_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    g = text_gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", "passes_gopher"
+    )
+    ct = dedup_contamination_check(spark, sf_dir).select("doc_id", "flagged")
+    labeled = connected_components_jump(
+        d.select("doc_id"), dedup_minhash_pairs(spark, sf_dir)
+    )
+    status = (
+        F.when(F.col("doc_id") % BENCHMARK_MOD == 0, F.lit("benchmark"))
+        .when(F.col("passes_gopher") == 0, F.lit("low_quality"))
+        .when(F.coalesce(F.col("flagged"), F.lit(0)) == 1, F.lit("contaminated"))
+        .when(F.col("component") != F.col("doc_id"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        d.select("doc_id")
+        .join(g, "doc_id")
+        .join(ct, "doc_id", "left")
+        .join(labeled, "doc_id")
+        .select("doc_id", status.alias("status"))
     )
