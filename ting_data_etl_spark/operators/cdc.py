@@ -127,8 +127,61 @@ FROM m WHERE op IS NULL OR op <> 'D'
 """
 
 
-@register("cdc_upsert_snapshot", oracle=_SQL_UPSERT)
+@register("cdc_upsert_snapshot", defer=True, oracle=_SQL_UPSERT)
 def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a synthesized I/U/D batch to the customer snapshot."""
     snapshot = load_table(spark, sf_dir, "customer")
     return apply_changes(snapshot, synth_changes(snapshot))
+
+
+# --- SCD2 dimension history ------------------------------------------------
+_SQL_SCD2 = """
+WITH v AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         LEAD(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS next_d
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       o_orderkey AS version_key,
+       strftime(d, '%Y-%m-%d') AS effective_from,
+       strftime(COALESCE(next_d - 1, DATE '9999-12-31'), '%Y-%m-%d')
+         AS effective_to,
+       CAST(next_d IS NULL AS INT) AS is_current
+FROM v
+"""
+
+
+@register("cdc_scd2_history", oracle=_SQL_SCD2)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history built from a change log.
+
+    Treats each customer's orders as successive dimension versions (the
+    standard SCD2 build from CDC events): one ``lead()`` window per key
+    turns point-in-time changes into [effective_from, effective_to)
+    intervals, with the open interval capped at the 9999-12-31 sentinel and
+    flagged current. One shuffle on the dimension key; the tie-break
+    ``(date, orderkey)`` makes version order total, so interval bounds are
+    deterministic. Dates travel as ISO strings to keep the cross-engine
+    hash free of calendar-type encoding differences.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    v = o.withColumn("next_d", F.lead("d").over(w))
+    return v.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        F.date_format("d", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format(
+            F.coalesce(F.date_sub("next_d", 1), F.to_date(F.lit("9999-12-31"))),
+            "yyyy-MM-dd",
+        ).alias("effective_to"),
+        F.col("next_d").isNull().cast("int").alias("is_current"),
+    )

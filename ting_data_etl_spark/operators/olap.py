@@ -34,7 +34,7 @@ FROM documents GROUP BY source
 """
 
 
-@register("text_length_quantiles", oracle=_SQL_QUANTILES)
+@register("text_length_quantiles", defer=True, oracle=_SQL_QUANTILES)
 def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length distribution (exact p50/p90/p99).
 
@@ -81,4 +81,41 @@ def events_cube_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cube("event_type", "hod").agg(
         F.count("*").alias("n_events"),
         sum_exact("value", scale=6).alias("total_value"),
+    )
+
+
+_SQL_ROLLUP = f"""
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         o_totalprice
+  FROM orders
+)
+SELECT priority, yr,
+       COUNT(*) AS n_orders,
+       {sql_sum_exact("o_totalprice", 2)} AS total_price
+FROM o
+GROUP BY ROLLUP (priority, yr)
+"""
+
+
+@register("olap_rollup_priority_year", oracle=_SQL_ROLLUP)
+def olap_rollup_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, year): hierarchical subtotals in one pass.
+
+    The drill-down complement to the CUBE above: Catalyst expands the
+    rollup to its 3 grouping sets — (priority, yr), (priority), () — and
+    computes all of them in a single aggregation, so the report's subtotal
+    rows cost no extra scans. Fixed-point sums keep every margin
+    bit-identical across engines regardless of partial-aggregate merge
+    order.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_totalprice",
+    )
+    return o.rollup("priority", "yr").agg(
+        F.count("*").alias("n_orders"),
+        sum_exact("o_totalprice", scale=2).alias("total_price"),
     )

@@ -71,7 +71,7 @@ LATERAL (VALUES
 """
 
 
-@register("dq_lineitem_expectations", oracle=_SQL_DQ)
+@register("dq_lineitem_expectations", defer=True, oracle=_SQL_DQ)
 def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectation suite over lineitem: 5 invariants + composite-key
     uniqueness, one scan."""
@@ -122,7 +122,7 @@ LATERAL (VALUES
 """
 
 
-@register("table_stats_lineitem", oracle=_SQL_TABLE_STATS)
+@register("table_stats_lineitem", defer=True, oracle=_SQL_TABLE_STATS)
 def table_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE-style column statistics in one scan.
 

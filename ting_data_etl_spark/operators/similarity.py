@@ -161,7 +161,7 @@ def assert_broadcastable_corpus(n_rows: int, limit: int | None = None) -> None:
         )
 
 
-@register("similarity_bruteforce_topk", oracle=_SQL_BRUTE)
+@register("similarity_bruteforce_topk", defer=True, oracle=_SQL_BRUTE)
 def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert_broadcastable_corpus(_corpus_rows(sf_dir))
     q = _quantized(spark, sf_dir)

@@ -23,8 +23,10 @@ unsalted plans on adversarially skewed synthetic data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ting_data_etl_spark.registry import register
 
 DEFAULT_SALT = 16
 
@@ -91,3 +93,46 @@ def two_stage_agg_sum(
         .agg(F.sum(v).alias("__part"))
     )
     return partial.groupBy(key).agg(F.sum("__part").alias("total"))
+
+
+# --- registered query: salted fact⨝dim join --------------------------------
+_SQL_SALTED = """
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("skew_salted_join_revenue", oracle=_SQL_SALTED)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment through a SALTED orders⨝customer join.
+
+    Drives :func:`salted_join` through the driver's oracle gate: the salt
+    must be invisible in the result — the oracle is the PLAIN join — while
+    the physical plan spreads each customer key over ``DEFAULT_SALT``
+    reducer tasks. This is the shape for a large⨝large join whose hot keys
+    AQE cannot split (e.g. sort-merge after the dim outgrew broadcast):
+    correctness comes from the rewrite being algebraic, not from data luck.
+    The follow-up aggregation is algebraic SUM/COUNT (fixed-point), so it
+    map-side combines normally.
+    """
+    from ting_data_etl_spark.functions.cleaning import sum_exact
+    from ting_data_etl_spark.sources.tables import load_table
+
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), "c_mktsegment"
+    )
+    return (
+        salted_join(fact, dim, "key")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            sum_exact("o_totalprice", scale=2).alias("total_price"),
+        )
+    )

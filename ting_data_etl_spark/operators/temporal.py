@@ -187,3 +187,52 @@ def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# --- per-user running aggregates -------------------------------------------
+_SQL_RUNNING = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 1000000) AS BIGINT) AS v6
+  FROM events
+)
+SELECT event_id, user_id, us,
+       CAST(SUM(v6) OVER w AS BIGINT) / 1000000.0 AS running_value,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS event_seq
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_user_running_value", oracle=_SQL_RUNNING)
+def events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value total + event sequence number.
+
+    The cumulative-window member of the §2.9 window family (as-of and range
+    frames live above): one shuffle on ``user_id``, an in-partition sort on
+    ``(ts, event_id)`` — the tie-break makes the prefix order total, so the
+    running sum is deterministic — and both outputs share the single window.
+    The sum accumulates fixed-point BIGINTs (values pre-scaled to 1e-6), so
+    every prefix is exact: float running sums would otherwise disagree with
+    the oracle in the last ULP wherever accumulation order differs.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        (F.sum("v6").over(wsum).cast("long") / F.lit(1_000_000.0)).alias(
+            "running_value"
+        ),
+        F.row_number().over(w).cast("long").alias("event_seq"),
+    )

@@ -119,12 +119,16 @@ def load_all() -> None:
     # --- NEW this round: curation suite + ORC round-trip --------------------
     import ting_data_etl_spark.operators.curation  # noqa: F401
     import ting_data_etl_spark.sources.orc  # noqa: F401
+    # --- NEW this round: window/rollup/skew/SCD2 additions land via their
+    # family modules; cdc and skew move up because they gained new queries
+    # (temporal/olap are already registered above) -------------------------
+    import ting_data_etl_spark.operators.cdc  # noqa: F401
+    import ting_data_etl_spark.operators.skew  # noqa: F401
     # --- unchanged extension families (green latest-checked rows) ----------
     import ting_data_etl_spark.operators.dedup  # noqa: F401
     import ting_data_etl_spark.operators.text_queries  # noqa: F401
     import ting_data_etl_spark.operators.multimodal  # noqa: F401
     import ting_data_etl_spark.operators.bucketed  # noqa: F401
-    import ting_data_etl_spark.operators.cdc  # noqa: F401
     import ting_data_etl_spark.operators.layout  # noqa: F401
     import ting_data_etl_spark.operators.maintenance  # noqa: F401
     # --- rotated-out stable queries (defer=True) ----------------------------
