@@ -103,3 +103,65 @@ class TestScd2:
                     a.effective_from == b.effective_from
                 )
             assert vs[-1].effective_to == "9999-12-31"
+
+
+class TestPlanShapes:
+    """Shuffle-economy pins for the round-5 additions."""
+
+    def _nexch(self, df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+
+    def test_gopher_and_repetition_are_shuffle_free(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.curation import (
+            text_gopher_quality_rules,
+            text_repetition_metrics,
+        )
+
+        assert self._nexch(text_gopher_quality_rules(spark, sf_dir)) == 0
+        assert self._nexch(text_repetition_metrics(spark, sf_dir)) == 0
+
+    def test_running_value_single_shuffle(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.temporal import (
+            events_user_running_value,
+        )
+
+        assert self._nexch(events_user_running_value(spark, sf_dir)) == 1
+
+    def test_scd2_single_shuffle(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.cdc import cdc_scd2_history
+
+        assert self._nexch(cdc_scd2_history(spark, sf_dir)) == 1
+
+    def test_rollup_one_aggregation_pass(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.olap import (
+            olap_rollup_priority_year,
+        )
+
+        df = olap_rollup_priority_year(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one Expand feeding one shuffle — not three separate aggregations
+        assert plan.count("Expand") == 1
+        assert self._nexch(df) <= 2  # partial/final agg exchange (+AQE read)
+
+    def test_contamination_broadcasts_benchmark(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.curation import (
+            dedup_contamination_check,
+        )
+
+        plan = (
+            dedup_contamination_check(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_salted_join_output_hides_salt(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.skew import (
+            skew_salted_join_revenue,
+        )
+
+        df = skew_salted_join_revenue(spark, sf_dir)
+        assert "__salt" not in df.columns
