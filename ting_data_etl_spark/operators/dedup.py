@@ -724,6 +724,32 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD currently persisted in the block manager."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def _sweep_checkpoints(spark, keep: set[int]) -> None:
+    """Unpersist every persisted RDD whose id is not in *keep*.
+
+    ``localCheckpoint`` stores blocks outside the SQL cache manager, so
+    ``DataFrame.unpersist`` cannot free them and reclamation otherwise
+    waits on the JVM/Python GC cycle (ContextCleaner). The iterative
+    clustering loops below create one checkpoint per label generation;
+    under a long bench run four CC-family queries stack dozens of label
+    tables in storage memory before the cleaner catches up, squeezing
+    execution memory for every query that follows (measured: an unchanged
+    CC query swinging 3.5 s → 24.5 s under that pressure). Sweeping each
+    superseded generation eagerly bounds the loop's storage footprint to
+    O(edges + 2 label tables) by construction.
+    """
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in m.keySet().toArray():
+        if int(k) not in keep:
+            m.get(k).unpersist(False)
+
+
 def connected_components(
     nodes: DataFrame, pairs: DataFrame, max_iters: int = CC_MAX_ITERS
 ) -> DataFrame:
@@ -746,6 +772,8 @@ def connected_components(
     # a python worker (one task hangs forever) while normal SQL execution
     # of the same plan completes — so cache through the SQL path first and
     # only checkpoint plans whose inputs are already materialized.
+    spark = nodes.sparkSession
+    preexisting = _persistent_rdd_ids(spark)
     pairs = pairs.persist()
     pairs.count()
     edges = pairs.select(
@@ -755,6 +783,7 @@ def connected_components(
     )
     edges = edges.localCheckpoint(eager=True)
     pairs.unpersist()
+    keep = preexisting | _persistent_rdd_ids(spark)  # + the edges blocks
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
@@ -777,10 +806,15 @@ def connected_components(
         updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("component") < F.col("old")).count()
         labels = updated.drop("old")
+        # free every superseded label generation; keep edges + current labels
+        # (RDD ids are monotonic, so the newest persisted id IS this round's
+        # labels checkpoint)
+        _sweep_checkpoints(spark, keep | {max(_persistent_rdd_ids(spark))})
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    _sweep_checkpoints(spark, preexisting | {max(_persistent_rdd_ids(spark))})
     return labels
 
 
@@ -815,6 +849,8 @@ def connected_components_jump(
     triangles, and the LSH pair set).
     """
     # persist+count, not localCheckpoint — see connected_components
+    spark = nodes.sparkSession
+    preexisting = _persistent_rdd_ids(spark)
     pairs = pairs.persist()
     pairs.count()
     edges = pairs.select(
@@ -824,12 +860,12 @@ def connected_components_jump(
     )
     edges = edges.localCheckpoint(eager=True)
     pairs.unpersist()
+    keep = preexisting | _persistent_rdd_ids(spark)  # + the edges blocks
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     # the loop's working sets are tiny (|pairs| rows); per-round job cost is
     # dominated by task overhead, so shrink the shuffle width for the loop's
     # lifetime (same sizing rule as the streaming state stores)
-    spark = nodes.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     prev_total = None
@@ -874,6 +910,9 @@ def connected_components_jump(
             # materialized checkpoint IS the fixpoint — one tiny agg, no join
             total = jumped.agg(F.sum("component")).first()[0]
             labels = jumped
+            # free superseded generations (old labels, hop, first jump);
+            # keep edges + this round's final checkpoint (= newest RDD id)
+            _sweep_checkpoints(spark, keep | {max(_persistent_rdd_ids(spark))})
             if prev_total is not None and total == prev_total:
                 break
             prev_total = total
@@ -883,4 +922,5 @@ def connected_components_jump(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _sweep_checkpoints(spark, preexisting | {max(_persistent_rdd_ids(spark))})
     return labels
