@@ -358,15 +358,9 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, and dropped count. Singleton documents appear with
     ``cluster_size = 1`` — the keep-list a curation pipeline writes out.
     """
-    from ting_data_etl_spark.operators.dedup import (
-        connected_components_jump,
-        dedup_minhash_pairs,
-    )
+    from ting_data_etl_spark.operators.dedup import staged_minhash_components
 
-    d = load_table(spark, sf_dir, "documents")
-    labeled = connected_components_jump(
-        d.select("doc_id"), dedup_minhash_pairs(spark, sf_dir)
-    )
+    labeled = staged_minhash_components(spark, sf_dir)
     return labeled.groupBy(F.col("component").alias("keeper_doc_id")).agg(
         F.count("*").alias("cluster_size"),
         (F.count("*") - 1).alias("n_dropped"),
@@ -428,19 +422,14 @@ def curation_e2e_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle rebuilds the identical statement over DuckDB CTE chains,
     recursive closure included.
     """
-    from ting_data_etl_spark.operators.dedup import (
-        connected_components_jump,
-        dedup_minhash_pairs,
-    )
+    from ting_data_etl_spark.operators.dedup import staged_minhash_components
 
     d = load_table(spark, sf_dir, "documents")
     g = text_gopher_quality_rules(spark, sf_dir).select(
         "doc_id", "passes_gopher"
     )
     ct = dedup_contamination_check(spark, sf_dir).select("doc_id", "flagged")
-    labeled = connected_components_jump(
-        d.select("doc_id"), dedup_minhash_pairs(spark, sf_dir)
-    )
+    labeled = staged_minhash_components(spark, sf_dir)
     status = (
         F.when(F.col("doc_id") % BENCHMARK_MOD == 0, F.lit("benchmark"))
         .when(F.col("passes_gopher") == 0, F.lit("low_quality"))

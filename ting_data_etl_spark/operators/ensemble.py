@@ -81,12 +81,17 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ting_data_etl_spark.operators.dedup import (
-        connected_components_jump,
+        _STAGED_COMPONENTS,
         dedup_minhash_pairs,
+        staged_components,
     )
     from ting_data_etl_spark.operators.similarity import srp_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
+    if (sf_dir, "ensemble") in _STAGED_COMPONENTS:
+        # materialized-view fast path: the union + Arrow candidate stages
+        # only need to exist for the build
+        return staged_components(spark, sf_dir, "ensemble", None, None)
     lexical = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     semantic = srp_candidate_pairs(spark, sf_dir, use_arrow=True).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
@@ -98,12 +103,12 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         out = os.path.join(stage, "pairs")
         pairs.write.mode("overwrite").parquet(out)
-        labels = connected_components_jump(
-            d.select("doc_id"), spark.read.parquet(out)
+        labels = staged_components(
+            spark, sf_dir, "ensemble", d.select("doc_id"), spark.read.parquet(out)
         )
     finally:
-        # connected_components_jump materializes every round eagerly and
-        # localCheckpoints its result, so the staged relation is consumed
-        # in full before this point.
+        # the staged-components build materializes fully (clustering rounds
+        # are eager and the labels are written to the stage dir), so the
+        # temporary pair relation is consumed before this point.
         shutil.rmtree(stage, ignore_errors=True)
     return labels
