@@ -182,3 +182,26 @@ class TestBpeTokenCount:
         assert _one(spark, bpe_token_count(F.col("v")), "") == 0
         # whitespace never tokenizes
         assert _one(spark, bpe_token_count(F.col("v")), "   \t\n ") == 0
+
+
+class TestTfidfTopTerms:
+    def test_topk_shape_and_order(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.text_queries import (
+            TFIDF_TOP,
+            text_tfidf_top_terms,
+        )
+
+        rows = text_tfidf_top_terms(spark, sf_dir).collect()
+        assert rows
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc, rs in by_doc.items():
+            assert len(rs) <= TFIDF_TOP
+            assert len({r.token for r in rs}) == len(rs)
+            scores = sorted((r.score for r in rs), reverse=True)
+            assert scores == [r.score for r in sorted(
+                rs, key=lambda r: (-r.score, r.token)
+            )]
+            for r in rs:
+                assert r.tf >= 1 and r.df >= 1

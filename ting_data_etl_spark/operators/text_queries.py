@@ -361,3 +361,81 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(TOP_TOKENS)
     )
+
+
+# --- TF-IDF top terms ------------------------------------------------------
+TFIDF_TOP = 3
+
+_SQL_TFIDF = f"""
+WITH {_SQL_TOKS},
+tf AS (
+  SELECT doc_id, t AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(dfreq.df AS BIGINT) AS df,
+         CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (dfreq.df + 1) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_TOP}
+"""
+
+
+@register("text_tfidf_top_terms", oracle=_SQL_TFIDF)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP} TF-IDF terms per document — the keyword-extraction pass.
+
+    The corpus-statistics join-back shape: term frequency per (doc, token),
+    document frequency derived FROM the tf relation (one extra aggregation
+    over rows already shuffled by token — no second corpus scan), then a
+    rational idf weight ``tf·(N+1)/(df+1)``. The weight stays a single IEEE
+    divide over exact integers so both engines score bit-identically —
+    ``ln``-based idf would differ in the last ULP between libm and DuckDB.
+    Map-side combine keeps both aggregations at |vocab|-scale shuffles; the
+    final per-doc top-k is one row_number window with a total tie-break.
+    """
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs") + 1)
+                / (F.col("df") + 1)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .drop("rn")
+    )
