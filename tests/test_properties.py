@@ -120,3 +120,62 @@ class TestWinnowingProperty:
         for r in fps:
             by_doc[r.doc_id].add(r.fp)
         assert by_doc[1] & by_doc[2], (prefix, shared_n, suffix)
+
+
+# --- curation metric properties --------------------------------------------
+_textish = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "S", "Z", "Cc")
+    ),
+    max_size=200,
+)
+
+
+class TestCurationMetricProperties:
+    """Adversarial-text invariants: metrics never throw (ANSI mode) and stay
+    in their documented ranges for arbitrary unicode input."""
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(_textish, min_size=1, max_size=25))
+    def test_gopher_and_repetition_bounds(self, spark, texts):
+        from ting_data_etl_spark.operators.curation import (
+            text_gopher_quality_rules,
+            text_repetition_metrics,
+        )
+
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            rows = [
+                (i, t, "en", "s", len(t)) for i, t in enumerate(texts)
+            ]
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(tmp, "documents.parquet")
+            )
+            gop = text_gopher_quality_rules(spark, tmp).collect()
+            rep = text_repetition_metrics(spark, tmp).collect()
+        assert len(gop) == len(texts) and len(rep) == len(texts)
+        for r in gop:
+            assert r.n_words >= 0
+            assert r.passes_gopher in (0, 1)
+            if r.n_words == 0:
+                assert r.mean_word_len is None and r.passes_gopher == 0
+            else:
+                assert r.mean_word_len > 0
+                assert 0.0 <= r.alpha_word_frac <= 1.0
+                assert r.symbol_word_ratio >= 0.0
+        for r in rep:
+            if r.n_lines > 0:
+                assert 0.0 <= r.dup_line_frac < 1.0
+            if r.n_bigrams > 0:
+                assert 0.0 < r.top_bigram_frac <= 1.0
+            else:
+                assert r.top_bigram_frac is None
