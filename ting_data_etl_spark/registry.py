@@ -88,13 +88,19 @@ def load_all() -> None:
     registers FIRST, followed by this round's changed families. Round 5
     changed the shared events loader (``sources/tables.py`` ts
     normalization), so every events-touching family — streaming (already
-    §2-first), temporal, olap, quality — sits inside the budget this round;
-    to make room, eight primitives with two consecutive green driver rows
-    (r03+r04) are marked ``defer=True`` and flushed to the back. Families
-    unchanged since their last green driver row register last. Module import
-    order is transitive (an import that pulls in another registering module
-    registers that module's queries at that point), so modules below avoid
-    top-level imports of later families.
+    §2-first), temporal, olap, quality — sits inside the budget this round,
+    and the round's NEW queries (curation suite, ORC, cumulative window,
+    rollup, salted join, SCD2) register next so each gets a first driver
+    row. To make room, fourteen queries with two consecutive green driver
+    rows (eight §2 primitives, three sampling forms, similarity's
+    bucketed-IVF and gated brute force, JSONL, cdc upsert, dq/table-stats,
+    global quantiles) are marked ``defer=True`` and flushed to the back —
+    their green status at this revision is evidenced by the committed
+    ``SWEEP_LOCAL_r05.txt`` full-registry sweep. Families unchanged since
+    their last green driver row register last. Module import order is
+    transitive (an import that pulls in another registering module registers
+    that module's queries at that point), so modules below avoid top-level
+    imports of later families.
     """
     # --- SURVEY §2 spec surface -------------------------------------------
     import ting_data_etl_spark.plans.flagship  # noqa: F401
