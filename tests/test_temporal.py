@@ -69,3 +69,38 @@ class TestRangeActivity:
             for r in tp.events_range_activity(spark, "unused").collect()
         }
         assert got == {1: 0, 2: 1, 3: 0, 4: 2, 5: 2, 6: 0}
+
+
+class TestFunnelAndCohort:
+    def test_funnel_flags_consistent(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.temporal import (
+            events_funnel_user_conversion,
+        )
+
+        rows = events_funnel_user_conversion(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            if r.converted:
+                assert r.first_purchase_us >= r.first_click_us
+                assert r.gap_us == r.first_purchase_us - r.first_click_us
+            else:
+                assert r.first_purchase_us is None and r.gap_us is None
+
+    def test_cohort_offsets_bounded_and_monotone_at_zero(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.temporal import (
+            COHORT_MAX_OFFSET_HR,
+            events_hour_cohort_retention,
+        )
+
+        rows = events_hour_cohort_retention(spark, sf_dir).collect()
+        assert rows
+        by_cohort: dict[int, dict[int, int]] = {}
+        for r in rows:
+            assert 0 <= r.offset_hr <= COHORT_MAX_OFFSET_HR
+            by_cohort.setdefault(r.cohort_hr, {})[r.offset_hr] = (
+                r.n_active_users
+            )
+        for cohort, cells in by_cohort.items():
+            # offset 0 is every cohort member, so it bounds every later cell
+            assert 0 in cells
+            assert all(n <= cells[0] for n in cells.values())

@@ -236,3 +236,111 @@ def events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(w).cast("long").alias("event_seq"),
     )
+
+
+# --- funnel conversion -----------------------------------------------------
+_SQL_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+c AS (
+  SELECT user_id, MIN(us) AS first_click_us
+  FROM ev WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT c.user_id, c.first_click_us, MIN(e.us) AS first_purchase_us
+  FROM c LEFT JOIN ev e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND e.us >= c.first_click_us
+  GROUP BY c.user_id, c.first_click_us
+)
+SELECT user_id, first_click_us, first_purchase_us,
+       CAST(first_purchase_us IS NOT NULL AS INT) AS converted,
+       first_purchase_us - first_click_us AS gap_us
+FROM p
+"""
+
+
+@register("events_funnel_user_conversion", defer=True, oracle=_SQL_FUNNEL)
+def events_funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel per user: first click, first purchase after it.
+
+    The funnel complement to the as-of join above (which matches EVERY
+    purchase to its preceding click): one row per clicking user with the
+    conversion flag and latency the funnel report aggregates. Two map-side-
+    combined MINs plus one equi-join on ``user_id`` (the ``us >=`` bound
+    rides along as a join filter) — no window, no per-event state.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_click_us"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("us").alias("p_us")
+    )
+    p = (
+        c.join(
+            pur,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_us") >= F.col("first_click_us")),
+            "left",
+        )
+        .groupBy("user_id", "first_click_us")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+    )
+    return p.select(
+        "user_id",
+        "first_click_us",
+        "first_purchase_us",
+        F.col("first_purchase_us").isNotNull().cast("int").alias("converted"),
+        (F.col("first_purchase_us") - F.col("first_click_us")).alias("gap_us"),
+    )
+
+
+# --- cohort retention ------------------------------------------------------
+COHORT_MAX_OFFSET_HR = 3
+
+_SQL_COHORT = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr FROM events
+),
+coh AS (SELECT user_id, MIN(hr) AS cohort_hr FROM ev GROUP BY user_id)
+SELECT c.cohort_hr, e.hr - c.cohort_hr AS offset_hr,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM coh c JOIN ev e ON e.user_id = c.user_id
+WHERE e.hr - c.cohort_hr BETWEEN 0 AND {COHORT_MAX_OFFSET_HR}
+GROUP BY 1, 2
+"""
+
+
+@register("events_hour_cohort_retention", defer=True, oracle=_SQL_COHORT)
+def events_hour_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cohort retention: users active N hours after their first hour.
+
+    The cohort matrix behind every retention chart: cohort = each user's
+    first active hour (integer floor-division of epoch micros, exact in both
+    engines), cells = distinct users from that cohort active at offset
+    0..{COHORT_MAX_OFFSET_HR}. The (user, hour) relation is pre-distincted,
+    so the final COUNT(*) is a distinct-user count without an expensive
+    count-distinct; plan is two hash aggregations and one equi-join on
+    ``user_id``.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("hr"),
+        )
+        .distinct()
+    )
+    coh = ev.groupBy("user_id").agg(F.min("hr").alias("cohort_hr"))
+    j = coh.join(ev, "user_id").select(
+        "cohort_hr", (F.col("hr") - F.col("cohort_hr")).alias("offset_hr")
+    )
+    return (
+        j.filter(F.col("offset_hr").between(0, COHORT_MAX_OFFSET_HR))
+        .groupBy("cohort_hr", "offset_hr")
+        .agg(F.count("*").alias("n_active_users"))
+    )
