@@ -51,3 +51,18 @@ class TestExpectations:
             assert rep[name] == 0, name
         assert "unique:l_orderkey:l_linenumber" in rep
         assert len(rep) == 6
+
+
+class TestSketchAccuracy:
+    def test_rel_error_within_contract(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.quality import (
+            stats_sketch_accuracy,
+        )
+
+        rows = {r.metric: r for r in stats_sketch_accuracy(spark, sf_dir).collect()}
+        assert set(rows) == {
+            "distinct_users", "value_p50", "value_p90", "value_p99"
+        }
+        for r in rows.values():
+            assert r.rel_error <= 0.05, (r.metric, r.rel_error)
+            assert r.exact > 0 and r.approx > 0

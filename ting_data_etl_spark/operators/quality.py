@@ -191,3 +191,56 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin")
     )
     return binned.groupBy("bin").agg(F.count("*").alias("n"))
+
+
+# --- sketch accuracy report ------------------------------------------------
+SKETCH_PCTS = [0.5, 0.9, 0.99]
+
+
+@register("stats_sketch_accuracy", defer=True)
+def stats_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches vs exact answers, with measured relative error.
+
+    At 100 TB the observability queries run on sketches — HyperLogLog++
+    distinct counts and KLL/GK quantile sketches — because the exact forms
+    shuffle the full key set. This report computes BOTH in one scan over
+    ``events`` and emits the relative error, so the accuracy contract is a
+    measured number rather than a doc claim (pytest pins rel_error ≤ 5%).
+    Rows-only check by necessity: DuckDB cannot reproduce Spark's sketch
+    internals, and the exact legs are already oracle-covered elsewhere
+    (`prim_distinct_count`, `text_length_quantiles`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aggs = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile("value", SKETCH_PCTS).alias("exact_q"),
+        F.percentile_approx(
+            "value", SKETCH_PCTS, 10_000
+        ).alias("approx_q"),
+    )
+    # one metric struct per row out of the SINGLE agg row — a union of
+    # per-metric selects would re-run the scan+aggregate once per metric
+    metrics = [
+        F.struct(
+            F.lit("distinct_users").alias("metric"),
+            F.col("exact_users").cast("double").alias("exact"),
+            F.col("approx_users").cast("double").alias("approx"),
+        )
+    ] + [
+        F.struct(
+            F.lit(f"value_p{int(p * 100)}").alias("metric"),
+            F.col("exact_q")[i].cast("double").alias("exact"),
+            F.col("approx_q")[i].cast("double").alias("approx"),
+        )
+        for i, p in enumerate(SKETCH_PCTS)
+    ]
+    out = aggs.select(F.explode(F.array(*metrics)).alias("m")).select("m.*")
+    return out.select(
+        "metric",
+        "exact",
+        "approx",
+        (F.abs(F.col("approx") - F.col("exact")) / F.abs(F.col("exact"))).alias(
+            "rel_error"
+        ),
+    )
