@@ -125,3 +125,52 @@ def test_load_events_normalizes_every_encoding(spark, tmp_path, encoding):
     got = sorted(r["ts"] for r in df.select("ts").collect())
     expect = _TS if encoding != "ms_naive" else [t.replace(microsecond=t.microsecond // 1000 * 1000) for t in _TS]
     assert got == expect, f"{encoding}: values drifted: {got} != {expect}"
+
+
+DATE_TOUCHING_QUERIES = [
+    "flagship_pricing_summary",
+    "job_23_1_annual_kpi",
+    "job_23_2_monthly_yoy",
+    "job_25_1_top5_branches",
+    "cdc_scd2_history",
+    "olap_rollup_priority_year",
+    "prim_parse_month",
+    "prim_filter_predicates",
+]
+
+
+def test_date_queries_survive_date32_regeneration(spark, sf_dir, tmp_path):
+    """Round-4 lesson generalized: a testdata regeneration flipped events.ts
+    physical encoding and zeroed 12 queries. The orders/lineitem date
+    columns could flip the same way (timestamp[us] -> date32); every
+    date-touching operator must keep working because it only uses
+    encoding-agnostic functions (year/to_date/date_format), never raw
+    timestamp arithmetic on those columns."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from ting_data_etl_spark.sources.tables import TABLES
+
+    flipped = tmp_path / "sf_date32"
+    flipped.mkdir()
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        date_cols = {
+            "orders": ["o_orderdate"],
+            "lineitem": ["l_shipdate", "l_commitdate", "l_receiptdate"],
+        }.get(t, [])
+        for c in date_cols:
+            if c in tbl.schema.names:
+                i = tbl.schema.get_field_index(c)
+                tbl = tbl.set_column(i, c, tbl.column(i).cast(pa.date32()))
+        pq.write_table(tbl, str(flipped / f"{t}.parquet"))
+
+    qs = entrymod.queries()
+    for name in DATE_TOUCHING_QUERIES:
+        rows = qs[name](spark, str(flipped)).limit(1).collect()
+        assert rows is not None, name
+    shutil.rmtree(flipped, ignore_errors=True)
