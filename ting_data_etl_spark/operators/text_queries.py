@@ -151,7 +151,7 @@ def winnow_fingerprints_df(
     """
     from pyspark.sql import Window
 
-    from ting_data_etl_spark.functions.text import char_ngrams, portable_hash31
+    from ting_data_etl_spark.functions.text import portable_hash31
 
     nrm = docs.select("doc_id", normalize_text(F.col(text_col)).alias("t"))
     n_grams = F.greatest(F.length("t") - (k - 1), F.lit(1))
