@@ -166,15 +166,21 @@ def streaming_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     from ting_data_etl_spark.streaming.windows import stage_events_stream
 
     if sf_dir not in _STAGED_SINK:
-        # v2: path versioned past a pre-durable-staging sink whose input
-        # files were re-minted per process (duplicated appends)
+        from ting_data_etl_spark.streaming.windows import (
+            staged_events_generation,
+        )
+
+        ev = stage_events_stream(spark, sf_dir)
+        # sink state (checkpoint + output) keyed by the staged input's
+        # generation id: a rebuilt stage (new part filenames, same rows)
+        # gets a fresh exactly-once domain instead of appending a second
+        # copy of every event to the previous generation's output
         base = os.path.join(
             tempfile.gettempdir(),
             "ting_stream_parquet_sink_v2",
-            sf_dir.strip("/").replace("/", "_"),
+            f"{sf_dir.strip('/').replace('/', '_')}_{staged_events_generation(sf_dir)}",
         )
         out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
-        ev = stage_events_stream(spark, sf_dir)
         kept = ev.filter(F.col("event_type").isin("purchase", "error")).select(
             "event_id", "ts", "user_id", "event_type", "value"
         )

@@ -61,8 +61,15 @@ def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     batch = load_table(spark, sf_dir, "events")
     if sf_dir not in _STAGED:
+        # stage path keyed by the SOURCE file's (mtime, size) fingerprint: a
+        # testdata regeneration lands at a fresh path instead of being
+        # masked by a stale committed stage (the round-4 failure class)
+        src = os.path.join(sf_dir, "events.parquet")
+        fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
         out = os.path.join(
-            tempfile.gettempdir(), "ting_stream_stage", sf_dir.strip("/").replace("/", "_")
+            tempfile.gettempdir(),
+            "ting_stream_stage",
+            f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
         )
         # durable staging: only write if a committed stage isn't already on
         # disk. Re-staging per process would mint new part filenames, which
@@ -72,6 +79,27 @@ def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch.write.mode("overwrite").parquet(out)
         _STAGED[sf_dir] = out
     return spark.readStream.schema(batch.schema).parquet(_STAGED[sf_dir])
+
+
+def staged_events_generation(sf_dir: str) -> str:
+    """Identity of the CURRENT committed events stage: md5 over its sorted
+    (filename, size) listing.
+
+    Durable downstream sink state (checkpoint + output of the parquet-sink
+    round-trip) is keyed by this, so a rebuilt stage — new part filenames,
+    same logical rows — gets a FRESH sink rather than appending a second
+    copy of every event to one carried over from the previous stage
+    generation.
+    """
+    import hashlib
+
+    stage = _STAGED[sf_dir]
+    names = sorted(
+        f"{n}:{os.path.getsize(os.path.join(stage, n))}"
+        for n in os.listdir(stage)
+        if n.endswith(".parquet")
+    )
+    return hashlib.md5("|".join(names).encode()).hexdigest()[:12]
 
 
 #: State-store partition count for the bounded streaming runs. Unlike batch
