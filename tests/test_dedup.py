@@ -156,3 +156,22 @@ class TestPointerJumpCC:
             for r in connected_components_jump(nodes, pairs).collect()
         }
         assert ref == two
+
+
+class TestGraphStats:
+    def test_counts_consistent(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.dedup import (
+            dedup_minhash_pairs,
+            graph_near_dup_stats,
+        )
+
+        r = graph_near_dup_stats(spark, sf_dir).collect()[0]
+        n_edges = dedup_minhash_pairs(spark, sf_dir).count()
+        assert r.n_edges == n_edges
+        assert r.n_nodes >= r.n_edges * 0 and r.n_nodes > 0
+        assert 0 <= r.n_triangles
+        assert r.n_wedges >= r.n_triangles  # every triangle holds 3 wedges
+        if r.n_wedges > 0:
+            assert 0.0 <= r.clustering_coeff <= 1.0
+        else:
+            assert r.clustering_coeff is None

@@ -979,3 +979,85 @@ def connected_components_jump(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     _sweep_checkpoints(spark, preexisting | {max(_persistent_rdd_ids(spark))})
     return labels
+
+
+# --- near-dup graph statistics ---------------------------------------------
+_SQL_GRAPH_STATS = f"""
+{_SQL_MINHASH_PAIRS_CTE},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+deg AS (SELECT a AS doc_id, COUNT(*) AS degree FROM und GROUP BY a),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM mh_pairs e1
+  JOIN mh_pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN mh_pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_nodes,
+         (SELECT COUNT(*) FROM mh_pairs) AS n_edges,
+         (SELECT n_triangles FROM tri) AS n_triangles,
+         (SELECT COALESCE(SUM(degree * (degree - 1) / 2), 0) FROM deg) AS n_wedges
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN 3.0 * n_triangles / n_wedges END AS clustering_coeff
+FROM agg
+"""
+
+
+@register("graph_near_dup_stats", defer=True, oracle=_SQL_GRAPH_STATS)
+def graph_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape metrics of the near-dup candidate graph, one summary row.
+
+    The observability read on a dedup run: edge count, triangle count
+    (edge-edge-edge join over the ordered pair relation — each triangle
+    counted exactly once as a<b<c), wedge count Σ d·(d−1)/2, and the global
+    clustering coefficient 3·Δ/wedges. A boilerplate-heavy corpus shows up
+    as a spike in clustering before anyone inspects clusters by hand. The
+    pair relation is orders of magnitude smaller than the corpus (post
+    banding + frequency cap), so the triangle join is a small-table
+    self-join, not a corpus-scale operation; all counts are exact integers,
+    the one float is a single division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(spark, sf_dir).persist()
+    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("degree"))
+    e1 = pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    e2 = pairs.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
+    e3 = pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.col("degree") * (F.col("degree") - 1) / 2), F.lit(0.0)
+        )
+        .cast("long")
+        .alias("n_wedges")
+    )
+    row = (
+        d.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+        .crossJoin(wedges)
+    )
+    return row.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            3.0 * F.col("n_triangles") / F.col("n_wedges"),
+        ).alias("clustering_coeff"),
+    )
