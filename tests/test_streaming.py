@@ -286,3 +286,63 @@ class TestForeachBatchUpsert:
         run_dir = os.path.join(fb_base, new_runs.pop())
         gens = [d for d in os.listdir(run_dir) if d.startswith("gen_")]
         assert len(gens) == N_STAGE_FILES  # one merge per staged micro-batch
+
+
+class TestParquetSinkRestart:
+    def test_restart_with_same_checkpoint_is_idempotent(self, spark, sf_dir):
+        """Exactly-once across restarts: re-running the checkpointed sink
+        stream with no new input must commit nothing new, and the read-back
+        profile must equal the batch truth both times."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ting_data_etl_spark.sources.tables import load_table
+        from ting_data_etl_spark.streaming import joins as J
+        from ting_data_etl_spark.streaming.windows import stage_events_stream
+
+        first = {
+            (r.event_type): (r.n_events, r.n_users)
+            for r in J.streaming_parquet_sink_roundtrip(spark, sf_dir).collect()
+        }
+        # simulate a process restart: forget the in-memory staging marker so
+        # the query re-opens the stream against the SAME durable checkpoint
+        out = J._STAGED_SINK.pop(sf_dir)
+        base = os.path.dirname(out)
+        ev = stage_events_stream(spark, sf_dir)
+        kept = ev.filter(
+            F.col("event_type").isin("purchase", "error")
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+        q = (
+            kept.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        J._STAGED_SINK[sf_dir] = out
+        second = {
+            (r.event_type): (r.n_events, r.n_users)
+            for r in spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count_distinct("user_id").cast("long").alias("n_users"),
+            )
+            .collect()
+        }
+        assert first == second
+        truth = {
+            (r.event_type): (r.n_events, r.n_users)
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("purchase", "error"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count_distinct("user_id").cast("long").alias("n_users"),
+            )
+            .collect()
+        }
+        assert first == truth
