@@ -96,8 +96,10 @@ def apply_changes(snapshot: DataFrame, changes: DataFrame) -> DataFrame:
     )
 
 
-_SQL_UPSERT = f"""
-WITH upd AS (
+# CTE chain ending in `v2` (the post-merge snapshot) — composable: used by
+# the upsert oracle below and the snapshot-diff oracle.
+_SQL_UPSERT_CTES = f"""
+upd AS (
   SELECT c_custkey, 'updated-' || c_name AS c_name,
          c_acctbal + 100.0 AS c_acctbal, 'U' AS op
   FROM customer
@@ -119,11 +121,17 @@ m AS (
          c.c_custkey AS ck, c.c_name AS c_name_new, c.c_acctbal AS c_bal_new,
          c.op
   FROM customer s FULL OUTER JOIN changes c ON s.c_custkey = c.c_custkey
-)
-SELECT COALESCE(k, ck) AS c_custkey,
-       CASE WHEN op IN ('I', 'U') THEN c_name_new ELSE s_name END AS c_name,
-       CASE WHEN op IN ('I', 'U') THEN c_bal_new ELSE s_bal END AS c_acctbal
-FROM m WHERE op IS NULL OR op <> 'D'
+),
+v2 AS (
+  SELECT COALESCE(k, ck) AS c_custkey,
+         CASE WHEN op IN ('I', 'U') THEN c_name_new ELSE s_name END AS c_name,
+         CASE WHEN op IN ('I', 'U') THEN c_bal_new ELSE s_bal END AS c_acctbal
+  FROM m WHERE op IS NULL OR op <> 'D'
+)"""
+
+_SQL_UPSERT = f"""
+WITH {_SQL_UPSERT_CTES}
+SELECT c_custkey, c_name, c_acctbal FROM v2
 """
 
 
@@ -184,4 +192,69 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("effective_to"),
         F.col("next_d").isNull().cast("int").alias("is_current"),
+    )
+
+
+# --- snapshot diff (derive the changelog from two table versions) ----------
+_SQL_SNAPSHOT_DIFF = f"""
+WITH {_SQL_UPSERT_CTES},
+d AS (
+  SELECT v1.c_custkey AS k1, v2.c_custkey AS k2,
+         v1.c_name AS n1, v2.c_name AS n2,
+         v1.c_acctbal AS b1, v2.c_acctbal AS b2
+  FROM customer v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+)
+SELECT COALESCE(k2, k1) AS c_custkey,
+       CASE WHEN k1 IS NULL THEN 'I'
+            WHEN k2 IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       n2 AS c_name, b2 AS c_acctbal
+FROM d
+WHERE k1 IS NULL OR k2 IS NULL
+   OR n1 IS DISTINCT FROM n2 OR b1 IS DISTINCT FROM b2
+"""
+
+
+@register("cdc_snapshot_diff", defer=True, oracle=_SQL_SNAPSHOT_DIFF)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the I/U/D changelog from two snapshot versions — CDC inverted.
+
+    The other half of the CDC pair above: ``cdc_upsert_snapshot`` APPLIES a
+    changelog; this recovers one by diffing version v1 (the raw snapshot)
+    against v2 (the post-merge result) with a single full-outer join on the
+    key and a null-safe payload comparison. One shuffle per side; at 100 TB
+    the payload comparison would hash wide rows first (same 16-byte-key
+    trick as the fingerprint dedup) — here the payload is two columns, so
+    direct comparison wins. Pytest pins that the derived changelog equals
+    the original synthesized change batch exactly.
+    """
+    v1 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v2 = apply_changes(v1, synth_changes(v1))
+    a = v1.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("n1"),
+        F.col("c_acctbal").alias("b1"),
+    )
+    b = v2.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("n2"),
+        F.col("c_acctbal").alias("b2"),
+    )
+    d = a.join(b, a["k1"] == b["k2"], "full_outer")
+    changed = (
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | ~F.col("n1").eqNullSafe(F.col("n2"))
+        | ~F.col("b1").eqNullSafe(F.col("b2"))
+    )
+    return d.filter(changed).select(
+        F.coalesce(F.col("k2"), F.col("k1")).alias("c_custkey"),
+        F.when(F.col("k1").isNull(), F.lit("I"))
+        .when(F.col("k2").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("n2").alias("c_name"),
+        F.col("b2").alias("c_acctbal"),
     )
