@@ -465,7 +465,14 @@ def similarity_ivf_kmeans(
 
 # --- SRP-LSH: signed-random-projection bucketed cosine search --------------
 SRP_TABLES = 4  # independent hash tables (the recall knob)
-SRP_BITS = 6  # hyperplanes per table -> 64 buckets/table
+# Hyperplanes per table — THE capacity knob, sized to the corpus: candidate
+# cost per query is ~ N / 2^SRP_BITS per probed bucket, so deployments pick
+# bits ≈ log2(N / target_bucket_size) (target ~32-128 vectors/bucket; e.g.
+# N=1e9 → 23-25 bits), regenerating SRP_SIGNS to that width. 6 bits fits the
+# test corpora (2k vectors → ~31/bucket); it is a CONSTANT, not a formula,
+# because the DuckDB oracle embeds the same planes as literals at import
+# time — retuning is a config change that refits both sides together.
+SRP_BITS = 6
 SRP_DIM = 64  # embedding dimensionality of the corpus
 
 
