@@ -97,11 +97,13 @@ class TestScd2:
             vs.sort(key=lambda r: (r.effective_from, r.version_key))
             currents = [r for r in vs if r.is_current == 1]
             assert len(currents) == 1 and currents[0] is vs[-1]
+            for r in vs:
+                # half-open [from, to): never inverted, even for same-day
+                # versions (which yield an empty interval, by contract)
+                assert r.effective_from <= r.effective_to
             for a, b in zip(vs, vs[1:]):
-                # next version starts the day after the previous one ends
-                assert a.effective_to < b.effective_from or (
-                    a.effective_from == b.effective_from
-                )
+                # each version ends exactly where the next begins
+                assert a.effective_to == b.effective_from
             assert vs[-1].effective_to == "9999-12-31"
 
 

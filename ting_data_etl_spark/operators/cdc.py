@@ -154,7 +154,7 @@ WITH v AS (
 SELECT o_custkey AS custkey,
        o_orderkey AS version_key,
        strftime(d, '%Y-%m-%d') AS effective_from,
-       strftime(COALESCE(next_d - 1, DATE '9999-12-31'), '%Y-%m-%d')
+       strftime(COALESCE(next_d, DATE '9999-12-31'), '%Y-%m-%d')
          AS effective_to,
        CAST(next_d IS NULL AS INT) AS is_current
 FROM v
@@ -167,8 +167,12 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Treats each customer's orders as successive dimension versions (the
     standard SCD2 build from CDC events): one ``lead()`` window per key
-    turns point-in-time changes into [effective_from, effective_to)
-    intervals, with the open interval capped at the 9999-12-31 sentinel and
+    turns point-in-time changes into HALF-OPEN [effective_from,
+    effective_to) intervals — ``effective_to`` is the NEXT version's
+    ``effective_from`` (not next-1), so two versions on the same date
+    yield an empty interval, never an inverted one, and any
+    interval-containment consumer (``from <= d < to``) partitions time
+    correctly. The open interval is capped at the 9999-12-31 sentinel and
     flagged current. One shuffle on the dimension key; the tie-break
     ``(date, orderkey)`` makes version order total, so interval bounds are
     deterministic. Dates travel as ISO strings to keep the cross-engine
@@ -188,7 +192,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("version_key"),
         F.date_format("d", "yyyy-MM-dd").alias("effective_from"),
         F.date_format(
-            F.coalesce(F.date_sub("next_d", 1), F.to_date(F.lit("9999-12-31"))),
+            F.coalesce(F.col("next_d"), F.to_date(F.lit("9999-12-31"))),
             "yyyy-MM-dd",
         ).alias("effective_to"),
         F.col("next_d").isNull().cast("int").alias("is_current"),

@@ -730,8 +730,25 @@ def _persistent_rdd_ids(spark) -> set[int]:
     return {int(k) for k in m.keySet().toArray()}
 
 
-def _sweep_checkpoints(spark, keep: set[int]) -> None:
-    """Unpersist every persisted RDD whose id is not in *keep*.
+def _tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint(eager=True)`` + the exact RDD ids it persisted.
+
+    Diffs the persistent-RDD id set immediately around the checkpoint call,
+    so the caller learns precisely which blocks belong to this generation.
+    The clustering loops below free superseded generations by unpersisting
+    ONLY ids they created themselves — never a global sweep — so a
+    concurrently running query's checkpoint blocks (whose lineage is
+    already truncated and therefore unrecoverable) can never be destroyed
+    by this loop.
+    """
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_rdd_ids(spark) - before
+
+
+def _unpersist_ids(spark, ids: set[int]) -> None:
+    """Unpersist exactly the RDD ids in *ids* (non-blocking).
 
     ``localCheckpoint`` stores blocks outside the SQL cache manager, so
     ``DataFrame.unpersist`` cannot free them and reclamation otherwise
@@ -740,13 +757,13 @@ def _sweep_checkpoints(spark, keep: set[int]) -> None:
     under a long bench run four CC-family queries stack dozens of label
     tables in storage memory before the cleaner catches up, squeezing
     execution memory for every query that follows (measured: an unchanged
-    CC query swinging 3.5 s → 24.5 s under that pressure). Sweeping each
-    superseded generation eagerly bounds the loop's storage footprint to
-    O(edges + 2 label tables) by construction.
+    CC query swinging 3.5 s → 24.5 s under that pressure). Unpersisting
+    each superseded generation eagerly bounds the loop's storage footprint
+    to O(edges + 2 label tables) by construction.
     """
     m = spark.sparkContext._jsc.getPersistentRDDs()
     for k in m.keySet().toArray():
-        if int(k) not in keep:
+        if int(k) in ids:
             m.get(k).unpersist(False)
 
 
@@ -773,7 +790,6 @@ def connected_components(
     # of the same plan completes — so cache through the SQL path first and
     # only checkpoint plans whose inputs are already materialized.
     spark = nodes.sparkSession
-    preexisting = _persistent_rdd_ids(spark)
     pairs = pairs.persist()
     pairs.count()
     edges = pairs.select(
@@ -781,11 +797,10 @@ def connected_components(
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges, edge_ids = _tracked_checkpoint(edges)
     pairs.unpersist()
-    keep = preexisting | _persistent_rdd_ids(spark)  # + the edges blocks
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels, label_ids = _tracked_checkpoint(labels)
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -803,22 +818,57 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated, new_ids = _tracked_checkpoint(updated)
         changed = updated.filter(F.col("component") < F.col("old")).count()
         labels = updated.drop("old")
-        # free every superseded label generation; keep edges + current labels
-        # (RDD ids are monotonic, so the newest persisted id IS this round's
-        # labels checkpoint)
-        _sweep_checkpoints(spark, keep | {max(_persistent_rdd_ids(spark))})
+        # free the superseded label generation — only blocks THIS loop made
+        _unpersist_ids(spark, label_ids)
+        label_ids = new_ids
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
-    _sweep_checkpoints(spark, preexisting | {max(_persistent_rdd_ids(spark))})
+    _unpersist_ids(spark, edge_ids)
     return labels
 
 
 _STAGED_COMPONENTS: dict[tuple[str, str], str] = {}
+
+#: Which input tables each staged-components key derives its labels from.
+#: The stage fingerprint folds every listed table's (mtime, size) — an
+#: embeddings-only testdata regeneration must invalidate the 'ensemble'
+#: stage even though documents.parquet is untouched.
+_STAGE_SOURCES: dict[str, tuple[str, ...]] = {
+    "minhash": ("documents",),
+    "ensemble": ("documents", "embeddings"),
+}
+
+
+def _stage_version_token() -> str:
+    """Constants token folded into the stage fingerprint.
+
+    Any constant that changes the candidate-pair set (and therefore the
+    component labels) must invalidate a durable stage directory — mtime
+    fingerprints only see DATA changes, not CODE changes. Collected lazily
+    so the similarity module (SRP constants, used by the ensemble key) is
+    only imported when a stage is actually built.
+    """
+    from ting_data_etl_spark.operators import similarity as _sim
+
+    parts = (
+        MINHASH_HASHES,
+        MINHASH_BANDS,
+        SHINGLE_N,
+        BAND_FREQUENCY_CAP,
+        SHINGLE_FREQUENCY_CAP,
+        SIMHASH_N_BANDS,
+        _sim.SRP_TABLES,
+        _sim.SRP_BITS,
+        _sim.NEAR_DUP_THRESHOLD,
+    )
+    import hashlib
+
+    return hashlib.md5("_".join(str(p) for p in parts).encode()).hexdigest()[:10]
 
 
 def staged_components(
@@ -841,12 +891,17 @@ def staged_components(
 
     ck = (sf_dir, key)
     if ck not in _STAGED_COMPONENTS:
-        # stage dir keyed by the source table's (mtime, size) fingerprint:
-        # a testdata regeneration invalidates the stage instead of serving
-        # stale labels from a persistent temp dir (the round-4 failure mode
-        # for any durable derived artifact)
-        src = os.path.join(sf_dir, "documents.parquet")
-        fp = f"{key}_{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+        # stage dir keyed by EVERY source table's (mtime, size) fingerprint
+        # plus a constants version token: a testdata regeneration of ANY
+        # input table (embeddings included, for the ensemble key) or a
+        # candidate-generation constant change invalidates the stage
+        # instead of serving stale labels from a persistent temp dir (the
+        # round-4 failure mode for any durable derived artifact)
+        fp_parts = [key, _stage_version_token()]
+        for table in _STAGE_SOURCES.get(key, ("documents",)):
+            src = os.path.join(sf_dir, f"{table}.parquet")
+            fp_parts.append(f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}")
+        fp = "_".join(fp_parts)
         out = os.path.join(
             tempfile.gettempdir(),
             "ting_cc_stage",
@@ -905,7 +960,6 @@ def connected_components_jump(
     """
     # persist+count, not localCheckpoint — see connected_components
     spark = nodes.sparkSession
-    preexisting = _persistent_rdd_ids(spark)
     pairs = pairs.persist()
     pairs.count()
     edges = pairs.select(
@@ -913,11 +967,10 @@ def connected_components_jump(
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges, edge_ids = _tracked_checkpoint(edges)
     pairs.unpersist()
-    keep = preexisting | _persistent_rdd_ids(spark)  # + the edges blocks
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels, label_ids = _tracked_checkpoint(labels)
     # the loop's working sets are tiny (|pairs| rows); per-round job cost is
     # dominated by task overhead, so shrink the shuffle width for the loop's
     # lifetime (same sizing rule as the streaming state stores)
@@ -940,8 +993,9 @@ def connected_components_jump(
                         F.coalesce(F.col("nbr_min"), F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)  # jump self-references this
             )
+            # jump self-references the hop checkpoint
+            hopped, round_ids = _tracked_checkpoint(hopped)
             jumped = hopped
             for _jump in range(2):  # two jumps: path length ~quarters/round
                 ptr = jumped.select(
@@ -959,15 +1013,17 @@ def connected_components_jump(
                             F.coalesce(F.col("p_comp"), F.col("component")),
                         ).alias("component"),
                     )
-                    .localCheckpoint(eager=True)
                 )
+                jumped, jump_ids = _tracked_checkpoint(jumped)
+                round_ids |= jump_ids
             # labels only ever decrease, so an unchanged total sum on the
             # materialized checkpoint IS the fixpoint — one tiny agg, no join
             total = jumped.agg(F.sum("component")).first()[0]
             labels = jumped
-            # free superseded generations (old labels, hop, first jump);
-            # keep edges + this round's final checkpoint (= newest RDD id)
-            _sweep_checkpoints(spark, keep | {max(_persistent_rdd_ids(spark))})
+            # free superseded generations (old labels, hop, first jump) —
+            # only ids this loop created; keep this round's final checkpoint
+            _unpersist_ids(spark, label_ids | (round_ids - jump_ids))
+            label_ids = jump_ids
             if prev_total is not None and total == prev_total:
                 break
             prev_total = total
@@ -977,7 +1033,7 @@ def connected_components_jump(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    _sweep_checkpoints(spark, preexisting | {max(_persistent_rdd_ids(spark))})
+    _unpersist_ids(spark, edge_ids)
     return labels
 
 
@@ -1051,7 +1107,7 @@ def graph_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri)
         .crossJoin(wedges)
     )
-    return row.select(
+    out = row.select(
         "n_nodes",
         "n_edges",
         "n_triangles",
@@ -1061,3 +1117,9 @@ def graph_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             3.0 * F.col("n_triangles") / F.col("n_wedges"),
         ).alias("clustering_coeff"),
     )
+    # eagerly materialize the single summary row, then release the persisted
+    # pair blocks — persisted blocks outliving their query are exactly the
+    # cross-query storage pressure the scale register documents (3.5→24.5 s)
+    result = out.collect()
+    pairs.unpersist()
+    return spark.createDataFrame(result, schema=out.schema)

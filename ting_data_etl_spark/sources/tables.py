@@ -65,11 +65,28 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
     try:
         e = spark.read.parquet(path)
-    except Exception:
-        # TIMESTAMP(NANOS) footer: schema inference itself throws. Only this
-        # legacy encoding needs the nanosAsLong escape hatch.
+    except Exception as ex:
+        # TIMESTAMP(NANOS) footer: schema inference itself throws
+        # ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))" /
+        # PARQUET_TYPE_ILLEGAL, pointing at the nanosAsLong escape hatch).
+        # Only THAT encoding gets the legacy retry — any other failure
+        # (missing file, corrupt footer) re-raises untouched instead of
+        # being masked behind a confusing second error.
+        msg = str(ex)
+        if "NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
+        # The flag must stay set for the session on success: Spark re-reads
+        # it at query-planning time (not here), so restoring it before the
+        # lazy DataFrame executes would re-break the scan. It is inert for
+        # every non-nanos parquet file. Restore only if the retry ALSO
+        # fails, so an unrelated failure doesn't leave the session flipped.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        e = spark.read.parquet(path)
+        try:
+            e = spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+            raise
 
     dt = e.schema["ts"].dataType
     if isinstance(dt, T.LongType):
