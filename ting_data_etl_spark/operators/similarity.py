@@ -266,8 +266,26 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_LISTS = 8  # IVF coarse lists (k)
 KMEANS_ITERS = 3  # coarse quantizers converge fast; more buys little recall
 NPROBE = 3  # lists probed per query (recall/cost knob)
+KMEANS_SAMPLE_MOD = 3  # fit on a deterministic ~1/3 hash-sample
+EMB_DIM = 64  # embedding dimensionality of the corpus (also SRP_DIM below)
 
 _CENTROIDS: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def _vec_sample_hash(col: str = "vec_id") -> F.Column:
+    """60-bit md5 hash of the vector id — exact cross-engine twin.
+
+    DuckDB form: ``CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+    AS BIGINT)``. Replaces ``xxhash64`` (which DuckDB lacks) everywhere the
+    k-means fit needs seeded determinism, so the FIT ITSELF — sample
+    membership and initialization order — is re-derivable in the oracle.
+    """
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+_SQL_VEC_HASH = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
 
 
 def _dist_expr(q, centroid: list[float]) -> F.Column:
@@ -327,44 +345,73 @@ def kmeans_fit(
     vectors: DataFrame,
     k: int = KMEANS_LISTS,
     iters: int = KMEANS_ITERS,
-    sample_mod: int = 3,
-) -> list[list[float]]:
-    """Deterministic Lloyd's k-means over an (id, q: array<long>) DataFrame.
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+) -> list[list[int]]:
+    """Deterministic INTEGER Lloyd's k-means over (id, q: array<long>).
 
     Spark-first shape: each iteration is one codegen pass computing the
     argmin assignment against the broadcast (literal) centroids, then ONE
     shuffle keyed by the k cluster ids for the per-dimension means. The
-    model (k × d doubles) is the only thing that ever reaches the driver —
+    model (k × d ints) is the only thing that ever reaches the driver —
     collecting a model is not a driver-side data loop.
+
+    Every quantity in the fit is EXACT cross-engine arithmetic, so the
+    whole fit has a closed-form SQL twin (the oracle re-derives the model,
+    not just the search):
+
+    * sample membership and init order use the md5 hash
+      (:func:`_vec_sample_hash`), not ``xxhash64`` (DuckDB lacks it);
+    * centroids are INTEGER vectors: init = the k sample vectors with the
+      smallest hash; each update rounds the per-dimension mean to
+      ``floor(float(sum)/n)`` — the same IEEE double division + floor
+      DuckDB computes as ``FLOOR(CAST(SUM(..) AS DOUBLE) / COUNT(*))``
+      (sums of quantized components stay < 2⁵³ up to ~10¹⁰-row fit
+      samples, so the double is the exact integer sum);
+    * distances ``-2·q·c + c·c`` are integer dot products (< 2⁵³),
+      identical under any summation order — the numpy matmul in
+      :func:`nearest_lists_udf`, the Spark HOF fold, and DuckDB's
+      ``list_dot_product`` all produce the same exact value, so argmin
+      (tie → lower list id) matches bit-for-bit.
+
+    Rounding centroids to the int grid perturbs the coarse quantizer by
+    ≤ 0.5 in quantized units (1e-4 of vector scale) — irrelevant for a
+    partitioner, and what buys full-value oracle checkability.
 
     The fit runs on a deterministic ~1/``sample_mod`` hash-sample of the
     corpus, persisted across the Lloyd iterations (a coarse quantizer needs
     the density shape, not every vector — the standard IVF practice at
     scale, where the fit sample is orders of magnitude smaller than the
-    corpus being indexed). Initialization is seeded-deterministic: the k
-    sample vectors with the smallest ``xxhash64(vec_id)``.
+    corpus being indexed).
     """
-    sample = vectors.select("vec_id", "q")
+    import math
+
+    sample = vectors.select("vec_id", "q").withColumn(
+        "h", _vec_sample_hash("vec_id")
+    )
     if sample_mod > 1:
-        sample = sample.filter(F.pmod(F.xxhash64("vec_id"), sample_mod) == 0)
+        sample = sample.filter(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
     # the fit sample is small by construction — pack it into few partitions
     # so each Lloyd iteration spins up a handful of Arrow workers, not one
     # per shuffle partition (on a cluster: one per executor core is ideal)
     sample = sample.coalesce(8).persist()
     try:
         d = sample.select(F.size("q").alias("d")).first().d
-        init = sample.orderBy(F.xxhash64("vec_id"), "vec_id").limit(k).collect()
-        centroids = [[float(x) for x in r.q] for r in init]
+        init = sample.orderBy("h", "vec_id").limit(k).collect()
+        centroids = [[int(x) for x in r.q] for r in init]
         for _ in range(iters):
             assign = nearest_lists_udf(centroids, 1)
             assigned = sample.select(
                 "q", F.element_at(assign(F.col("q")), 1).alias("list_id")
             )
-            means = assigned.groupBy("list_id").agg(
-                *[F.avg(F.col("q")[i]).alias(f"m{i}") for i in range(d)]
+            sums = assigned.groupBy("list_id").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(d)],
             )
             got = {
-                r.list_id: [r[f"m{i}"] for i in range(d)] for r in means.collect()
+                r.list_id: [
+                    math.floor(float(r[f"s{i}"]) / r.n) for i in range(d)
+                ]
+                for r in sums.collect()
             }
             # empty clusters keep their previous centroid (standard Lloyd's)
             centroids = [got.get(i, centroids[i]) for i in range(k)]
@@ -389,9 +436,15 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     key = (sf_dir, KMEANS_LISTS)
     if key not in _CENTROIDS:
         tag = sf_dir.strip("/").replace("/", "_")
+        # v2 = integer-exact md5-seeded fit; the version tag invalidates
+        # durable v1 float-model artifacts left by earlier revisions. The
+        # source (mtime, size) fingerprint invalidates the model on a
+        # testdata regeneration (same rule as dedup.staged_components).
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        src_fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
         path = os.path.join(
             tempfile.gettempdir(),
-            f"ting_ivf_model_{tag}_k{KMEANS_LISTS}_i{KMEANS_ITERS}.json",
+            f"ting_ivf_model_v2_{tag}_{src_fp}_k{KMEANS_LISTS}_i{KMEANS_ITERS}.json",
         )
         if os.path.exists(path):
             with open(path) as f:
@@ -403,7 +456,100 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _CENTROIDS[key]
 
 
-@register("similarity_ivf_kmeans_topk")
+def _sql_lloyd_iter(i: int) -> str:
+    """One unrolled Lloyd iteration as SQL CTEs: c{i-1} → a{i}, m{i}, c{i}.
+
+    Assignment = argmin over the k centroids of the integer-exact
+    ``-2·q·c + c·c`` (ties → lower list id); update = per-dimension
+    ``FLOOR(SUM/COUNT)`` int means, empty clusters keeping their previous
+    centroid — step-for-step the arithmetic of :func:`kmeans_fit`.
+    """
+    prev = f"c{i - 1}"
+    return f"""
+a{i} AS (
+  SELECT s.vec_id, s.q, c.list_id,
+         row_number() OVER (PARTITION BY s.vec_id ORDER BY
+           -2 * list_dot_product(s.q, c.c) + list_dot_product(c.c, c.c),
+           c.list_id) AS rn
+  FROM samp s CROSS JOIN {prev} c
+),
+m{i} AS (
+  SELECT list_id, dim,
+         CAST(FLOOR(CAST(SUM(q[dim]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM a{i} CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim)
+  WHERE rn = 1
+  GROUP BY list_id, dim
+),
+c{i} AS (
+  SELECT c.list_id, COALESCE(mm.c, c.c) AS c
+  FROM {prev} c LEFT JOIN (
+    SELECT list_id, list(m ORDER BY dim) AS c FROM m{i} GROUP BY list_id
+  ) mm ON mm.list_id = c.list_id
+)"""
+
+
+def sql_kmeans_search_ctes(query_pred: str) -> str:
+    """CTE chain re-deriving the ENTIRE IVF pipeline in SQL: fit + search.
+
+    Expects a ``q`` CTE (quantized vectors) in scope; ends in ``ivf_topk``
+    (query_id, neighbor_id, cosine). The k-means model is NOT imported
+    from the Spark side — the oracle refits it from scratch (md5-seeded
+    sample, k smallest-hash init, {KMEANS_ITERS} unrolled integer Lloyd
+    iterations), so a drift anywhere in the fit shows up as a value
+    mismatch, not just a search mismatch.
+    """
+    iters = "\n,".join(_sql_lloyd_iter(i + 1) for i in range(KMEANS_ITERS))
+    return f"""
+samp AS (
+  SELECT vec_id, q, {_SQL_VEC_HASH} AS h
+  FROM q WHERE {_SQL_VEC_HASH} % {KMEANS_SAMPLE_MOD} = 0
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, q AS c
+  FROM (SELECT h, vec_id, q FROM samp ORDER BY h, vec_id LIMIT {KMEANS_LISTS})
+),
+{iters},
+assign AS (
+  SELECT v.vec_id, v.q, c.list_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           -2 * list_dot_product(v.q, c.c) + list_dot_product(c.c, c.c),
+           c.list_id) AS rn
+  FROM q v CROSS JOIN c{KMEANS_ITERS} c
+),
+ivf_corpus AS (
+  SELECT vec_id AS neighbor_id, q AS cv, list_id FROM assign WHERE rn = 1
+),
+ivf_probes AS (
+  SELECT vec_id AS query_id, q AS qv, list_id
+  FROM assign WHERE rn <= {NPROBE} AND ({query_pred})
+),
+ivf_pairs AS (
+  SELECT p.query_id, c.neighbor_id,
+         CASE WHEN sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv)) <> 0
+              THEN list_dot_product(p.qv, c.cv) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+         END AS cosine
+  FROM ivf_probes p JOIN ivf_corpus c
+    ON p.list_id = c.list_id AND c.neighbor_id <> p.query_id
+),
+ivf_topk AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM ivf_pairs
+  ) WHERE rn <= {TOP_K}
+)"""
+
+
+_SQL_IVF_KMEANS = f"""
+WITH {_SQL_QUANT},
+{sql_kmeans_search_ctes(f"vec_id % {QUERY_MOD} = 0")}
+SELECT query_id, neighbor_id, cosine FROM ivf_topk
+"""
+
+
+@register("similarity_ivf_kmeans_topk", oracle=_SQL_IVF_KMEANS)
 def similarity_ivf_kmeans(
     spark: SparkSession, sf_dir: str, query_ids: list[int] | None = None
 ) -> DataFrame:
@@ -415,9 +561,10 @@ def similarity_ivf_kmeans(
     scans the rest of the corpus: the standard IVF layout at 100 TB, where
     the fit runs on a sample and the assignment is one codegen pass.
 
-    Rows-only correctness check (a k-means model has no closed-form SQL
-    twin); ``tests/test_similarity.py`` reports recall@5 against the
-    brute-force oracle-checked baseline.
+    FULL oracle check (r6): the fit is integer-exact and md5-seeded (see
+    :func:`kmeans_fit`), so the oracle refits the identical model in SQL
+    (:func:`sql_kmeans_search_ctes`) and value-hashes the search output —
+    no rows-only weakening.
     """
     centroids = ivf_centroids(spark, sf_dir)
     q = _quantized(spark, sf_dir)
@@ -473,7 +620,7 @@ SRP_TABLES = 4  # independent hash tables (the recall knob)
 # because the DuckDB oracle embeds the same planes as literals at import
 # time — retuning is a config change that refits both sides together.
 SRP_BITS = 6
-SRP_DIM = 64  # embedding dimensionality of the corpus
+SRP_DIM = EMB_DIM  # embedding dimensionality of the corpus
 
 
 def _srp_signs() -> list[list[list[int]]]:
@@ -564,33 +711,48 @@ def _sql_srp_probes() -> str:
     return f"list_value(bucket, {flips})"
 
 
-_SQL_SRP = f"""
-WITH {_SQL_QUANT},
-bq AS (
+def sql_srp_search_ctes(query_pred: str) -> str:
+    """CTE chain for the SRP-LSH multi-probe search in SQL.
+
+    Expects a ``q`` CTE in scope; ends in ``srp_topk`` (query_id,
+    neighbor_id, cosine). Parameterized on the query predicate so the
+    recall-report oracle can restrict the search to its fixed sample.
+    """
+    return f"""
+srp_bq AS (
   SELECT vec_id, q, t, CASE t
            {" ".join(f"WHEN {t} THEN {_sql_srp_bucket(t)}" for t in range(SRP_TABLES))}
          END AS bucket
   FROM q CROSS JOIN (SELECT unnest(range(0, {SRP_TABLES})) AS t)
 ),
-probes AS (
+srp_probes AS (
   SELECT vec_id, q, t, unnest({_sql_srp_probes()}) AS probe
-  FROM bq WHERE vec_id % {QUERY_MOD} = 0
+  FROM srp_bq WHERE {query_pred}
 ),
-pairs AS (
+srp_pairs AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          CASE WHEN sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
               THEN list_dot_product(a.q, b.q) /
                    (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
          END AS cosine
-  FROM probes a JOIN bq b ON a.t = b.t AND a.probe = b.bucket AND b.vec_id <> a.vec_id
-)
-SELECT query_id, neighbor_id, cosine
-FROM (
-  SELECT *, row_number() OVER (
-           PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
-         ) AS rn
-  FROM pairs
-) WHERE rn <= {TOP_K}
+  FROM srp_probes a JOIN srp_bq b
+    ON a.t = b.t AND a.probe = b.bucket AND b.vec_id <> a.vec_id
+),
+srp_topk AS (
+  SELECT query_id, neighbor_id, cosine
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM srp_pairs
+  ) WHERE rn <= {TOP_K}
+)"""
+
+
+_SQL_SRP = f"""
+WITH {_SQL_QUANT},
+{sql_srp_search_ctes(f"vec_id % {QUERY_MOD} = 0")}
+SELECT query_id, neighbor_id, cosine FROM srp_topk
 """
 
 
@@ -1000,7 +1162,59 @@ def _bruteforce_truth_sampled(
     )
 
 
-@register("similarity_recall_report")
+def _sql_recall_report() -> str:
+    """Full-value oracle for the recall report: truth + BOTH ANN legs.
+
+    The sampled exact-truth top-k, the refitted-in-SQL IVF leg
+    (:func:`sql_kmeans_search_ctes`) and the SRP leg
+    (:func:`sql_srp_search_ctes`) are all deterministic integer-exact
+    pipelines, so the report's recall@5 VALUES are hash-checked — the round
+    5 rows-only weakening is gone. Built as a callable only because the
+    string is assembled from the other builders at resolve time.
+    """
+    sample_pred = "vec_id IN (SELECT vec_id FROM sample_ids)"
+    return f"""
+WITH {_SQL_QUANT},
+sample_ids AS (
+  SELECT vec_id FROM q WHERE vec_id % {QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {RECALL_SAMPLE_Q}
+),
+{sql_kmeans_search_ctes(sample_pred)},
+{sql_srp_search_ctes(sample_pred)},
+truth_pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
+              THEN list_dot_product(a.q, b.q) /
+                   (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
+         END AS cosine
+  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM sample_ids)
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM truth_pairs
+  ) WHERE rn <= {TOP_K}
+),
+methods AS (
+  SELECT 'ivf_kmeans' AS method, query_id, neighbor_id FROM ivf_topk
+  UNION ALL
+  SELECT 'srp_lsh' AS method, query_id, neighbor_id FROM srp_topk
+)
+SELECT m.method,
+       CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         / (SELECT COUNT(*) FROM truth) AS recall_at_5
+FROM methods m LEFT JOIN truth t
+  ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+GROUP BY m.method
+"""
+
+
+@register("similarity_recall_report", oracle=_sql_recall_report)
 def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of each ANN variant against sampled brute-force truth.
 
@@ -1015,9 +1229,9 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast anywhere in the plan, no dependence on the brute-force
     baseline's size gate. The ANN legs search only the sampled queries
     (their corpus-side hashing is unchanged — that cost is the index, not
-    the query set). Rows-only check (the IVF leg has a k-means model with
-    no SQL twin); the exact-cosine arithmetic itself is oracle-checked via
-    ``similarity_bruteforce_topk``.
+    the query set). FULL oracle check (r6): with the integer-exact k-means
+    fit, every leg — truth, IVF, SRP — has a SQL twin, so the recall@5
+    values themselves are hash-checked (:func:`_sql_recall_report`).
     """
     sample_ids = _recall_sample_ids(spark, sf_dir)
     truth = (
