@@ -1,0 +1,107 @@
+"""Invariants for the derived driver-budget rotation plan.
+
+These pin the round-6 contract (VERDICT r5, next-round #3): the rotation is
+computed from the committed CORRECTNESS_r*.json history by
+``tools/update_rotation.py``, never hand-maintained, and a query can only
+sit outside the driver window when the history proves it earned that.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ting_data_etl_spark import registry, rotation
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def plan():
+    p = rotation.load_plan()
+    assert p is not None, "rotation plan missing - run tools/update_rotation.py"
+    return p
+
+
+@pytest.fixture(scope="module")
+def loaded_registry():
+    registry.load_all()
+    return dict(registry.QUERIES)
+
+
+class TestPlanDerivation:
+    def test_plan_round_matches_artifact_history(self, plan):
+        _, last_round = rotation.correctness_history(REPO)
+        assert plan["round"] == last_round + 1
+
+    def test_plan_covers_exactly_the_registered_queries(self, plan, loaded_registry):
+        # a query added without regenerating the plan must fail here
+        assert set(plan["order"]) == set(loaded_registry)
+
+    def test_registration_order_equals_plan_order(self, plan, loaded_registry):
+        assert list(loaded_registry) == plan["order"]
+
+    def test_due_queries_lead_the_order(self, plan):
+        due = plan["due"]
+        assert plan["order"][: len(due)] == due
+
+
+class TestRotationInvariants:
+    def test_rotated_out_queries_earned_it(self, plan):
+        """Every non-due query has 2 consecutive green driver rows, a row
+        within MAX_ROW_AGE rounds, and an unchanged implementing module."""
+        hist, _ = rotation.correctness_history(REPO)
+        current = plan["round"]
+        for name in plan["order"]:
+            if name in set(plan["due"]):
+                continue
+            h = hist.get(name, {})
+            rows = sorted(h)
+            assert len(rows) >= 2, f"{name}: rotated out with <2 driver rows"
+            assert h[rows[-1]] == "green" and h[rows[-2]] == "green", (
+                f"{name}: rotated out without 2 consecutive green rows"
+            )
+            assert current - rows[-1] <= plan["max_row_age"], (
+                f"{name}: last driver row round {rows[-1]} too old for "
+                f"round {current}"
+            )
+
+    def test_module_hashes_current(self, plan):
+        """Editing an implementing module without regenerating the plan
+        fails loudly - the stale-evidence failure mode this round closes."""
+        for rel, recorded in plan["module_hash"].items():
+            path = os.path.join(REPO, rel)
+            assert os.path.exists(path), f"{rel}: module file vanished"
+            assert rotation.file_md5(path) == recorded, (
+                f"{rel}: changed since the rotation plan was generated - "
+                "re-run tools/update_rotation.py"
+            )
+
+    def test_failed_or_new_queries_are_due(self, plan):
+        hist, _ = rotation.correctness_history(REPO)
+        due = set(plan["due"])
+        for name in plan["order"]:
+            h = hist.get(name, {})
+            rows = sorted(h)
+            if not rows or h[rows[-1]] == "fail":
+                assert name in due, f"{name}: new/failed but not due"
+
+    def test_staleness_bound_is_enforced_by_is_due(self):
+        # unit-level rule checks, independent of the committed artifacts
+        assert rotation.is_due({}, 6, False)  # never seen
+        assert rotation.is_due({4: "green", 5: "fail"}, 6, False)  # failed
+        assert rotation.is_due({4: "fail", 5: "green"}, 6, False)  # 1 green
+        assert rotation.is_due({2: "green", 3: "green"}, 6, False)  # stale
+        assert rotation.is_due({4: "green", 5: "green"}, 6, True)  # changed
+        assert not rotation.is_due({4: "green", 5: "green"}, 6, False)
+
+    def test_overflow_is_bounded(self, plan):
+        """Due overflow beyond the budget may exist (a cross-cutting round
+        touches many modules) but must clear within one extra round: the
+        overflow must fit in the NEXT round's budget."""
+        overflow = len(plan["due"]) - plan["budget"]
+        assert overflow <= plan["budget"], (
+            f"{overflow} due queries overflow the budget by more than a "
+            "full round - shrink the change surface or raise the budget"
+        )

@@ -79,25 +79,18 @@ def resolve_oracles() -> dict[str, str]:
 
 
 def load_all() -> None:
-    """Import every module that registers queries.
+    """Import every module that registers queries, then apply the rotation plan.
 
     ORDER IS THE CONTRACT: the correctness driver checks registered queries
-    in registration order under a finite (~50) budget, so the SURVEY §2 spec
-    surface — flagship, the seven reference jobs, the primitives, the
-    fan-out/verify composite, streaming, and the CSV/JSONL I/O paths —
-    registers FIRST, followed by this round's changed families. Round 5
-    changed the shared events loader (``sources/tables.py`` ts
-    normalization), so every events-touching family — streaming (already
-    §2-first), temporal, olap, quality — sits inside the budget this round,
-    and the round's NEW queries (curation suite, ORC, cumulative window,
-    rollup, salted join, SCD2) register next so each gets a first driver
-    row. To make room, fourteen queries with two consecutive green driver
-    rows (eight §2 primitives, three sampling forms, similarity's
-    bucketed-IVF and gated brute force, JSONL, cdc upsert, dq/table-stats,
-    global quantiles) are marked ``defer=True`` and flushed to the back —
-    their green status at this revision is evidenced by the committed
-    ``SWEEP_LOCAL_r05.txt`` full-registry sweep. Families unchanged since
-    their last green driver row register last. Module import order is
+    in registration order under a finite (~50) budget. Since round 6 the
+    order is DERIVED, not hand-maintained: ``tools/update_rotation.py``
+    computes ``_rotation_plan.json`` from the committed CORRECTNESS_r*.json
+    history (due queries — new, failed, stale beyond MAX_ROW_AGE rounds, or
+    with a changed implementing module — first; stable green queries cycle
+    behind them), and :func:`_apply_rotation_plan` reorders the registry to
+    match. The invariants are pytest-enforced (``tests/test_rotation.py``).
+    The static ``defer=True`` flags below remain only as the plan-less
+    fallback ordering; the plan overrides them. Module import order is
     transitive (an import that pulls in another registering module registers
     that module's queries at that point), so modules below avoid top-level
     imports of later families.
@@ -139,3 +132,31 @@ def load_all() -> None:
     import ting_data_etl_spark.operators.maintenance  # noqa: F401
     # --- rotated-out stable queries (defer=True) ----------------------------
     flush_deferred()
+    # --- derived driver-window order (overrides the static flags) -----------
+    _apply_rotation_plan()
+
+
+def _apply_rotation_plan() -> None:
+    """Reorder QUERIES to the derived rotation plan's order.
+
+    Names in the plan come first, in plan order; queries registered but
+    absent from the plan (added since the last regeneration) keep their
+    decoration order at the tail — and ``tests/test_rotation.py`` fails
+    until ``tools/update_rotation.py`` is re-run to place them. Disabled
+    via TING_ROTATION_PLAN_DISABLE so the regeneration tool (and any
+    debugging session) can see raw decoration order.
+    """
+    import os
+
+    if os.environ.get("TING_ROTATION_PLAN_DISABLE"):
+        return
+    from ting_data_etl_spark.rotation import load_plan
+
+    plan = load_plan()
+    if not plan:
+        return
+    ordered = [n for n in plan.get("order", []) if n in QUERIES]
+    tail = [n for n in QUERIES if n not in set(ordered)]
+    reordered = {n: QUERIES[n] for n in ordered + tail}
+    QUERIES.clear()
+    QUERIES.update(reordered)

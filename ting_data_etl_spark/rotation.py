@@ -1,0 +1,145 @@
+"""Driver-budget rotation derived from the committed correctness history.
+
+The correctness driver checks registered queries in registration order under
+a finite budget (~50 rows per round), while the registry carries ~100
+queries. Earlier rounds rotated stable queries out of the window by
+hand-maintained ``defer=True`` flags plus prose in ``registry.load_all`` —
+this module replaces that with a DERIVED plan (round-5 verdict, next-round
+item #3): ``tools/update_rotation.py`` recomputes the plan each round from
+the committed ``CORRECTNESS_r*.json`` artifacts and the git diff since the
+last round marker, and ``registry.load_all`` reorders the registry to match.
+
+Rules (mirrored by the invariants test in ``tests/test_rotation.py``):
+
+* a query is DUE for a driver row — ordered to the front, oldest last-row
+  first — when any of:
+  - it has never had a driver row, or its latest driver row FAILED;
+  - it lacks two consecutive green driver rows (new or flaky queries must
+    earn rotation);
+  - its last driver row is more than ``MAX_ROW_AGE`` rounds old (bounded
+    staleness: every query re-enters the window on a fixed cadence);
+  - the module that registers it changed since the last round marker
+    (direct-module rule; cross-cutting changes to shared loaders are
+    caught by the staleness bound within MAX_ROW_AGE rounds, and by the
+    committed full local sweeps every round).
+* all other queries are FRESH and fill the order behind the due set,
+  oldest driver row first, so the budget's slack cycles through them.
+
+The plan file commits the module hashes it derived the decision from, so
+the test fails loudly when code changes without a plan regeneration.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import re
+import sys
+
+DRIVER_BUDGET = 50  # rows the driver's correctness gate records per round
+MAX_ROW_AGE = 2  # max rounds a query may go without a driver row
+PLAN_PATH = os.path.join(os.path.dirname(__file__), "_rotation_plan.json")
+
+
+def correctness_history(repo_root: str) -> tuple[dict[str, dict[int, str]], int]:
+    """Per-query driver-row history: name -> {round: 'green'|'fail'}.
+
+    A row is green when the driver's full hash check passed OR the query is
+    a sanctioned rows-only entry (``err == 'no_oracle'``) — either way the
+    driver looked at it that round.
+    """
+    hist: dict[str, dict[int, str]] = {}
+    rounds: list[int] = []
+    for p in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        rounds.append(rnd)
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
+            hist.setdefault(name, {})[rnd] = "green" if ok else "fail"
+    return hist, (max(rounds) if rounds else 0)
+
+
+def module_file(fn) -> str | None:
+    """Absolute path of the module file that defines *fn* (None if unknown)."""
+    mod = sys.modules.get(getattr(fn, "__module__", ""))
+    f = getattr(mod, "__file__", None)
+    return os.path.abspath(f) if f else None
+
+
+def file_md5(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
+def is_due(history: dict[int, str], current_round: int, mod_changed: bool) -> bool:
+    """Apply the due rules to one query's driver-row history."""
+    rows = sorted(history)
+    if not rows:
+        return True  # never had a driver row
+    if history[rows[-1]] == "fail":
+        return True
+    if len(rows) < 2 or history[rows[-2]] != "green":
+        return True  # hasn't earned rotation: needs 2 consecutive greens
+    if current_round - rows[-1] > MAX_ROW_AGE:
+        return True  # staleness bound
+    return mod_changed
+
+
+def compute_plan(
+    queries: dict, repo_root: str, changed_files: set[str]
+) -> dict:
+    """Derive the full registration order + evidence for the coming round."""
+    hist, last_round = correctness_history(repo_root)
+    current_round = last_round + 1
+    changed_abs = {os.path.abspath(c) for c in changed_files}
+    due: list[tuple[int, str]] = []
+    fresh: list[tuple[int, str]] = []
+    module_of: dict[str, str] = {}
+    module_hash: dict[str, str] = {}
+    for name, fn in queries.items():
+        mf = module_file(fn)
+        rel = os.path.relpath(mf, repo_root) if mf else None
+        module_of[name] = rel
+        if mf and rel not in module_hash:
+            module_hash[rel] = file_md5(mf)
+        h = hist.get(name, {})
+        last_row = max(h) if h else 0
+        if is_due(h, current_round, mf in changed_abs if mf else True):
+            due.append((last_row, name))
+        else:
+            fresh.append((last_row, name))
+    due.sort()
+    fresh.sort()
+    return {
+        "round": current_round,
+        "budget": DRIVER_BUDGET,
+        "max_row_age": MAX_ROW_AGE,
+        "due": [n for _, n in due],
+        "order": [n for _, n in due] + [n for _, n in fresh],
+        "module_of": module_of,
+        "module_hash": module_hash,
+    }
+
+
+def load_plan() -> dict | None:
+    if not os.path.exists(PLAN_PATH):
+        return None
+    try:
+        with open(PLAN_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
