@@ -62,15 +62,49 @@ def main() -> None:
     timings = run_all()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map → committed side file (the driver's tail capture
+    # truncates long lines — BENCH_r04/r05 lost their parsed payload that
+    # way). The FINAL stdout line stays compact: totals + the 10 slowest.
+    try:
+        from ting_data_etl_spark.rotation import load_plan
+
+        rnd = (load_plan() or {}).get("round", 0)
+    except Exception:
+        rnd = 0
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_LOCAL_r{rnd:02d}.json" if rnd else "BENCH_LOCAL.json",
+    )
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "cold_queries": cold,
+                "cold_total_sec": round(sum(cold.values()), 3),
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "cold_total_sec": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "full_map": os.path.basename(full_path),
+                "sf": sf_val,
             }
         )
     )

@@ -135,3 +135,76 @@ class TestLoudFailures:
         assert res.header == [KEY, "a", "a_2"]
         row = res.df.collect()[0]
         assert (row["a"], row["a_2"]) == ("1", "2")
+
+
+class TestMetaPrefixReemission:
+    """Round-6 fuzz (VERDICT r5 #8): adversarial multi-line meta prefixes —
+    embedded delimiters, doubled quotes, CJK, padding — must survive the
+    read → per-store fan-out round trip BYTE-IDENTICAL to the reference's
+    csv.writer re-serialization (fan_out_by_storeid.py:44-47: prefix_rows
+    then the raw header through the same writer the data rows use)."""
+
+    N_SEEDS = 50
+
+    def _expected_prefix(self, meta_rows, raw_header) -> bytes:
+        import io
+
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        for r in meta_rows:
+            w.writerow(r)
+        w.writerow(raw_header)
+        return buf.getvalue().encode("utf-8")
+
+    def test_prefix_byte_identical_over_seeds(self, spark):
+        from ting_data_etl_spark.sinks.fanout import write_fanout_per_store_csv
+        from ting_data_etl_spark.sources.csv_gen import generate_messy_csvs
+
+        base = os.path.join(tempfile.gettempdir(), "ting_meta_fuzz")
+        shutil.rmtree(base, ignore_errors=True)
+        checked_files = 0
+        checked_stores = 0
+        for seed in range(self.N_SEEDS):
+            src = generate_messy_csvs(
+                os.path.join(base, f"src_{seed}"),
+                n_files=1,
+                seed=seed,
+                n_keys=3,
+                min_rows=4,
+                max_rows=8,
+                keyless_every=0,
+                adversarial_meta=True,
+            )[0]
+            res = read_messy_csv(spark, src, key_col=KEY)
+            assert not res.skipped
+            # sidecar capture is exact: csv.reader's own view of the prefix
+            with open(src, newline="", encoding="utf-8") as f:
+                raw_rows = list(csv.reader(f))
+            n_meta = len(res.meta_rows)
+            assert res.meta_rows == raw_rows[:n_meta]
+            assert res.raw_header == raw_rows[n_meta]
+
+            out_dir = os.path.join(base, f"out_{seed}")
+            receipts = write_fanout_per_store_csv(
+                res.df,
+                out_dir,
+                KEY,
+                "data.csv",
+                res.header,
+                res.meta_rows,
+                res.raw_header,
+            ).collect()
+            assert receipts, f"seed {seed}: no stores written"
+            expect = self._expected_prefix(res.meta_rows, res.raw_header)
+            for r in receipts:
+                got = open(
+                    os.path.join(out_dir, r.group_key, "data.csv"), "rb"
+                ).read()
+                assert got.startswith(expect), (
+                    f"seed {seed} store {r.group_key}: prefix not "
+                    f"byte-identical\nexpect {expect!r}\ngot    {got[:len(expect)]!r}"
+                )
+                checked_stores += 1
+            checked_files += 1
+        assert checked_files == self.N_SEEDS
+        assert checked_stores >= self.N_SEEDS  # >=1 store per seeded file

@@ -254,3 +254,60 @@ class TestRecallReportScaleShape:
         for r in rows:
             assert 0.0 <= r.recall_at_5 <= 1.0
             assert r.n_truth <= S.RECALL_SAMPLE_Q * S.TOP_K
+
+
+class TestSrpRetune:
+    """SRP_BITS is a config constant whose documented contract (commit
+    4002d7d) is 'retuning regenerates the planes and refits BOTH sides
+    together'. Exercise the contract instead of just documenting it: at 6
+    bits (the registered config) and at 8 bits, the Spark search and a
+    regenerated DuckDB oracle must stay bit-identical."""
+
+    def _run_both(self, spark, sf_dir):
+        import duckdb
+
+        from ting_data_etl_spark.operators import similarity as S
+
+        sdf = (
+            S.similarity_srp_lsh(spark, sf_dir)
+            .toPandas()
+            .sort_values(["query_id", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+        sql = f"""
+WITH {S._SQL_QUANT},
+{S.sql_srp_search_ctes(f"vec_id % {S.QUERY_MOD} = 0")}
+SELECT query_id, neighbor_id, cosine FROM srp_topk
+"""
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        odf = (
+            con.execute(sql)
+            .df()
+            .sort_values(["query_id", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+        return sdf, odf
+
+    def _assert_match(self, sdf, odf):
+        assert len(sdf) == len(odf) > 0
+        assert sdf["query_id"].tolist() == odf["query_id"].tolist()
+        assert sdf["neighbor_id"].tolist() == odf["neighbor_id"].tolist()
+        for a, b in zip(sdf["cosine"].tolist(), odf["cosine"].tolist()):
+            assert (a != a and b != b) or a == b  # NaN-safe exact
+
+    def test_bits_6_registered_config(self, spark, sf_dir):
+        sdf, odf = self._run_both(spark, sf_dir)
+        self._assert_match(sdf, odf)
+
+    def test_bits_8_retune_refits_both_sides(self, spark, sf_dir, monkeypatch):
+        from ting_data_etl_spark.operators import similarity as S
+
+        monkeypatch.setattr(S, "SRP_BITS", 8)
+        monkeypatch.setattr(S, "SRP_SIGNS", S._srp_signs())
+        sdf, odf = self._run_both(spark, sf_dir)
+        self._assert_match(sdf, odf)
+        # the regenerated planes genuinely are 8 wide per table
+        assert all(len(table) == 8 for table in S.SRP_SIGNS)

@@ -913,22 +913,15 @@ def srp_candidate_pairs(
     """
     q = _quantized(spark, sf_dir)
     if use_arrow:
-        assign = srp_buckets_udf()
-        bq = q.select(
-            "vec_id",
-            "q",
-            "norm",
-            F.posexplode(assign(F.col("q"))).alias("t", "bucket"),
-        )
-    else:
-        bq = q.select(
-            "vec_id",
-            "q",
-            "norm",
-            F.posexplode(
-                F.array(*[srp_bucket(F.col("q"), t) for t in range(SRP_TABLES)])
-            ).alias("t", "bucket"),
-        )
+        return _srp_grouped_pairs(q)
+    bq = q.select(
+        "vec_id",
+        "q",
+        "norm",
+        F.posexplode(
+            F.array(*[srp_bucket(F.col("q"), t) for t in range(SRP_TABLES)])
+        ).alias("t", "bucket"),
+    )
     probes = bq.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
@@ -951,11 +944,7 @@ def srp_candidate_pairs(
         F.col("t").alias("tb"),
         F.col("bucket").alias("cbucket"),
     )
-    cos = (
-        cosine_udf()(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
-        if use_arrow
-        else _cosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
-    )
+    cos = _cosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
     pairs = (
         probes.join(
             corpus,
@@ -970,6 +959,110 @@ def srp_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def _srp_grouped_pairs(q: DataFrame) -> DataFrame:
+    """SRP near-dup pairs via PER-BUCKET grouped matmuls (the Arrow path).
+
+    The r5 plan shipped two 64-dim vectors per CANDIDATE PAIR into the
+    cosine UDF — at sf0.1 that is ~900k pair rows ≈ 930 MB of Arrow
+    traffic for a 2000-vector corpus (measured; the pair join is dense by
+    design at test scale, where 4 tables × 7 probes ÷ 2⁶ buckets covers
+    ~44% of the pair space). This form ships each vector to Python once
+    per (table, bucket) — 1 home row + SRP_BITS probe rows per table,
+    ~30× less Arrow volume — and computes all within-group cosines with
+    one BLAS matmul, emitting only pairs ≥ NEAR_DUP_THRESHOLD.
+
+    Pair-set equivalence with the join form (pytest-pinned): a hamming-0
+    collision appears once as a home/home pair in the shared bucket; a
+    hamming-1 collision appears in exactly two groups (each side's home
+    bucket), and the ``home.vec_id < probe.vec_id`` emission rule keeps
+    exactly the copy where the HOME member has the smaller id. Cosines are
+    the identical exact integer dot products (< 2⁵³, order-independent),
+    so values are bit-equal to the expression form and the SQL oracle.
+    One shuffle (the groupBy), then a distinct over the tiny above-threshold
+    output to merge cross-table duplicates.
+    """
+    import pandas as pd
+
+    threshold = NEAR_DUP_THRESHOLD
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        home = pdf[pdf["is_home"] == 1]
+        if home.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        H = np.vstack(home["q"].to_numpy()).astype(np.float64)
+        hid = home["vec_id"].to_numpy()
+        hn = home["norm"].to_numpy().astype(np.float64)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        if len(home) >= 2:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = (H @ H.T) / np.outer(hn, hn)
+            ii, jj = np.triu_indices(len(hid), k=1)
+            keep = C[ii, jj] >= threshold
+            a, b = hid[ii[keep]], hid[jj[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(C[ii[keep], jj[keep]])
+        probe = pdf[pdf["is_home"] == 0]
+        if not probe.empty:
+            P = np.vstack(probe["q"].to_numpy()).astype(np.float64)
+            pid = probe["vec_id"].to_numpy()
+            pn = probe["norm"].to_numpy().astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = (H @ P.T) / np.outer(hn, pn)
+            mask = (hid[:, None] < pid[None, :]) & (C >= threshold)
+            ii, jj = np.nonzero(mask)
+            out_a.append(hid[ii])
+            out_b.append(pid[jj])
+            out_c.append(C[ii, jj])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    assign = srp_buckets_udf()
+    bq = q.select(
+        "vec_id",
+        "q",
+        "norm",
+        F.posexplode(assign(F.col("q"))).alias("t", "bucket"),
+    )
+    members = bq.select(
+        "t", "bucket", "vec_id", "q", "norm", F.lit(1).alias("is_home")
+    ).unionByName(
+        bq.select(
+            "t",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(SRP_BITS)
+                    ]
+                )
+            ).alias("bucket"),
+            "vec_id",
+            "q",
+            "norm",
+            F.lit(0).alias("is_home"),
+        )
+    )
+    return (
+        members.groupBy("t", "bucket")
+        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cosine double")
+        .distinct()
+    )
 
 
 def sql_srp_pair_ctes() -> str:

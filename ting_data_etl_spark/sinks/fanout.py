@@ -45,3 +45,69 @@ def write_fanout(
     if fmt == "csv":
         writer = writer.option("header", True)
     writer.format(fmt).save(output_dir)
+
+
+def write_fanout_per_store_csv(
+    df: DataFrame,
+    output_dir: str,
+    key_col: str,
+    file_name: str,
+    columns: Sequence[str],
+    meta_rows: Sequence[Sequence[str]],
+    raw_header: Sequence[str],
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Reference-exact fan-out: ``output/{store}/{file_name}`` per key.
+
+    Each store file opens with the SOURCE FILE's meta prefix and header,
+    re-serialized through ``csv.writer`` — byte-for-byte the prefix the
+    reference writes into every fanned-out file (``fan_out_by_storeid.py:
+    44-47``: ``prefix_rows`` then ``header`` through the same writer the
+    data rows use). ``raw_header`` is the header row as parsed (unstripped),
+    ``columns`` the normalized DataFrame column names aligned to it.
+
+    Same distributed shape as :func:`ting_data_etl_spark.sinks.single_file.
+    write_per_group_csv`: one group = one Arrow task = one file, no driver
+    collect; the prefix is a tiny closure constant shipped to every task.
+    Data rows are written in a deterministic (all-columns) sort order.
+    Returns the lazy receipts DataFrame ``(group_key, rows_written)``.
+    """
+    import csv
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("group_key", StringType(), True),
+            StructField("rows_written", LongType(), True),
+        ]
+    )
+    cols = list(columns)
+    prefix_rows = [list(r) for r in meta_rows] + [list(raw_header)]
+
+    def _write_group(pdf):
+        import pandas as pd
+
+        key = str(pdf[key_col].iloc[0]).strip()
+        pdf = pdf.sort_values(cols, kind="mergesort")
+        target_dir = os.path.join(output_dir, key)
+        os.makedirs(target_dir, exist_ok=True)
+        with open(
+            os.path.join(target_dir, file_name), "w", newline="", encoding=encoding
+        ) as f:
+            w = csv.writer(f)
+            for r in prefix_rows:
+                w.writerow(r)
+            for row in pdf[cols].itertuples(index=False):
+                w.writerow(["" if v is None or v != v else v for v in row])
+        return pd.DataFrame({"group_key": [key], "rows_written": [len(pdf)]})
+
+    keyed = df.filter(
+        F.col(key_col).isNotNull()
+        & (F.length(F.trim(F.col(key_col).cast("string"))) > 0)
+    )
+    grouped = keyed.withColumn("_k", F.trim(F.col(key_col)))
+    return grouped.groupBy("_k").applyInPandas(
+        lambda pdf: _write_group(pdf.drop(columns=["_k"])), schema=out_schema
+    )

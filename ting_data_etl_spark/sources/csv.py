@@ -70,20 +70,28 @@ def read_all_string_csv(
 
 @dataclass
 class MessyCsvResult:
-    """A messy-CSV read: data plus the sidecar metadata the sink re-emits."""
+    """A messy-CSV read: data plus the sidecar metadata the sink re-emits.
+
+    ``raw_header`` is the header row exactly as parsed (unstripped,
+    undeduplicated) — the row the reference re-serializes into every
+    fanned-out per-store file (``fan_out_by_storeid.py:44-47``), kept
+    alongside the normalized ``header`` the DataFrame columns use.
+    """
 
     df: DataFrame
     header: list[str]
     meta_rows: list[list[str]] = field(default_factory=list)
+    raw_header: list[str] | None = None
     skipped: bool = False  # True when no header row contained the key column
 
 
 def _scan_header(
     raw: bytes, key_col: str, encoding: str, max_rows: int = 50
-) -> tuple[list[list[str]], list[str] | None, int]:
+) -> tuple[list[list[str]], list[str] | None, list[str] | None, int]:
     """Find the header row (first row containing *key_col*) in a file prefix.
 
-    Returns (meta_rows, header_cells_or_None, header_line_index).
+    Returns (meta_rows, stripped_header_or_None, raw_header_or_None,
+    header_line_index).
     """
     text = raw.decode(encoding, errors="replace")
     reader = csv.reader(io.StringIO(text))
@@ -92,9 +100,9 @@ def _scan_header(
         if i >= max_rows:
             break
         if any(cell.strip() == key_col for cell in row):
-            return meta, [c.strip() for c in row], i
+            return meta, [c.strip() for c in row], row, i
         meta.append(row)
-    return meta, None, -1
+    return meta, None, None, -1
 
 
 def read_messy_csv(
@@ -132,7 +140,7 @@ def read_messy_csv(
         )
     with open(path, "rb") as f:
         raw = f.read(max_scan_bytes)
-    meta, header, header_idx = _scan_header(raw, key_col, encoding)
+    meta, header, raw_header, header_idx = _scan_header(raw, key_col, encoding)
     for row in [*meta, *([header] if header else [])]:
         if any("\n" in cell or "\r" in cell for cell in row):
             raise ValueError(
@@ -182,7 +190,7 @@ def read_messy_csv(
         .select(F.from_csv(F.col("value"), ddl, {"mode": "PERMISSIVE"}).alias("r"))
         .select("r.*")
     )
-    return MessyCsvResult(df=df, header=cols, meta_rows=meta)
+    return MessyCsvResult(df=df, header=cols, meta_rows=meta, raw_header=raw_header)
 
 
 def valid_key_condition(key_col: str) -> F.Column:

@@ -40,6 +40,31 @@ META_ROW_TEMPLATES = [
     ["", ""],
 ]
 
+#: Cell pool for the ADVERSARIAL meta fuzz (round-6 item #8): embedded
+#: delimiters, double quotes (csv doubles them on write), padding, CJK,
+#: empties — every shape a BI tool emits above the header EXCEPT embedded
+#: newlines, which the line-positional reader rejects by contract.
+_ADVERSARIAL_META_CELLS = [
+    "Report generated",
+    "值,含,逗號",  # commas force quoting
+    'quote "inside" cell',
+    '","',
+    "  padded  ",
+    "門市月報表",
+    "",
+    "=SUM(A1:A9)",  # formula-looking cell, must stay inert text
+    "semi;colon",
+    "trailing,",
+]
+
+
+def _adversarial_meta_rows(rng: random.Random) -> list[list[str]]:
+    """0-4 meta rows of 1-5 cells each, drawn from the adversarial pool."""
+    return [
+        [rng.choice(_ADVERSARIAL_META_CELLS) for _ in range(rng.randint(1, 5))]
+        for _ in range(rng.randint(0, 4))
+    ]
+
 
 def _iso_date(rng: random.Random) -> str:
     """ISO date literal in 2018-01-01..2024-12-31 (F8, csv_gen.py:24-28)."""
@@ -108,12 +133,16 @@ def generate_messy_csvs(
     min_cols: int = 3,
     max_cols: int = 8,
     keyless_every: int = 4,
+    adversarial_meta: bool = False,
 ) -> list[str]:
     """Write a seeded messy corpus; returns the file paths (sorted).
 
     Every ``keyless_every``-th file omits the key column entirely — the
     reader contract is to skip those with a warning (reference
-    ``fan_out_by_storeid.py:28-30``).
+    ``fan_out_by_storeid.py:28-30``). ``adversarial_meta`` swaps the tame
+    meta templates for the delimiter/quote-stuffed pool
+    (:func:`_adversarial_meta_rows`) — the fuzz input for the byte-exact
+    prefix re-emission contract (``fan_out_by_storeid.py:44-47``).
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(seed)
@@ -128,8 +157,12 @@ def generate_messy_csvs(
             cols, types = cols[1:], types[1:]
         with open(path, "w", newline="", encoding="utf-8") as f:
             w = csv.writer(f)
-            for t in META_ROW_TEMPLATES[: rng.randint(0, 3)]:
-                w.writerow([c.format(stamp=_iso_date(rng)) for c in t])
+            if adversarial_meta:
+                for t in _adversarial_meta_rows(rng):
+                    w.writerow(t)
+            else:
+                for t in META_ROW_TEMPLATES[: rng.randint(0, 3)]:
+                    w.writerow([c.format(stamp=_iso_date(rng)) for c in t])
             w.writerow(cols)
             for _ in range(rng.randint(min_rows, max_rows)):
                 row = []
