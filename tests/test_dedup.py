@@ -84,6 +84,56 @@ class TestSimhashPairs:
         assert (1, 4, 0) in got  # exact dup pair found at distance 0
 
 
+class TestSimhashRetune:
+    """SIMHASH_BITS is a capacity constant with the same contract as
+    similarity.SRP_BITS: retuning the width regenerates the signature, the
+    band masks, AND the DuckDB oracle together (the register() callables
+    re-read the constant). Exercise it at the registered 32 bits and at the
+    60-bit width the scale runner uses for ≥50k-doc corpora."""
+
+    def _run_both(self, spark, sf_dir):
+        import duckdb
+
+        import ting_data_etl_spark.operators.dedup as dd
+
+        sdf = (
+            dd.dedup_simhash_pairs(spark, sf_dir)
+            .toPandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        odf = (
+            con.execute(dd._sql_simhash_pairs())
+            .df()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        return sdf, odf
+
+    def _assert_match(self, sdf, odf):
+        assert len(sdf) == len(odf) > 0
+        for col in ("doc_a", "doc_b", "hamming"):
+            assert sdf[col].tolist() == odf[col].tolist()
+
+    def test_bits_32_registered_config(self, spark, sf_dir):
+        sdf, odf = self._run_both(spark, sf_dir)
+        self._assert_match(sdf, odf)
+
+    def test_bits_60_retune_refits_both_sides(self, spark, sf_dir, monkeypatch):
+        import ting_data_etl_spark.operators.dedup as dd
+
+        monkeypatch.setattr(dd, "SIMHASH_BITS", 60)
+        sdf, odf = self._run_both(spark, sf_dir)
+        self._assert_match(sdf, odf)
+        # signatures genuinely use the full 60-bit range
+        sigs = dd.dedup_simhash(spark, sf_dir).toPandas()["simhash"]
+        assert int(sigs.max()) >= (1 << 59)
+
+
 class TestConnectedComponents:
     def test_chain_two_components_singleton(self, spark):
         from ting_data_etl_spark.operators.dedup import connected_components

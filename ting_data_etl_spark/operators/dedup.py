@@ -485,17 +485,38 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash (32-bit, nibble-arithmetic portable) --------------------------
-def simhash32(text_col) -> F.Column:
-    """32-bit SimHash from token md5 digests, as a BIGINT.
+#: SimHash signature width — THE capacity knob of the simhash family, sized
+#: to the corpus exactly like ``similarity.SRP_BITS``. The 4-band search
+#: splits the signature into bands of ``SIMHASH_BITS / 4`` bits, so a band
+#: has ``2^(BITS/4)`` distinct bucket values and a corpus of N docs puts
+#: ~``N / 2^(BITS/4)`` docs in each bucket. At 32 bits a band holds 8 bits →
+#: 256 buckets: right-sized for the 5k-doc test corpus (~20 docs/bucket),
+#: SATURATED at ~500k docs (~2000 docs/bucket — every bucket blows past
+#: ``BAND_FREQUENCY_CAP`` and recall collapses; measured in SCALE_r06).
+#: Deployments pick ``BITS ≈ 4·log2(N / target_bucket_size)`` (target 16-64
+#: docs/bucket; e.g. N=500k → 60 bits, the md5-derived maximum here). Beyond
+#: ~2^26 docs, widen past 60 bits by switching the digest to 64-bit halves
+#: of the md5 and raising the band count (8 bands → complete for hamming ≤7).
+#: It is a CONSTANT, not a formula, because the DuckDB oracle embeds the
+#: same width at registration time — retuning is a config change that refits
+#: both sides together (the register() callables below re-read it).
+SIMHASH_BITS = 32
 
-    Per token: first 8 hex chars of md5 → 8 nibbles → 32 bits. Per bit:
-    +1 if set else -1, summed over tokens; sign forms the signature bit.
-    Pure string/integer arithmetic so DuckDB reproduces it exactly.
+
+def simhash32(text_col) -> F.Column:
+    """``SIMHASH_BITS``-bit SimHash from token md5 digests, as a BIGINT.
+
+    Per token: first ``SIMHASH_BITS/4`` hex chars of md5 → nibbles → bits.
+    Per bit: +1 if set else -1, summed over tokens; sign forms the signature
+    bit. Pure string/integer arithmetic so DuckDB reproduces it exactly.
+    (Name kept from the 32-bit original; the width now follows the module
+    constant — max 60 bits so the top bit stays clear of the int64 sign.)
     """
     from ting_data_etl_spark.functions.text import tokens
 
+    bits = SIMHASH_BITS
     toks = tokens(text_col)
-    digests = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 8))
+    digests = F.transform(toks, lambda t: F.substring(F.md5(t), 1, bits // 4))
     def nibble(d, pos):  # value of hex digit at 1-based pos
         return F.conv(F.substring(d, pos, 1), 16, 10).try_cast("int")
 
@@ -510,11 +531,13 @@ def simhash32(text_col) -> F.Column:
         return fn
 
     bit_votes = []
-    for i in range(32):
+    for i in range(bits):
         pos = i // 4 + 1  # hex char index
         shift = 3 - (i % 4)  # bit within nibble, MSB first
         votes = F.aggregate(digests, F.lit(0), vote_fn(pos, shift))
-        bit_votes.append(F.when(votes > 0, F.lit(2 ** (31 - i))).otherwise(F.lit(0)))
+        bit_votes.append(
+            F.when(votes > 0, F.lit(2 ** (bits - 1 - i))).otherwise(F.lit(0))
+        )
     total = bit_votes[0]
     for b in bit_votes[1:]:
         total = total + b
@@ -522,7 +545,7 @@ def simhash32(text_col) -> F.Column:
 
 
 def _sql_simhash_bits() -> str:
-    """SQL twin of :func:`simhash32`: 32 per-bit vote terms summed.
+    """SQL twin of :func:`simhash32`: ``SIMHASH_BITS`` vote terms summed.
 
     Same nibble arithmetic as the Spark side — hex digit at position
     ``i // 4 + 1``, bit ``3 - i % 4`` within the nibble, +1/-1 votes summed
@@ -530,17 +553,22 @@ def _sql_simhash_bits() -> str:
     zero init).
     """
     terms = []
-    for i in range(32):
+    for i in range(SIMHASH_BITS):
         pos = i // 4 + 1
         shift = 3 - (i % 4)
         nib = f"CAST('0x' || substr(d, {pos}, 1) AS BIGINT)"
         vote = f"CASE WHEN ({nib} // {2 ** shift}) % 2 = 1 THEN 1 ELSE -1 END"
         votes = f"coalesce(list_sum(list_transform(digests, d -> {vote})), 0)"
-        terms.append(f"CASE WHEN {votes} > 0 THEN {2 ** (31 - i)} ELSE 0 END")
+        terms.append(
+            f"CASE WHEN {votes} > 0 THEN {2 ** (SIMHASH_BITS - 1 - i)} ELSE 0 END"
+        )
     return " + ".join(terms)
 
 
-_SQL_SIMHASH = f"""
+def _sql_simhash() -> str:
+    """Oracle for the signature query — built at resolve time so a
+    ``SIMHASH_BITS`` retune regenerates it alongside the Spark side."""
+    return f"""
 WITH tok AS (
   SELECT doc_id,
          list_filter(
@@ -550,7 +578,7 @@ WITH tok AS (
   FROM documents
 ),
 dig AS (
-  SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 8)) AS digests
+  SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, {SIMHASH_BITS // 4})) AS digests
   FROM tok
 )
 SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM dig
@@ -570,20 +598,21 @@ def simhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from ting_data_etl_spark.functions.text import tokens
 
+    bits = SIMHASH_BITS
     tok = docs.select(
         "doc_id", F.explode_outer(tokens(F.col(text_col))).alias("t")
     )
-    d8 = tok.select("doc_id", F.substring(F.md5("t"), 1, 8).alias("d"))
-    # 8 hex nibbles computed once, shared by their 4 bit-vote expressions
+    d8 = tok.select("doc_id", F.substring(F.md5("t"), 1, bits // 4).alias("d"))
+    # hex nibbles computed once, shared by their 4 bit-vote expressions
     nibs = d8.select(
         "doc_id",
         *[
             F.conv(F.substring("d", pos, 1), 16, 10).try_cast("int").alias(f"n{pos}")
-            for pos in range(1, 9)
+            for pos in range(1, bits // 4 + 1)
         ],
     )
     votes = []
-    for i in range(32):
+    for i in range(bits):
         pos = i // 4 + 1
         shift = 3 - (i % 4)
         nib = F.col(f"n{pos}")
@@ -595,21 +624,28 @@ def simhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
         votes.append(F.sum(vote).alias(f"v{i}"))
     wide = nibs.groupBy("doc_id").agg(*votes)
     total = F.lit(0).cast("long")
-    for i in range(32):
-        total = total + F.when(F.col(f"v{i}") > 0, F.lit(2 ** (31 - i))).otherwise(
-            F.lit(0)
-        )
+    for i in range(bits):
+        total = total + F.when(
+            F.col(f"v{i}") > 0, F.lit(2 ** (bits - 1 - i))
+        ).otherwise(F.lit(0))
     return wide.select("doc_id", total.alias("simhash"))
 
 
-#: SimHash near-dup search: 4 byte-bands over the 32-bit signature. By
-#: pigeonhole, two signatures within hamming distance ≤ 3 MUST agree on at
-#: least one full byte — so band-join candidates + an exact hamming filter is
-#: a *complete* (not approximate) ≤3-bit near-dup search.
+#: SimHash near-dup search: 4 equal bands over the ``SIMHASH_BITS``-bit
+#: signature. By pigeonhole, two signatures within hamming distance ≤ 3 MUST
+#: agree on at least one full band — so band-join candidates + an exact
+#: hamming filter is a *complete* (not approximate) ≤3-bit near-dup search.
+#: Band width (= the bucket-count capacity knob) follows ``SIMHASH_BITS``.
 SIMHASH_N_BANDS = 4
 SIMHASH_HAMMING_MAX = SIMHASH_N_BANDS - 1
 
-_SQL_SIMHASH_PAIRS = f"""
+
+def _sql_simhash_pairs() -> str:
+    """Oracle for the pairs query — rebuilt at resolve time so a
+    ``SIMHASH_BITS`` retune regenerates bands and masks on both sides."""
+    w = SIMHASH_BITS // SIMHASH_N_BANDS
+    mask = (1 << w) - 1
+    return f"""
 WITH tok AS (
   SELECT doc_id,
          list_filter(
@@ -619,12 +655,12 @@ WITH tok AS (
   FROM documents
 ),
 dig AS (
-  SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 8)) AS digests
+  SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, {SIMHASH_BITS // 4})) AS digests
   FROM tok
 ),
 sig AS (SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM dig),
 bands AS (
-  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS band
+  SELECT doc_id, simhash, j, (simhash >> ({w} * j)) & {mask} AS band
   FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS j)
 ),
 capped AS (
@@ -642,17 +678,22 @@ SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {SIMHASH_HAMMING_MAX}
 """
 
 
-@register("dedup_simhash_pairs", oracle=_SQL_SIMHASH_PAIRS)
+@register("dedup_simhash_pairs", oracle=_sql_simhash_pairs)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-banded LSH + exact hamming ≤ 3 filter.
+    """SimHash near-dup pairs: banded LSH + exact hamming ≤ 3 filter.
 
     Same bucketed plan shape as :func:`dedup_minhash_pairs` — the shuffle
-    carries (band index, byte) keys, :func:`band_frequency_cap` bounds hot
-    buckets, and the hamming verify is one codegen ``bit_count(xor)`` per
+    carries (band index, band value) keys, :func:`band_frequency_cap` bounds
+    hot buckets, and the hamming verify is one codegen ``bit_count(xor)`` per
     candidate. Unlike MinHash-LSH this construction is exact for its radius:
-    4 bands over 32 bits guarantee every ≤3-bit pair shares a band
-    (pigeonhole), so recall is 1.0 by construction.
+    4 bands guarantee every ≤3-bit pair shares a band (pigeonhole), so recall
+    is 1.0 by construction — PROVIDED the per-band bucket space
+    ``2^(SIMHASH_BITS/4)`` is sized to the corpus (see ``SIMHASH_BITS``);
+    an undersized width floods every bucket past ``BAND_FREQUENCY_CAP`` and
+    the cap, correctly protecting the join, drops all recall.
     """
+    w = SIMHASH_BITS // SIMHASH_N_BANDS
+    mask = (1 << w) - 1
     d = load_table(spark, sf_dir, "documents")
     sig = simhash_signatures_df(d)
     bands = sig.select(
@@ -661,7 +702,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255))
+                    F.shiftright(F.col("simhash"), w * j).bitwiseAND(F.lit(mask))
                     for j in range(SIMHASH_N_BANDS)
                 ]
             )
@@ -689,9 +730,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
 
 
-@register("dedup_simhash_signatures", oracle=_SQL_SIMHASH)
+@register("dedup_simhash_signatures", oracle=_sql_simhash)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 32-bit SimHash, oracle-checked bit-for-bit against DuckDB.
+    """Per-doc ``SIMHASH_BITS``-bit SimHash, oracle-checked against DuckDB.
 
     Candidate near-dups then group on the signature (or band it 4×8 bits for
     hamming-distance-≤k search) — both single-shuffle plans.
@@ -862,6 +903,7 @@ def _stage_version_token() -> str:
         BAND_FREQUENCY_CAP,
         SHINGLE_FREQUENCY_CAP,
         SIMHASH_N_BANDS,
+        SIMHASH_BITS,
         _sim.SRP_TABLES,
         _sim.SRP_BITS,
         _sim.NEAR_DUP_THRESHOLD,
