@@ -1,0 +1,134 @@
+"""Physical-plan regression pins for the most expensive bench queries.
+
+VERDICT r05 #5: several point pins existed (bucketed one-Exchange, partition
+pruning, no-UDF); this generalizes them. For each pinned query we extract a
+STRUCTURAL digest of the physical plan — shuffle count, join strategies,
+Python-eval operators, scan count — and diff it against the committed
+``tests/plan_pins.json``. A refactor that reintroduces a shuffle, drops a
+broadcast, or demotes an Arrow UDF to row-at-a-time Python now fails loudly
+with a named feature diff instead of a silent bench regression.
+
+The digest deliberately pins OPERATOR STRUCTURE, not plan text: stable
+across cosmetic Catalyst changes (expression ids, codegen stage numbering),
+sensitive to exactly the physical properties that matter at 100 TB.
+
+Regenerate after an INTENTIONAL plan change:
+    PLAN_PINS_REGEN=1 python -m pytest tests/test_plan_pins.py -q
+then review the committed diff — the point is that plan changes become
+review-visible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+PINS_PATH = os.path.join(os.path.dirname(__file__), "plan_pins.json")
+
+# The bench top-15 non-streaming queries (BENCH_r05 steady pass) plus the
+# flagship. Streaming entries execute their streams at call time and have no
+# single batch plan to pin; their structure is pinned in test_streaming.py.
+PINNED = [
+    "flagship_pricing_summary",
+    "job_23_1_annual_kpi",
+    "job_23_2_monthly_yoy",
+    "job_24_2_branch_month_conversion",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine_pairs",
+    "similarity_bruteforce_topk",
+    "similarity_srp_lsh_topk",
+    "similarity_ivf_kmeans_topk",
+    "text_winnow_fingerprints",
+    "text_repetition_metrics",
+    "text_tfidf_top_terms",
+    "pack_sequences",
+    "table_stats_lineitem",
+    "shard_assignment",
+]
+
+#: feature name -> regex counted over the formatted physical plan. The
+#: Python-eval features distinguish Arrow-vectorized (sanctioned) from
+#: row-at-a-time BatchEvalPython (banned in hot paths — a nonzero count that
+#: was zero in the pin is exactly the regression this file exists to catch).
+FEATURES: dict[str, str] = {
+    "shuffle_hash": r"Exchange hashpartitioning",
+    "shuffle_range": r"Exchange rangepartitioning",
+    "shuffle_single": r"Exchange SinglePartition",
+    "broadcast_exchange": r"BroadcastExchange",
+    "broadcast_hash_join": r"BroadcastHashJoin",
+    "sort_merge_join": r"SortMergeJoin",
+    "shuffled_hash_join": r"ShuffledHashJoin",
+    "nested_loop_join": r"BroadcastNestedLoopJoin",
+    "cartesian_product": r"CartesianProduct",
+    "arrow_eval": r"ArrowEvalPython",
+    "row_python_eval": r"BatchEvalPython",
+    "grouped_map_pandas": r"FlatMapGroupsInPandas\b",
+    "map_in_pandas": r"MapInPandas",
+    "parquet_scans": r"Scan parquet",
+    "window": r"\bWindow\b",
+}
+
+
+def plan_digest(spark, df) -> dict[str, int]:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    text = df._jdf.queryExecution().explainString(mode)
+    return {
+        name: len(re.findall(pat, text)) for name, pat in FEATURES.items()
+    }
+
+
+def _load_pins() -> dict:
+    if not os.path.exists(PINS_PATH):
+        return {}
+    with open(PINS_PATH) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+REGEN = os.environ.get("PLAN_PINS_REGEN") == "1"
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_plan_digest_pinned(name, spark, sf_dir, queries):
+    digest = plan_digest(spark, queries[name](spark, sf_dir))
+    pins = _load_pins()
+    if REGEN:
+        pins[name] = digest
+        with open(PINS_PATH, "w") as f:
+            json.dump(pins, f, indent=1, sort_keys=True)
+        return
+    assert name in pins, (
+        f"no committed pin for {name}; run PLAN_PINS_REGEN=1 pytest "
+        "tests/test_plan_pins.py and commit plan_pins.json"
+    )
+    want = pins[name]
+    diff = {
+        k: (want.get(k, 0), digest.get(k, 0))
+        for k in set(want) | set(digest)
+        if want.get(k, 0) != digest.get(k, 0)
+    }
+    assert not diff, (
+        f"physical plan of {name} changed vs committed pin "
+        f"(feature: (pinned, actual)): {diff} — if intentional, regenerate "
+        "with PLAN_PINS_REGEN=1 and commit the reviewed diff"
+    )
+
+
+def test_no_row_python_eval_anywhere(spark, sf_dir, queries):
+    """Row-at-a-time Python must stay at zero in every pinned plan."""
+    pins = _load_pins()
+    for name in PINNED:
+        if name in pins:
+            assert pins[name].get("row_python_eval", 0) == 0, name
