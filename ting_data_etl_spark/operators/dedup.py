@@ -631,6 +631,87 @@ def simhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return wide.select("doc_id", total.alias("simhash"))
 
 
+# --- incremental dedup: new batch vs indexed corpus ------------------------
+#: The "new crawl" split: docs with doc_id % 5 == 1 play the incoming batch,
+#: the rest the already-indexed corpus. In production the corpus side is a
+#: PERSISTED band index (bucketed by (j, band)); the batch re-signs only its
+#: own documents, so incremental cost is O(|batch|), never O(|corpus|).
+INCR_BATCH_MOD = 5
+INCR_BATCH_REM = 1
+
+_SQL_INCR_MINHASH = f"""
+{_MINHASH_SIG_SQL},
+bands AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(sig,
+           j * {MINHASH_ROWS_PER_BAND} + 1,
+           j * {MINHASH_ROWS_PER_BAND} + {MINHASH_ROWS_PER_BAND}), ',') AS band
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)
+),
+corpus_capped AS (
+  SELECT doc_id, j, band FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY j, band) AS bucket_n
+    FROM bands WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+  ) WHERE bucket_n <= {BAND_FREQUENCY_CAP}
+),
+batch AS (
+  SELECT doc_id, j, band FROM bands
+  WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+),
+hits AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS dup_of
+  FROM batch b JOIN corpus_capped c ON b.j = c.j AND b.band = c.band
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, h.dup_of, h.dup_of IS NOT NULL AS is_dup
+FROM (SELECT DISTINCT doc_id FROM batch) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_SQL_INCR_MINHASH)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe an incoming batch against the indexed corpus (asymmetric LSH).
+
+    The operational form of near-dup dedup at 100 TB: a full self-join over
+    the corpus happens once, at bootstrap; every crawl after that asks "which
+    of these NEW documents already exist?". The corpus's banded signatures
+    are a standing index — here rebuilt from the same table for test
+    determinism, in production a bucketed table partitioned by (j, band) —
+    and the batch side signs only its own rows and equi-joins into that
+    layout: corpus-side cost is a partition-pruned index probe, batch-side
+    cost is O(|batch|), and a small batch broadcasts. The hot-bucket cap is
+    applied to the CORPUS side (boilerplate buckets, same constant as the
+    self-join form) and mirrored in the oracle.
+
+    Output: one row per batch document — ``dup_of`` = smallest matching
+    corpus doc_id (the canonical keeper rule) or NULL, plus ``is_dup``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_df(d)
+    bands = sig.select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
+    )
+    is_batch = F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_REM
+    corpus = band_frequency_cap(bands.filter(~is_batch))
+    batch = bands.filter(is_batch)
+    hits = (
+        batch.alias("b")
+        .join(
+            corpus.alias("c"),
+            (F.col("b.j") == F.col("c.j")) & (F.col("b.band") == F.col("c.band")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("dup_of"))
+    )
+    batch_docs = d.filter(is_batch).select("doc_id")
+    return batch_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+
+
 #: SimHash near-dup search: 4 equal bands over the ``SIMHASH_BITS``-bit
 #: signature. By pigeonhole, two signatures within hamming distance ≤ 3 MUST
 #: agree on at least one full band — so band-join candidates + an exact

@@ -126,6 +126,7 @@ def load_all() -> None:
     # --- unchanged extension families (green latest-checked rows) ----------
     import ting_data_etl_spark.operators.dedup  # noqa: F401
     import ting_data_etl_spark.operators.text_queries  # noqa: F401
+    import ting_data_etl_spark.operators.pii  # noqa: F401
     import ting_data_etl_spark.operators.multimodal  # noqa: F401
     import ting_data_etl_spark.operators.bucketed  # noqa: F401
     import ting_data_etl_spark.operators.layout  # noqa: F401
