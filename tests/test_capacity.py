@@ -1,0 +1,38 @@
+"""Capacity-rule tests: knob recommendations track corpus size correctly."""
+
+from __future__ import annotations
+
+from ting_data_etl_spark import capacity
+
+
+class TestCapacityRules:
+    def test_registered_defaults_at_test_scale(self):
+        """At the driver corpus size the rules reproduce the registered
+        constants — retuning is a no-op until the corpus outgrows them."""
+        from ting_data_etl_spark.operators import dedup, similarity
+
+        rec = capacity.recommend(n_docs=5_000, n_vecs=2_000)
+        assert rec["srp_bits"] == similarity.SRP_BITS == 6
+        assert rec["simhash_bits"] == dedup.SIMHASH_BITS == 32
+        assert rec["kmeans_lists"] == similarity.KMEANS_LISTS == 8
+
+    def test_monotone_nondecreasing(self):
+        sizes = [1_000, 5_000, 50_000, 500_000, 5_000_000, 50_000_000]
+        for knob in ("srp_bits", "simhash_bits", "kmeans_lists"):
+            vals = [capacity.recommend(n, n)[knob] for n in sizes]
+            assert vals == sorted(vals), (knob, vals)
+
+    def test_bucket_occupancy_targets(self):
+        """The recommended widths keep expected bucket occupancy in range."""
+        for n in (50_000, 500_000, 5_000_000):
+            bits = capacity.srp_bits(n)
+            occ = n / 2**bits
+            assert occ <= capacity.SRP_TARGET_BUCKET * 1.01
+            assert occ > capacity.SRP_TARGET_BUCKET / 4
+        for n in (50_000, 200_000):  # below the 60-bit clamp
+            bits = capacity.simhash_bits(n)
+            occ = n / 2 ** (bits // 4)
+            assert occ <= capacity.SIMHASH_TARGET_BUCKET * 1.01
+
+    def test_simhash_clamped_to_md5_safe_max(self):
+        assert capacity.simhash_bits(10**9) == capacity.SIMHASH_MAX_BITS == 60

@@ -1,0 +1,56 @@
+"""Capacity rules: size the sketch/index knobs to the corpus.
+
+Every bucketed operator in the engine has one knob that must track corpus
+size or its buckets saturate and the hot-bucket caps (correctly) destroy
+recall. The rules live here as code — the same function the scale-stress
+harness (``tools/scale_stress.py``, SCALE_r06) applies and measures —
+rather than as docstring folklore:
+
+* ``similarity.SRP_BITS``: candidate cost per ANN query is ~N/2^bits per
+  probed bucket → bits ≈ log2(N / target_bucket) (target 32).
+* ``dedup.SIMHASH_BITS``: the 4-band hamming-≤3 search has 2^(bits/4)
+  bucket values per band → bits ≈ 4·log2(N / target_bucket) (target 20),
+  clamped to [32, 60] (md5-derived, int64-sign-safe maximum).
+* ``similarity.KMEANS_LISTS``: the standard IVF √N list rule, so per-list
+  scan cost and list count balance.
+
+The constants themselves stay MODULE CONSTANTS (not formulas) because the
+DuckDB oracles embed them at registration time — a deployment applies a
+recommendation by setting the constants and letting the register()
+callables refit both engines together (pytest-pinned for simhash 60-bit
+and SRP 8-bit retunes).
+"""
+
+from __future__ import annotations
+
+import math
+
+SRP_TARGET_BUCKET = 32
+SIMHASH_TARGET_BUCKET = 20
+SIMHASH_MIN_BITS = 32
+SIMHASH_MAX_BITS = 60
+
+
+def srp_bits(n_vecs: int) -> int:
+    """Hyperplanes per SRP table for ~SRP_TARGET_BUCKET vectors/bucket."""
+    return max(6, math.ceil(math.log2(max(64, n_vecs) / SRP_TARGET_BUCKET)))
+
+
+def simhash_bits(n_docs: int) -> int:
+    """Signature width for ~SIMHASH_TARGET_BUCKET docs per band bucket."""
+    raw = 4 * math.ceil(math.log2(max(320, n_docs) / SIMHASH_TARGET_BUCKET))
+    return min(SIMHASH_MAX_BITS, max(SIMHASH_MIN_BITS, raw))
+
+
+def kmeans_lists(n_vecs: int) -> int:
+    """IVF coarse-list count: the √N rule (registered 8 at test scale)."""
+    return 8 if n_vecs <= 2_000 else int(math.sqrt(n_vecs))
+
+
+def recommend(n_docs: int, n_vecs: int) -> dict[str, int]:
+    """Knob settings for a corpus of this size (see module docstring)."""
+    return {
+        "srp_bits": srp_bits(n_vecs),
+        "simhash_bits": simhash_bits(n_docs),
+        "kmeans_lists": kmeans_lists(n_vecs),
+    }

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import sys
 import time
@@ -42,25 +41,12 @@ CORPUS_ROOT = "/tmp/scale_corpus"
 
 
 def capacity_config(n_docs: int, n_vecs: int, scale: float) -> dict:
-    """Apply the documented capacity rules for a corpus of this size.
+    """Capacity rules from ``ting_data_etl_spark.capacity``, plus
+    QUERY_MOD = 10·scale — hold the top-k workload at ~200 queries while
+    the corpus scales (per-query cost is the operated metric)."""
+    from ting_data_etl_spark import capacity
 
-    * SRP_BITS ≈ log2(n_vecs / 32) — target ~32 vectors/bucket, min the
-      registered 6 (similarity.py SRP_BITS docstring);
-    * SIMHASH_BITS = 4·ceil(log2(n_docs / 20)) — target ~20 docs per band
-      bucket, clamped to [32, 60] (dedup.py SIMHASH_BITS docstring);
-    * KMEANS_LISTS ≈ sqrt(n_vecs) — the standard IVF list rule; registered
-      8 at test scale;
-    * QUERY_MOD = 10·scale — hold the top-k workload at ~200 queries.
-    """
-    srp_bits = max(6, math.ceil(math.log2(max(64, n_vecs) / 32)))
-    simhash_bits = min(60, max(32, 4 * math.ceil(math.log2(max(320, n_docs) / 20))))
-    kmeans_lists = 8 if n_vecs <= 2_000 else int(math.sqrt(n_vecs))
-    return {
-        "srp_bits": srp_bits,
-        "simhash_bits": simhash_bits,
-        "kmeans_lists": kmeans_lists,
-        "query_mod": int(10 * scale),
-    }
+    return {**capacity.recommend(n_docs, n_vecs), "query_mod": int(10 * scale)}
 
 
 def pair_cap_stats(buckets, cap: int) -> dict:
