@@ -256,6 +256,27 @@ class TestRecallReportScaleShape:
             assert r.n_truth <= S.RECALL_SAMPLE_Q * S.TOP_K
 
 
+class TestKmeansListsRetune:
+    def test_retuned_lists_actually_fit_that_many(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """A KMEANS_LISTS retune must reach the fit itself.
+
+        Regression for the def-time-default bug the SCALE_r06 run caught:
+        ``kmeans_fit(k=KMEANS_LISTS)`` froze the import-time 8, so a
+        retuned deployment built an 8-list index while the cache key and
+        artifact filename claimed the retuned k — searches then scanned
+        N/8-vector lists at corpus scale.
+        """
+        from ting_data_etl_spark.operators import similarity as S
+
+        monkeypatch.setattr(S, "KMEANS_LISTS", 12)
+        monkeypatch.setattr(S, "_CENTROIDS", {})
+        model = S.ivf_centroids(spark, sf_dir)
+        assert len(model) == 12
+        assert all(len(c) == len(model[0]) for c in model)
+
+
 class TestSrpRetune:
     """SRP_BITS is a config constant whose documented contract (commit
     4002d7d) is 'retuning regenerates the planes and refits BOTH sides

@@ -450,7 +450,13 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             with open(path) as f:
                 _CENTROIDS[key] = json.load(f)
         else:
-            _CENTROIDS[key] = kmeans_fit(_quantized(spark, sf_dir))
+            # k passed EXPLICITLY: kmeans_fit's `k=KMEANS_LISTS` default
+            # binds the import-time value, so a capacity retune of the
+            # module constant would otherwise fit 8 lists while the cache
+            # key and artifact name claim the retuned k (caught by the
+            # SCALE_r06 run: a "447-list" 200k-vector index was an 8-list
+            # fit and searches scanned 25k-vector lists).
+            _CENTROIDS[key] = kmeans_fit(_quantized(spark, sf_dir), k=KMEANS_LISTS)
             with open(path, "w") as f:
                 json.dump(_CENTROIDS[key], f)
     return _CENTROIDS[key]
