@@ -1119,6 +1119,39 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_candidate_pairs(spark, sf_dir, use_arrow=True)
 
 
+#: The strict ("remove these") threshold, vs NEAR_DUP_THRESHOLD's loose
+#: ("mine these") floor. SCALE_r06 measured why they are different
+#: operators: at 0.3 a label-clustered corpus emits its own cluster
+#: structure (36.6M pairs at the 200k-vector corpus — similarity mining),
+#: while a strict cut emits only the true duplicate set (planted copies:
+#: 4,000 of 4,000 found at >=0.9, zero false positives) and grows linearly
+#: with N. The value is deployment config, set to the corpus's noise floor:
+#: real embedding models cluster duplicates above ~0.9; this synthetic
+#: corpus's distribution tops out lower (max pair cosine 0.48/0.51/0.60 at
+#: sf0.001/0.01/0.1), so 0.45 plays that role here — strictly above the
+#: random-pair mass, keeping the driver evidence non-trivial at every sf.
+STRICT_DUP_THRESHOLD = 0.45
+
+_SQL_NEAR_PAIRS_STRICT = f"""
+WITH {sql_srp_pair_ctes()}
+SELECT vec_a, vec_b, cosine FROM cos_pairs WHERE cosine >= {STRICT_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_strict_pairs", oracle=_SQL_NEAR_PAIRS_STRICT)
+def dedup_embedding_strict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding duplicate pairs at the strict removal threshold.
+
+    Same SRP-candidate plan as :func:`dedup_embedding_pairs`; the stricter
+    verify is a post-filter, so the two queries share every expensive stage
+    and differ only in emission volume — linear here (the actual duplicate
+    set) vs corpus-structure-dependent at the mining floor (SCALE_r06.md).
+    """
+    return srp_candidate_pairs(spark, sf_dir, use_arrow=True).filter(
+        F.col("cosine") >= STRICT_DUP_THRESHOLD
+    )
+
+
 # --- per-label embedding statistics (grouped-map applyInPandas) ------------
 _SQL_LABEL_STATS = f"""
 WITH {_SQL_QUANT},
