@@ -48,6 +48,12 @@ PINNED = [
     "pack_sequences",
     "table_stats_lineitem",
     "shard_assignment",
+    # round-6 additions
+    "dedup_incremental_minhash",
+    "dedup_embedding_strict_pairs",
+    "text_pii_scan",
+    "text_pii_redact",
+    "olap_monthly_from_daily_rollup",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The
