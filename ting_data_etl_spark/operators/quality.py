@@ -244,3 +244,63 @@ def stats_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     )
+
+
+# --- hourly event-rate anomaly detection (exact integer z-test) ------------
+#: Flag hours whose event count deviates from the type's hourly mean by
+#: more than ANOMALY_SIGMA standard deviations. The z-test is evaluated in
+#: EXACT integer arithmetic — (n·c − S)² > σ²·(n·S2 − S²) is the
+#: cleared-denominator form of (c − mean)² > σ²·var — so the flag (and the
+#: whole result) is bit-identical across engines: no float mean, no float
+#: stddev, no tolerance. Counts are BIGINT; at 10⁶ hourly events and 10⁵
+#: hours the largest term (n·c)² stays < 2⁶² — beyond that, promote the
+#: comparison to DECIMAL(38,0) on both sides.
+ANOMALY_SIGMA = 2
+
+_SQL_RATE_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hr, h.c, t.n, t.s
+FROM hourly h JOIN stats t ON h.event_type = t.event_type
+WHERE (t.n * h.c - t.s) * (t.n * h.c - t.s)
+      > {ANOMALY_SIGMA * ANOMALY_SIGMA} * (t.n * t.s2 - t.s * t.s)
+"""
+
+
+@register("events_rate_anomalies", oracle=_SQL_RATE_ANOMALIES)
+def events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event rate is a >2σ outlier for the event type.
+
+    Two aggregations (hour grain, then type grain) plus one broadcast-sized
+    join back — the monitoring staple over a 100 TB event log, where the
+    hourly relation is ~10⁵ rows regardless of fact-table size, so
+    everything after the first aggregate is driver-trivial. The σ-test
+    clears denominators into pure BIGINT arithmetic (see ANOMALY_SIGMA)
+    to stay engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hr"),
+    ).agg(F.count("*").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return j.filter(dev * dev > ANOMALY_SIGMA * ANOMALY_SIGMA * var_n2).select(
+        "event_type", "hr", "c", "n", "s"
+    )
