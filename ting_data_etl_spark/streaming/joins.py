@@ -137,6 +137,44 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "complete")
 
 
+_SQL_STREAM_DEDUP_TTL = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_sum_exact("value", 6)} AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_dedup_ttl_state", oracle=_SQL_STREAM_DEDUP_TTL)
+def streaming_dedup_ttl_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-bounded streaming dedup: ``dropDuplicatesWithinWatermark``.
+
+    The harder at-least-once delivery model: the duplicate delivery carries
+    a JITTERED event time (+30 s here — retries restamped by the producer),
+    so ``dropDuplicates(["event_id", "ts"])`` (the exactly-once query
+    above) would count it twice, and ``dropDuplicates(["event_id"])`` would
+    grow state forever. ``dropDuplicatesWithinWatermark`` dedupes on the
+    business key alone while evicting each key's state one watermark delay
+    after its event time — bounded state AND key-only dedup, the production
+    contract for restamped retries. Totals must equal the batch truth over
+    the ORIGINAL events; the jitter (well inside the 10-minute watermark)
+    must be invisible.
+    """
+    original = stage_events_stream(spark, sf_dir)
+    jittered = stage_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
+    )
+    doubled = original.unionByName(jittered)
+    dd = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = dd.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        sum_exact("value", scale=6).alias("total_value"),
+    )
+    return run_stream_to_table(agg, "complete")
+
+
 # --- parquet file sink round-trip (exactly-once sink metadata) -------------
 _STAGED_SINK: dict[str, str] = {}
 
