@@ -227,11 +227,13 @@ def run_scale(spark, scale: float) -> dict:
         names = [
             "dedup_exact",
             "dedup_minhash_lsh_pairs",
+            "dedup_incremental_minhash",
             "dedup_simhash_pairs",
             "dedup_ngram_jaccard_pairs",
             "dedup_connected_components",
             "dedup_keep_canonical",
             "dedup_embedding_cosine_pairs",
+            "dedup_embedding_strict_pairs",
             "similarity_srp_lsh_topk",
             "similarity_ivf_kmeans_topk",
             "graph_near_dup_stats",
