@@ -179,3 +179,73 @@ class TestCurationMetricProperties:
                 assert 0.0 < r.top_bigram_frac <= 1.0
             else:
                 assert r.top_bigram_frac is None
+
+
+class TestPiiRegexParity:
+    """The PII patterns claim Java-regex (Spark) and RE2 (DuckDB) semantic
+    identity. Fuzz the claim: over adversarial generated text, per-pattern
+    match COUNTS and the fully REDACTED STRING must agree between engines.
+    """
+
+    _piiish = st.lists(
+        st.one_of(
+            st.text(
+                alphabet="abzAZ09._%+-@ \t", max_size=24
+            ),  # near-miss soup around the email alphabet
+            st.from_regex(
+                r"[a-z]{1,8}[._%+-]?[a-z0-9]{0,4}@[a-z0-9]{1,6}(\.[a-z]{1,4}){1,2}",
+                fullmatch=True,
+            ),
+            st.from_regex(
+                r"[0-9]{1,4}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,4}", fullmatch=True
+            ),
+            st.from_regex(r"[0-9]{8,17}", fullmatch=True),
+            st.text(alphabet="0123456789. wx@", max_size=20),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(_piiish)
+    def test_counts_and_redaction_match_duckdb(self, spark, values):
+        import duckdb
+
+        import ting_data_etl_spark.operators.pii as pii
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "i long, t string"
+        )
+        got = {
+            r.i: (r.ne, r.ni, r.np, r.red)
+            for r in df.select(
+                "i",
+                F.regexp_count("t", F.lit(pii.EMAIL_RE)).alias("ne"),
+                F.regexp_count("t", F.lit(pii.IPV4_RE)).alias("ni"),
+                F.regexp_count("t", F.lit(pii.PHONE_RE)).alias("np"),
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace("t", pii.EMAIL_RE, "<EMAIL>"),
+                        pii.IPV4_RE,
+                        "<IP>",
+                    ),
+                    pii.PHONE_RE,
+                    "<PHONE>",
+                ).alias("red"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        for i, v in enumerate(values):
+            ne, ni, np_, red = con.execute(
+                f"""SELECT len(regexp_extract_all(?, '{pii.EMAIL_RE}')),
+                           len(regexp_extract_all(?, '{pii.IPV4_RE}')),
+                           len(regexp_extract_all(?, '{pii.PHONE_RE}')),
+                           regexp_replace(regexp_replace(regexp_replace(
+                             ?, '{pii.EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{pii.IPV4_RE}', '<IP>', 'g'),
+                             '{pii.PHONE_RE}', '<PHONE>', 'g')""",
+                [v, v, v, v],
+            ).fetchone()
+            assert got[i] == (ne, ni, np_, red), (v, got[i], (ne, ni, np_, red))
