@@ -248,10 +248,17 @@ def run_scale(spark, scale: float) -> dict:
         results: dict = {}
         found: dict = {}
         for name in names:
+            # time a noop WRITE (full plan execution, same action as
+            # bench.py) — count() is NOT a valid timing action here:
+            # Catalyst legally eliminates a left join under count when the
+            # right side is key-unique, so e.g. dedup_incremental_minhash's
+            # entire signature+band pipeline would be optimized away
+            # (measured: 0.6 s "runtime" at x100)
             t0 = time.time()
             df = qs[name](spark, sf_dir)
-            rows = df.count()
-            results[name] = {"sec": round(time.time() - t0, 1), "rows": rows}
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t0, 1)
+            results[name] = {"sec": sec, "rows": qs[name](spark, sf_dir).count()}
             if name in (
                 "dedup_minhash_lsh_pairs",
                 "dedup_embedding_cosine_pairs",
