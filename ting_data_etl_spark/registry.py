@@ -118,6 +118,7 @@ def load_all() -> None:
     # --- NEW this round: curation suite + ORC round-trip --------------------
     import ting_data_etl_spark.operators.curation  # noqa: F401
     import ting_data_etl_spark.sources.orc  # noqa: F401
+    import ting_data_etl_spark.sources.textfile  # noqa: F401
     # --- NEW this round: window/rollup/skew/SCD2 additions land via their
     # family modules; cdc and skew move up because they gained new queries
     # (temporal/olap are already registered above) -------------------------

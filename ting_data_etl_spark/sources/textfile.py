@@ -1,0 +1,97 @@
+"""Raw text source/sink round-trip — one document per line, gzip shards.
+
+The third interchange format after JSONL and ORC (SURVEY §2.1 S-series
+extended): plain ``.txt.gz`` shards are still the lingua franca of crawl
+dumps and tokenizer pipelines. Spark's ``text`` source reads them with
+transparent decompression; records are ``doc_id<TAB>text`` lines, split
+back with one codegen ``substring_index`` pair.
+
+Scale note: gzip is NOT splittable — a 100 TB estate sizes shard files to
+the intended partition granularity (one task per file, the standard crawl
+layout) or uses a splittable codec; the shard count here plays that role.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ting_data_etl_spark.registry import register
+from ting_data_etl_spark.sources.jsonl import _content_hash
+from ting_data_etl_spark.sources.tables import load_table
+
+_STAGED_TXT: dict[str, str] = {}
+
+TXT_SHARDS = 8
+
+
+def write_text_shards(df: DataFrame, path: str, shards: int = TXT_SHARDS) -> None:
+    """Write (doc_id, text) as gzip text shards, one TAB-joined doc/line."""
+    (
+        df.select(
+            F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+                "value"
+            )
+        )
+        .repartition(shards)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )
+
+
+def read_text_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read the shards back into (doc_id, text) — one split per line."""
+    raw = spark.read.text(path)
+    return raw.select(
+        F.substring_index("value", "\t", 1).try_cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+
+
+def stage_documents_text(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _STAGED_TXT:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "ting_txt_stage",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        write_text_shards(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"), out
+        )
+        _STAGED_TXT[sf_dir] = out
+    return _STAGED_TXT[sf_dir]
+
+
+_SQL_TXT_PROFILE = """
+SELECT doc_id % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000000) AS BIGINT)
+         AS content_checksum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("text_source_roundtrip", oracle=_SQL_TXT_PROFILE)
+def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → gzip text shards → read back → bucketed checksums.
+
+    Same order-independent content-checksum contract as the JSONL/ORC
+    twins: the oracle computes the profile straight from parquet, so a
+    dropped line, a mangled split, or an id/text mismatch anywhere in the
+    text writer+reader breaks the value hash. Ten id-buckets keep the
+    comparison multi-row without depending on shard assignment.
+    """
+    back = read_text_shards(spark, stage_documents_text(spark, sf_dir))
+    return back.groupBy(F.pmod("doc_id", F.lit(10)).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(_content_hash(F.col("text"))).cast("long").alias("content_checksum"),
+    )
