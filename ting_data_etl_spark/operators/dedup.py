@@ -1038,6 +1038,45 @@ def staged_components(
     return spark.read.parquet(_STAGED_COMPONENTS[ck])
 
 
+_STAGED_PAIRS: dict[str, str] = {}
+
+
+def staged_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized MinHash candidate-pair relation (write-once artifact).
+
+    The pair relation is the other standing artifact of a dedup run (the
+    labels table being the first): the clustering build, the keeper
+    selection AND the graph-shape observability read all consume it.
+    Staging it once gives each consumer a narrow parquet scan instead of
+    re-running signature + band join — and feeding the iterative CC loop
+    from a parquet scan keeps Arrow-UDF stages out of checkpointed plans
+    (the wedge hazard ``connected_components`` documents). Fingerprinted
+    exactly like the labels stage: source (mtime, size) + constants token.
+    """
+    import os
+    import tempfile
+
+    if sf_dir not in _STAGED_PAIRS:
+        src = os.path.join(sf_dir, "documents.parquet")
+        fp = "_".join(
+            [
+                "minhash_pairs",
+                _stage_version_token(),
+                f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}",
+            ]
+        )
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "ting_cc_stage",
+            sf_dir.strip("/").replace("/", "_"),
+            fp,
+        )
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            dedup_minhash_pairs(spark, sf_dir).write.mode("overwrite").parquet(out)
+        _STAGED_PAIRS[sf_dir] = out
+    return spark.read.parquet(_STAGED_PAIRS[sf_dir])
+
+
 def staged_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) over the MinHash-LSH candidate pairs, staged."""
     d = load_table(spark, sf_dir, "documents")
@@ -1046,7 +1085,7 @@ def staged_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "minhash",
         d.select("doc_id"),
-        dedup_minhash_pairs(spark, sf_dir),
+        staged_minhash_pairs(spark, sf_dir),
     )
 
 
@@ -1204,9 +1243,13 @@ def graph_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding + frequency cap), so the triangle join is a small-table
     self-join, not a corpus-scale operation; all counts are exact integers,
     the one float is a single division.
+
+    Reads the STAGED pair artifact (:func:`staged_minhash_pairs`) — the
+    triangle/wedge legs re-scan a narrow parquet table instead of
+    re-running signatures, and no persisted blocks outlive the query.
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_pairs(spark, sf_dir).persist()
+    pairs = staged_minhash_pairs(spark, sf_dir)
     und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
@@ -1240,9 +1283,4 @@ def graph_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             3.0 * F.col("n_triangles") / F.col("n_wedges"),
         ).alias("clustering_coeff"),
     )
-    # eagerly materialize the single summary row, then release the persisted
-    # pair blocks — persisted blocks outliving their query are exactly the
-    # cross-query storage pressure the scale register documents (3.5→24.5 s)
-    result = out.collect()
-    pairs.unpersist()
-    return spark.createDataFrame(result, schema=out.schema)
+    return out

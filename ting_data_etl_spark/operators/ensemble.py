@@ -82,8 +82,8 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ting_data_etl_spark.operators.dedup import (
         _STAGED_COMPONENTS,
-        dedup_minhash_pairs,
         staged_components,
+        staged_minhash_pairs,
     )
     from ting_data_etl_spark.operators.similarity import srp_candidate_pairs
 
@@ -92,7 +92,7 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialized-view fast path: the union + Arrow candidate stages
         # only need to exist for the build
         return staged_components(spark, sf_dir, "ensemble", None, None)
-    lexical = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lexical = staged_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     semantic = srp_candidate_pairs(spark, sf_dir, use_arrow=True).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
