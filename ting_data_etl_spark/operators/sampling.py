@@ -400,3 +400,46 @@ def pack_sequences_banded(
         return out
     finally:
         banded.unpersist()
+
+
+# --- fixed-k deterministic per-group sample --------------------------------
+RESERVOIR_K = 5
+
+_SQL_RESERVOIR = f"""
+SELECT source, doc_id, rk
+FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+)
+WHERE rk <= {RESERVOIR_K}
+"""
+
+
+@register("sample_per_group_fixed_k", oracle=_SQL_RESERVOIR)
+def sample_per_group_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per source, chosen by hash rank — a deterministic
+    reservoir sample.
+
+    The eval-set / spot-check staple: every group contributes exactly k
+    rows regardless of group size, selection is uniform-at-random under the
+    md5 rank yet fully reproducible, and adding documents only displaces
+    items whose hash outranks them (stable under append, unlike
+    random()-based sampling). One window over the group key — the same
+    single-shuffle shape as top-k per group; at corpus scale the rank
+    computation is map-side until the per-group top-k merge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+    )
