@@ -54,6 +54,10 @@ PINNED = [
     "text_pii_scan",
     "text_pii_redact",
     "olap_monthly_from_daily_rollup",
+    "events_rate_anomalies",
+    "text_source_roundtrip",
+    "sample_per_group_fixed_k",
+    "graph_near_dup_stats",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The
