@@ -97,3 +97,110 @@ def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+# --- Z-order layout: multi-dimensional data skipping -----------------------
+ZORDER_BITS = 16
+ZORDER_FILES = 8
+
+_STAGED_ZORDER: dict[str, str] = {}
+
+
+def zvalue(a, b, bits: int = ZORDER_BITS):
+    """Morton (Z-curve) interleave of two non-negative int columns.
+
+    Bit i of *a* lands at position 2i, bit i of *b* at 2i+1 — a pure
+    shift/mask expression tree that stays inside whole-stage codegen. Rows
+    close on the Z-curve are close in BOTH dimensions, so sorting the
+    layout by this value co-locates multi-dimensional neighborhoods into
+    the same parquet row groups.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + (
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def stage_lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem Z-ordered by (l_orderkey, l_partkey), once per corpus.
+
+    `repartitionByRange` on the z-value splits the curve into contiguous
+    chunks (one file each), `sortWithinPartitions` orders rows inside —
+    so every parquet row group covers a small z-range, i.e. a small
+    rectangle in (orderkey, partkey) space. A reader filtering on EITHER
+    key then skips most row groups on min/max statistics — the data-
+    skipping layout (Delta/Iceberg OPTIMIZE ZORDER) built from two stock
+    Spark primitives. Fingerprinted like every staged artifact.
+    """
+    if sf_dir not in _STAGED_ZORDER:
+        src = os.path.join(sf_dir, "lineitem.parquet")
+        fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "ting_zorder_stage",
+            f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
+        )
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                "l_partkey",
+                "l_quantity",
+                "l_extendedprice",
+            )
+            z = zvalue(F.col("l_orderkey"), F.col("l_partkey"))
+            (
+                li.withColumn("__z", z)
+                .repartitionByRange(ZORDER_FILES, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        _STAGED_ZORDER[sf_dir] = out
+    return _STAGED_ZORDER[sf_dir]
+
+
+#: the windowed predicate both engines evaluate — a rectangle in
+#: (orderkey, partkey) space, the query shape Z-ordering exists for
+ZQ_OK_LO, ZQ_OK_HI = 1_000, 3_000
+ZQ_PK_LO, ZQ_PK_HI = 100, 600
+
+_SQL_ZORDER = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_units,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_orderkey BETWEEN {ZQ_OK_LO} AND {ZQ_OK_HI}
+  AND l_partkey BETWEEN {ZQ_PK_LO} AND {ZQ_PK_HI}
+"""
+
+
+@register("layout_zorder_rectangle_scan", oracle=_SQL_ZORDER)
+def layout_zorder_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle predicate over the Z-ordered layout, checked vs the raw table.
+
+    The read leg of the Z-order pattern: both range predicates reach the
+    parquet scan as PushedFilters, and because the staged layout clusters
+    both key dimensions, row-group min/max stats skip most of the file
+    bytes — for a single-dimension sort layout, the second predicate's
+    stats are useless. The oracle runs the identical rectangle on the RAW
+    table, proving the re-layout is lossless; the skipping benefit is a
+    physical property (visible in the scan's rowgroup metrics at scale).
+    """
+    staged = stage_lineitem_zorder(spark, sf_dir)
+    t = spark.read.parquet(staged).filter(
+        F.col("l_orderkey").between(ZQ_OK_LO, ZQ_OK_HI)
+        & F.col("l_partkey").between(ZQ_PK_LO, ZQ_PK_HI)
+    )
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_units"
+        ),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
