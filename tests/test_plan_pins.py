@@ -58,6 +58,7 @@ PINNED = [
     "text_source_roundtrip",
     "sample_per_group_fixed_k",
     "graph_near_dup_stats",
+    "layout_zorder_rectangle_scan",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The
