@@ -53,6 +53,35 @@ class TestJsonl:
         assert full != partial
 
 
+class TestTextShards:
+    def test_adversarial_text_roundtrips_losslessly(self, spark, tmp_path):
+        """Newlines, tabs, backslashes, NULL and empty text must all
+        survive the line-framed gzip shard format byte-for-byte
+        (ADVICE r06: unescaped \\n split records, NULL dropped the tab)."""
+        from ting_data_etl_spark.sources.textfile import (
+            read_text_shards,
+            write_text_shards,
+        )
+
+        rows = [
+            (1, "plain text"),
+            (2, "embedded\nnewline and\r\ncrlf"),
+            (3, "tab\there and trailing tab\t"),
+            (4, "back\\slash and \\n literal and \\\\ double"),
+            (5, None),
+            (6, ""),
+            (7, "\\N"),  # literal two-char string, must NOT decode to NULL
+            (8, "\n\t\\\r mixed \\t\\n edge"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = str(tmp_path / "shards")
+        write_text_shards(df, out, shards=2)
+        back = {
+            r.doc_id: r.text for r in read_text_shards(spark, out).collect()
+        }
+        assert back == dict(rows)
+
+
 class TestCompaction:
     def test_file_count_reduced_content_preserved(self, spark, sf_dir):
         from ting_data_etl_spark.operators.maintenance import (

@@ -229,13 +229,19 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lsh_bands(sig_col, n_bands: int = MINHASH_BANDS) -> F.Column:
+def lsh_bands(sig_col, n_bands: int | None = None) -> F.Column:
     """Band keys as array<string>: band_j = 'sig[jr],…,sig[jr+r-1]'.
 
     Joined together with the band index (separate hash tables per band —
-    the standard LSH construction).
+    the standard LSH construction). ``n_bands`` resolves the module global
+    at CALL time (not def time) so a runtime retune of ``MINHASH_BANDS``
+    takes effect everywhere — the same def-time-default trap fixed for
+    ``KMEANS_LISTS`` in round 6.
     """
+    if n_bands is None:
+        n_bands = MINHASH_BANDS
     r = MINHASH_HASHES // n_bands
+    assert r * n_bands == MINHASH_HASHES, "bands must divide hash count"
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda j: F.concat_ws(",", F.slice(sig_col, j * r + 1, r)),
@@ -301,10 +307,11 @@ SELECT doc_a, doc_b FROM mh_pairs
 """
 
 
-def band_frequency_cap(
-    bands: DataFrame, cap: int = BAND_FREQUENCY_CAP
-) -> DataFrame:
+def band_frequency_cap(bands: DataFrame, cap: int | None = None) -> DataFrame:
     """Drop LSH band buckets holding more than *cap* documents.
+
+    ``cap`` resolves ``BAND_FREQUENCY_CAP`` at call time so a retune both
+    rotates the staged-pairs fingerprint AND rebuilds with the new value.
 
     A window count over ``(j, band)`` — the SAME key the candidate self-join
     shuffles on, so with co-partitioning the cap adds no extra shuffle over
@@ -313,6 +320,9 @@ def band_frequency_cap(
     join's worst-case fan-out at ``cap²/2`` pairs per bucket.
     """
     from pyspark.sql import Window
+
+    if cap is None:
+        cap = BAND_FREQUENCY_CAP
 
     w = Window.partitionBy("j", "band")
     return (

@@ -100,7 +100,11 @@ def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Z-order layout: multi-dimensional data skipping -----------------------
-ZORDER_BITS = 16
+#: bits interleaved per key dimension. Must cover max(key) or distant keys
+#: alias onto the same z-range and min/max skipping erodes (results stay
+#: correct — predicates re-apply — but the layout property degrades).
+#: 24 bits/dim covers keys to 16.7M and the interleave still fits a long.
+ZORDER_BITS = 24
 ZORDER_FILES = 8
 
 _STAGED_ZORDER: dict[str, str] = {}
@@ -137,7 +141,11 @@ def stage_lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:
     """
     if sf_dir not in _STAGED_ZORDER:
         src = os.path.join(sf_dir, "lineitem.parquet")
-        fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+        # layout knobs are part of the fingerprint: a retune rebuilds the stage
+        fp = (
+            f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+            f"_b{ZORDER_BITS}_f{ZORDER_FILES}"
+        )
         out = os.path.join(
             tempfile.gettempdir(),
             "ting_zorder_stage",
@@ -150,6 +158,14 @@ def stage_lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:
                 "l_quantity",
                 "l_extendedprice",
             )
+            mx = li.agg(
+                F.max("l_orderkey").alias("a"), F.max("l_partkey").alias("b")
+            ).first()
+            if max(mx["a"], mx["b"]) >= (1 << ZORDER_BITS):
+                raise ValueError(
+                    f"ZORDER_BITS={ZORDER_BITS} cannot cover max key "
+                    f"{max(mx['a'], mx['b'])}; raise ZORDER_BITS"
+                )
             z = zvalue(F.col("l_orderkey"), F.col("l_partkey"))
             (
                 li.withColumn("__z", z)

@@ -154,7 +154,9 @@ def staged_daily_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(
             tempfile.gettempdir(), f"ting_rollup_daily_{tag}_{fp}.parquet"
         )
-        if not os.path.exists(path):
+        # gate reuse on _SUCCESS, not the directory: a crashed partial
+        # write must rebuild, never get served (matches the other stages)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
             li = load_table(spark, sf_dir, "lineitem")
             rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
             (

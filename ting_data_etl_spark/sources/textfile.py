@@ -28,13 +28,68 @@ _STAGED_TXT: dict[str, str] = {}
 TXT_SHARDS = 8
 
 
+#: NULL-text sentinel. Unambiguous: in ESCAPED text every backslash is
+#: followed by one of ``\tnr``, so a whole-field ``\N`` can never be
+#: produced by a real document.
+_NULL_FIELD = "\\N"
+
+
+def _escape_text(col) -> F.Column:
+    """Make arbitrary text line-safe: ``\\`` ``\\t`` ``\\n`` ``\\r`` escapes.
+
+    Real crawl text contains newlines and tabs; unescaped they corrupt the
+    one-doc-per-line framing (line splits yield rows with NULL doc_id) and
+    the TAB delimiter. Backslash is escaped FIRST so decoding is
+    unambiguous. NULL text becomes the explicit ``\\N`` field so the
+    reader's split stays well-defined. All codegen ``replace`` calls.
+    """
+    e = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    e = F.replace(e, F.lit("\t"), F.lit("\\t"))
+    e = F.replace(e, F.lit("\n"), F.lit("\\n"))
+    e = F.replace(e, F.lit("\r"), F.lit("\\r"))
+    return F.coalesce(e, F.lit(_NULL_FIELD))
+
+
+def _unescape_text(col) -> F.Column:
+    """Exact inverse of :func:`_escape_text`, single logical pass.
+
+    Sequential ``replace`` would mis-decode ``\\\\n`` (escaped backslash
+    before a literal ``n``); instead: split on escaped backslashes, decode
+    ``\\t``/``\\n``/``\\r`` inside each segment (where every remaining
+    backslash IS an escape prefix), re-join with a single backslash.
+    split/transform/array_join all stay inside whole-stage codegen.
+    """
+    decoded = F.array_join(
+        F.transform(
+            F.split(col, r"\\\\", -1),
+            lambda s: F.replace(
+                F.replace(
+                    F.replace(s, F.lit("\\t"), F.lit("\t")),
+                    F.lit("\\n"),
+                    F.lit("\n"),
+                ),
+                F.lit("\\r"),
+                F.lit("\r"),
+            ),
+        ),
+        "\\",
+    )
+    return F.when(col == _NULL_FIELD, F.lit(None).cast("string")).otherwise(
+        decoded
+    )
+
+
 def write_text_shards(df: DataFrame, path: str, shards: int = TXT_SHARDS) -> None:
-    """Write (doc_id, text) as gzip text shards, one TAB-joined doc/line."""
+    """Write (doc_id, text) as gzip text shards, one TAB-joined doc/line.
+
+    Text is backslash-escaped (see :func:`_escape_text`) so embedded
+    newlines/tabs and NULLs round-trip losslessly through the line format.
+    """
     (
         df.select(
-            F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
-                "value"
-            )
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), _escape_text(F.col("text"))
+            ).alias("value")
         )
         .repartition(shards)
         .write.mode("overwrite")
@@ -46,9 +101,10 @@ def write_text_shards(df: DataFrame, path: str, shards: int = TXT_SHARDS) -> Non
 def read_text_shards(spark: SparkSession, path: str) -> DataFrame:
     """Read the shards back into (doc_id, text) — one split per line."""
     raw = spark.read.text(path)
+    field = F.expr("substring(value, instr(value, '\t') + 1)")
     return raw.select(
         F.substring_index("value", "\t", 1).try_cast("long").alias("doc_id"),
-        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+        _unescape_text(field).alias("text"),
     )
 
 
