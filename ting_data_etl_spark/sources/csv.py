@@ -85,6 +85,28 @@ class MessyCsvResult:
     skipped: bool = False  # True when no header row contained the key column
 
 
+#: Charsets whose encoded bytes never produce a spurious 0x0A (newline) or
+#: 0x22 (quote) inside a multi-byte sequence, so Hadoop's byte-oriented line
+#: splitting and the ASCII quote-parity sweep both stay exact. big5/cp950
+#: trail bytes are 0x40-0x7E / 0xA1-0xFE, gbk/gb18030 0x40-0xFE (minus 0x7F),
+#: shift_jis 0x40-0x7E / 0x80-0xFC — all above 0x22. Single-byte latins are
+#: trivially safe. UTF-16/32 are NOT (newline bytes appear inside units).
+_LINE_SAFE_ENCODINGS = frozenset(
+    {
+        "utf-8", "ascii", "latin-1", "iso8859-1", "cp1252",
+        "big5", "cp950", "big5hkscs",
+        "gbk", "gb2312", "gb18030", "cp936",
+        "shift_jis", "cp932", "euc_jp", "euc_kr", "cp949",
+    }
+)
+
+
+def _canon_encoding(encoding: str) -> str:
+    import codecs
+
+    return codecs.lookup(encoding).name
+
+
 def _scan_header(
     raw: bytes, key_col: str, encoding: str, max_rows: int = 50
 ) -> tuple[list[list[str]], list[str] | None, list[str] | None, int]:
@@ -138,6 +160,13 @@ def read_messy_csv(
             f"read_messy_csv requires a single file, got {path!r} "
             "(for directories, loop per file — schemas differ per file anyway)"
         )
+    enc = _canon_encoding(encoding)
+    if enc not in _LINE_SAFE_ENCODINGS:
+        raise ValueError(
+            f"encoding {encoding!r} ({enc}) is not line-split-safe for the "
+            "byte-oriented distributed reader (see _LINE_SAFE_ENCODINGS); "
+            "transcode the export to utf-8 first"
+        )
     with open(path, "rb") as f:
         raw = f.read(max_scan_bytes)
     meta, header, raw_header, header_idx = _scan_header(raw, key_col, encoding)
@@ -162,34 +191,83 @@ def read_messy_csv(
         seen[c] = n + 1
         cols.append(c if n == 0 else f"{c}_{n + 1}")
 
-    # Spark's CSV reader has no skipRows (as of 4.1), so: read as text, drop
-    # the known prefix lines by position, parse with from_csv. For a single
-    # file, monotonically_increasing_id() enumerates lines of the first split
-    # in byte order with counter starting at 0, so ids 0..header_idx are
-    # exactly the meta rows + header line (the 256 KB scan bound guarantees
-    # they sit inside the first split).
-    ddl = ", ".join(f"`{c}` STRING" for c in cols)
-    lines = spark.read.text(path).withColumn("_lineno", F.monotonically_increasing_id())
-    data_lines = lines.filter(F.col("_lineno") > header_idx)
     if validate_quotes:
         # quote-parity sweep: a physical line with an odd number of '"' can
         # only come from a record whose quoted cell spans lines — the one
         # shape the line-positional model cannot represent. One cheap
-        # column-pruned pass; fail loudly instead of parsing garbage.
+        # column-pruned pass; fail loudly instead of parsing garbage. The
+        # lossy utf-8 decode of spark.read.text is fine HERE even for the
+        # non-utf-8 charsets: every _LINE_SAFE_ENCODINGS member never emits
+        # 0x22 inside a multi-byte sequence, so ASCII quote bytes survive
+        # the replacement-char mangling positionally intact.
+        lines = spark.read.text(path).withColumn(
+            "_lineno", F.monotonically_increasing_id()
+        )
         odd = (
             F.length(F.regexp_replace(F.col("value"), '[^"]', "")) % 2 == 1
         )
-        if not data_lines.filter(odd).isEmpty():
+        if not lines.filter(F.col("_lineno") > header_idx).filter(odd).isEmpty():
             raise ValueError(
                 f"{path!r}: data region contains a quoted embedded newline "
                 "(odd quote parity on a physical line); parse this file "
                 "with a multiLine CSV reader instead"
             )
-    df = (
-        data_lines
-        .select(F.from_csv(F.col("value"), ddl, {"mode": "PERMISSIVE"}).alias("r"))
-        .select("r.*")
+
+    if enc in ("utf-8", "ascii"):
+        # Spark's CSV reader has no skipRows (as of 4.1), so: read as text,
+        # drop the known prefix lines by position, parse with from_csv. For
+        # a single file, monotonically_increasing_id() enumerates lines of
+        # the first split in byte order with counter starting at 0, so ids
+        # 0..header_idx are exactly the meta rows + header line (the 256 KB
+        # scan bound guarantees they sit inside the first split).
+        ddl = ", ".join(f"`{c}` STRING" for c in cols)
+        df = (
+            spark.read.text(path)
+            .withColumn("_lineno", F.monotonically_increasing_id())
+            .filter(F.col("_lineno") > header_idx)
+            .select(
+                F.from_csv(F.col("value"), ddl, {"mode": "PERMISSIVE"}).alias("r")
+            )
+            .select("r.*")
+        )
+        return MessyCsvResult(
+            df=df, header=cols, meta_rows=meta, raw_header=raw_header
+        )
+
+    # Non-utf-8 charset: spark.read.text decodes utf-8 only, so the data
+    # region must go through the CSV reader's own charset support. The CSV
+    # reader may not preserve physical line numbering (it can skip blank
+    # lines), so instead of dropping a line COUNT we re-run the reference's
+    # header-location rule on the PARSED records: the first record (within
+    # the driver-scanned window) containing the key column is the header;
+    # everything after it is data. The window is ≤ max_rows records — one
+    # bounded driver collect, mirroring the byte-bounded header scan.
+    # Spark 4 restricts CSV charsets to a short list unless the (public,
+    # documented) legacy flag re-enables the full JVM charset set — Big5 &
+    # friends live there.
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    parsed = (
+        spark.read.option("header", False)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .schema(all_string_schema(cols))
+        .csv(path)
+        .withColumn("_rec", F.monotonically_increasing_id())
     )
+    window = parsed.filter(F.col("_rec") <= header_idx).orderBy("_rec").collect()
+    hdr_rec = None
+    for r in window:
+        cells = [r[c] for c in cols]
+        if any(c is not None and c.strip() == key_col for c in cells):
+            hdr_rec = r["_rec"]
+            break
+    if hdr_rec is None:
+        raise ValueError(
+            f"{path!r}: distributed {encoding} parse could not re-locate the "
+            "header record the driver scan found — prefix alignment is off "
+            "(blank/malformed meta lines?); clean the export"
+        )
+    df = parsed.filter(F.col("_rec") > hdr_rec).drop("_rec")
     return MessyCsvResult(df=df, header=cols, meta_rows=meta, raw_header=raw_header)
 
 
