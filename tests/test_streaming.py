@@ -346,3 +346,125 @@ class TestParquetSinkRestart:
             .collect()
         }
         assert first == truth
+
+
+class TestStateStoreProviders:
+    """RocksDB state-store evidence (VERDICT r06 next-round #7).
+
+    The bounded-replay stateful queries run on the default HDFS-backed
+    store; at production scale (state ≫ executor heap) RocksDB is the
+    knob. Both providers must produce identical results, and the
+    per-batch ``stateOperators`` progress must show state-row counts
+    bounded by the watermark contract under BOTH stores — state that
+    grows with the stream, not the corpus, is the whole point.
+    """
+
+    ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    HDFS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    CONF = "spark.sql.streaming.stateStore.providerClass"
+
+    def _with_provider(self, spark, provider, fn):
+        prev = spark.conf.get(self.CONF, self.HDFS)
+        spark.conf.set(self.CONF, provider)
+        try:
+            return fn()
+        finally:
+            spark.conf.set(self.CONF, prev)
+
+    @staticmethod
+    def _state_rows(progress):
+        return [
+            (p["batchId"], op["numRowsTotal"], op.get("numRowsRemoved", 0))
+            for p in progress
+            for op in p["stateOperators"]
+        ]
+
+    def test_sessionize_identical_and_bounded_under_both_stores(
+        self, spark, sf_dir
+    ):
+        from ting_data_etl_spark.sources.tables import load_table
+        from ting_data_etl_spark.streaming.stateful import (
+            run_stateful_sessionize,
+        )
+
+        n_users = (
+            load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        )
+        results, metrics = {}, {}
+        for name, provider in [("hdfs", self.HDFS), ("rocksdb", self.ROCKSDB)]:
+            prog: list = []
+            df = self._with_provider(
+                spark,
+                provider,
+                lambda: run_stateful_sessionize(spark, sf_dir, progress_out=prog),
+            )
+            results[name] = sorted(tuple(r) for r in df.collect())
+            metrics[name] = list(prog)
+        assert results["hdfs"] == results["rocksdb"]
+        assert len(results["rocksdb"]) > 0
+
+        for name in ("hdfs", "rocksdb"):
+            rows = self._state_rows(metrics[name])
+            assert rows, f"{name}: no stateOperators progress captured"
+            # state = one open-tail session per user seen so far: bounded by
+            # the user population in EVERY batch, not just the last
+            assert all(total <= n_users for _, total, _ in rows), (
+                name,
+                rows,
+            )
+
+        # the RocksDB run must actually have used RocksDB (provider metrics
+        # surface as rocksdb* customMetrics in progress)
+        rocks_ops = [
+            op
+            for p in metrics["rocksdb"]
+            for op in p["stateOperators"]
+        ]
+        assert any(
+            k.startswith("rocksdb")
+            for op in rocks_ops
+            for k in (op.get("customMetrics") or {})
+        ), "no rocksdb custom metrics — provider conf did not take effect"
+
+    def test_dedup_ttl_state_bounded_and_evicted_under_rocksdb(
+        self, spark, sf_dir
+    ):
+        from pyspark.sql import functions as F
+
+        from ting_data_etl_spark.sources.tables import load_table
+        from ting_data_etl_spark.streaming.joins import run_dedup_ttl_state
+
+        n_events = load_table(spark, sf_dir, "events").count()
+        prog: list = []
+        df = self._with_provider(
+            spark,
+            self.ROCKSDB,
+            lambda: run_dedup_ttl_state(spark, sf_dir, progress_out=prog),
+        )
+        got = {r.event_type: (r.n_events, float(r.total_value)) for r in df.collect()}
+        truth = {
+            r.event_type: (r.n_events, float(r.total_value))
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.expr(
+                    "CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)"
+                    " / 1000000"
+                ).alias("total_value"),
+            )
+            .collect()
+        }
+        assert got == truth
+        rows = self._state_rows(prog)
+        # dedup state holds one row per key inside the watermark horizon —
+        # never the full doubled stream
+        assert all(total <= n_events for _, total, _ in rows), rows
+        # watermark eviction must actually fire across the multi-batch replay
+        assert sum(removed for _, _, removed in rows) > 0, rows

@@ -160,6 +160,13 @@ def streaming_dedup_ttl_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORIGINAL events; the jitter (well inside the 10-minute watermark)
     must be invisible.
     """
+    return run_dedup_ttl_state(spark, sf_dir)
+
+
+def run_dedup_ttl_state(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
+    """Body of the registered query, with optional progress capture."""
     original = stage_events_stream(spark, sf_dir)
     jittered = stage_events_stream(spark, sf_dir).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
@@ -172,7 +179,7 @@ def streaming_dedup_ttl_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         sum_exact("value", scale=6).alias("total_value"),
     )
-    return run_stream_to_table(agg, "complete")
+    return run_stream_to_table(agg, "complete", progress_out=progress_out)
 
 
 # --- parquet file sink round-trip (exactly-once sink metadata) -------------

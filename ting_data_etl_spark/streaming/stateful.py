@@ -172,6 +172,14 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     against, so the custom operator, the built-in operator, and the SQL
     oracle triangulate.
     """
+    return run_stateful_sessionize(spark, sf_dir)
+
+
+def run_stateful_sessionize(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
+    """Body of the registered query, with optional progress capture
+    (state-store evidence: per-batch ``stateOperators`` metrics)."""
     from pyspark.sql import Window
 
     from ting_data_etl_spark.streaming.windows import run_stream_to_table
@@ -185,7 +193,9 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )
-    log = run_stream_to_table(stateful_session_stream(events), "update")
+    log = run_stream_to_table(
+        stateful_session_stream(events), "update", progress_out=progress_out
+    )
     w = Window.partitionBy("user_id", "session_start_us").orderBy(
         F.col("n_events").desc()
     )

@@ -117,7 +117,10 @@ STREAM_SHUFFLE_PARTITIONS = int(
 
 
 def run_stream_to_table(
-    sdf: DataFrame, output_mode: str, once: bool = False
+    sdf: DataFrame,
+    output_mode: str,
+    once: bool = False,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Run a bounded streaming query to completion via a memory sink.
 
@@ -126,6 +129,12 @@ def run_stream_to_table(
     this batch-parity pattern. Returns the sink table as a batch DataFrame.
     The shuffle-partition conf is pushed to the state-sized value for the
     stream's lifetime and restored after (it is read at query START).
+
+    ``progress_out``, when given a list, receives the query's per-batch
+    ``StreamingQueryProgress`` dicts after termination — the observable
+    surface for state-store evidence (``stateOperators[].numRowsTotal``
+    bounded under the watermark, provider class in ``stateOperators[].
+    customMetrics`` for RocksDB).
     """
     spark = sdf.sparkSession
     name = f"ting_stream_sink_{next(_SINK_IDS)}"
@@ -140,6 +149,8 @@ def run_stream_to_table(
         else:
             q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
