@@ -95,6 +95,116 @@ def two_stage_agg_sum(
     return partial.groupBy(key).agg(F.sum("__part").alias("total"))
 
 
+# --- banded running sum: skew-tolerant cumulative window --------------------
+#: time-bands per key for the banded prefix sum. On a cluster, size so the
+#: hottest key's rows / RUNNING_BANDS fits one task comfortably.
+RUNNING_BANDS = 32
+
+
+def banded_running_sum(
+    ev: DataFrame,
+    key: str,
+    order_time: str,
+    order_tiebreak: str,
+    value: str,
+    bands: int = RUNNING_BANDS,
+) -> DataFrame:
+    """Per-key cumulative SUM + row_number, split across *bands* reducers.
+
+    ``Window.partitionBy(key)`` puts EVERY row of a key on one task — the
+    one shuffle shape AQE cannot split (a window partition is indivisible),
+    so a key holding 30% of a 100 TB stream collapses the stage onto one
+    reducer. This operator is the algebraic rewrite: band each key's rows
+    by event time, compute band-LOCAL running sums/counts (shuffle on
+    ``(key, band)`` — the hot key now spans ``bands`` tasks), then add each
+    band's exclusive prefix offset, computed with a window over the tiny
+    per-key band-totals table (≤ ``bands`` rows per key). Three shuffles on
+    the salted grain + one O(keys·bands) window, no indivisible partition
+    anywhere. Exact, not approximate: prefix sums compose associatively.
+
+    Banding is linear in ``order_time`` between its global min/max (two
+    driver scalars). A key whose rows all share ONE timestamp cannot be
+    time-split and degrades to the naive shape for that key — banding by a
+    quantile sketch of the time column is the production refinement.
+
+    Returns the input columns plus ``__run`` (running sum) and ``__seq``
+    (1-based row number) per the total order ``(order_time, order_tiebreak)``.
+    """
+    from pyspark.sql import Window
+
+    lo, hi = ev.agg(
+        F.min(order_time), F.max(order_time)
+    ).first()
+    span = max(int(hi) - int(lo), 0) + 1
+    band = F.floor(
+        ((F.col(order_time) - F.lit(int(lo))) * F.lit(int(bands))) / F.lit(span)
+    ).cast("int")
+    banded = ev.withColumn("__band", band)
+
+    wb = Window.partitionBy(key, "__band").orderBy(order_time, order_tiebreak)
+    local = banded.withColumn(
+        "__loc_sum",
+        F.sum(value).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("__loc_rn", F.row_number().over(wb))
+
+    totals = banded.groupBy(key, "__band").agg(
+        F.sum(value).alias("__bsum"), F.count("*").alias("__bn")
+    )
+    wo = (
+        Window.partitionBy(key)
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        key,
+        "__band",
+        F.coalesce(F.sum("__bsum").over(wo), F.lit(0)).alias("__off_sum"),
+        F.coalesce(F.sum("__bn").over(wo), F.lit(0)).alias("__off_n"),
+    )
+    joined = local.join(offsets, on=[key, "__band"], how="inner")
+    return (
+        joined.withColumn("__run", F.col("__off_sum") + F.col("__loc_sum"))
+        .withColumn("__seq", (F.col("__off_n") + F.col("__loc_rn")).cast("long"))
+        .drop("__band", "__loc_sum", "__loc_rn", "__off_sum", "__off_n")
+    )
+
+
+def _sql_banded_running() -> str:
+    from ting_data_etl_spark.operators.temporal import _SQL_RUNNING
+
+    return _SQL_RUNNING
+
+
+@register("skew_banded_running_value", oracle=_sql_banded_running)
+def skew_banded_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value via the banded prefix sum — oracle-identical
+    to ``events_user_running_value`` (the naive single-window twin), so the
+    driver proves the skew rewrite is invisible in the values. The physical
+    difference is the whole point: the naive plan's window partition is one
+    task per user; this plan's hottest key spans ``RUNNING_BANDS`` tasks.
+    """
+    from ting_data_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+    )
+    out = banded_running_sum(
+        ev, key="user_id", order_time="us", order_tiebreak="event_id", value="v6"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "us",
+        (F.col("__run").cast("long") / F.lit(1_000_000.0)).alias("running_value"),
+        F.col("__seq").alias("event_seq"),
+    )
+
+
 # --- registered query: salted fact⨝dim join --------------------------------
 _SQL_SALTED = """
 SELECT c.c_mktsegment AS mktsegment,

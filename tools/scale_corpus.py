@@ -141,6 +141,124 @@ def gen_embeddings(spark: SparkSession, n_vecs: int) -> DataFrame:
     )
 
 
+BASE_EVENTS = 100_000  # sf0.1 events row count
+BASE_USERS = 1_500
+EVENT_TYPES = ("view", "click", "cart", "purchase", "error")
+EVENT_SPAN_US = 30 * 24 * 3600 * 1_000_000  # 30 days
+EVENT_T0_US = 1_760_000_000_000_000
+
+
+def gen_events(
+    spark: SparkSession,
+    n_events: int,
+    n_users: int,
+    hot_user_fraction: float = 0.0,
+) -> DataFrame:
+    """Events with an optional Zipfian hot user (VERDICT r06 #1).
+
+    ``hot_user_fraction`` of rows land on ``user_id = 0`` — the reference's
+    real-world cardinality concern (``fan_out_by_storeid.py:38-41``: one
+    store ≫ the others) made literal. The remaining users get the same
+    uniform-below-uniform-cap zipf-ish tail the document vocab uses, so the
+    non-hot distribution is long-tailed too, not flat.
+    """
+    e = spark.range(n_events).withColumnRenamed("id", "event_id")
+    eid = F.col("event_id")
+    zcap = F.pmod(_h(eid, F.lit("uz")), F.lit(n_users)) + F.lit(1)
+    tail_user = F.pmod(_h(eid, F.lit("uu")), zcap) + F.lit(1)
+    hot = F.pmod(_h(eid, F.lit("hot")), F.lit(1000)) < F.lit(
+        int(hot_user_fraction * 1000)
+    )
+    user = F.when(hot, F.lit(0)).otherwise(tail_user)
+    us = F.lit(EVENT_T0_US) + F.pmod(_h(eid, F.lit("ts")), F.lit(EVENT_SPAN_US))
+    etype = F.element_at(
+        F.array(*[F.lit(t) for t in EVENT_TYPES]),
+        (F.pmod(_h(eid, F.lit("et")), F.lit(len(EVENT_TYPES))) + F.lit(1)).cast(
+            "int"
+        ),
+    )
+    value = (F.pmod(_h(eid, F.lit("val")), F.lit(100_000_000)) / F.lit(1e6)).cast(
+        "double"
+    )
+    props = F.concat(
+        F.lit('{"k": '),
+        F.pmod(_h(eid, F.lit("pk")), F.lit(1000)).cast("string"),
+        F.lit("}"),
+    )
+    return e.select(
+        "event_id",
+        F.timestamp_micros(us).alias("ts"),
+        user.cast("long").alias("user_id"),
+        etype.alias("event_type"),
+        value.alias("value"),
+        props.alias("props"),
+    )
+
+
+def gen_users(spark: SparkSession, n_users: int) -> DataFrame:
+    """User dimension for the join-family skew stress (events ⨝ users)."""
+    u = spark.range(n_users + 1).withColumnRenamed("id", "user_id")
+    uid = F.col("user_id")
+    segment = F.concat(
+        F.lit("seg"), F.pmod(_h(uid, F.lit("seg")), F.lit(10)).cast("string")
+    )
+    return u.select("user_id", segment.alias("segment"))
+
+
+def generate_skewed(
+    spark: SparkSession,
+    out_dir: str,
+    scale: float,
+    hot_user_fraction: float = 0.3,
+    hot_source_fraction: float = 0.3,
+) -> dict:
+    """Skewed-variant corpus: events + users + source-skewed documents.
+
+    * ``events.parquet``: ``hot_user_fraction`` of rows on one user — the
+      skewed-shuffle hazard for window/join/agg families;
+    * ``users.parquet``: dimension side for the join family;
+    * ``documents.parquet``: same planted-cluster corpus as :func:`generate`
+      but with ``hot_source_fraction`` of CLUSTERS re-keyed onto ``src0`` —
+      the jaccard per-source block join and the fan-out sink then see one
+      block holding ~30% of the corpus.
+    """
+    n_docs = int(BASE_DOCS * scale)
+    n_events = int(BASE_EVENTS * scale)
+    n_users = max(BASE_USERS, int(BASE_USERS * math.sqrt(scale)))
+    n_sources = max(BASE_SOURCES, int(BASE_SOURCES * math.sqrt(scale)))
+    meta = {
+        "scale": scale,
+        "n_docs": n_docs,
+        "n_events": n_events,
+        "n_users": n_users,
+        "n_sources": n_sources,
+        "hot_user_fraction": hot_user_fraction,
+        "hot_source_fraction": hot_source_fraction,
+    }
+    ev_path = os.path.join(out_dir, "events.parquet")
+    us_path = os.path.join(out_dir, "users.parquet")
+    doc_path = os.path.join(out_dir, "documents.parquet")
+    if all(os.path.exists(p) for p in (ev_path, us_path, doc_path)):
+        return meta
+    ev = gen_events(spark, n_events, n_users, hot_user_fraction)
+    ev.repartition(max(4, n_events // 500_000)).write.mode("overwrite").parquet(
+        ev_path
+    )
+    gen_users(spark, n_users).coalesce(1).write.mode("overwrite").parquet(us_path)
+    docs = gen_documents(spark, n_docs, n_sources)
+    cl_hot = (
+        F.pmod(F.xxhash64(F.col("source"), F.lit(SEED), F.lit("hsrc")), F.lit(1000))
+        < F.lit(int(hot_source_fraction * 1000))
+    )
+    docs = docs.withColumn(
+        "source", F.when(cl_hot, F.lit("src0")).otherwise(F.col("source"))
+    )
+    docs.repartition(max(4, n_docs // 50_000)).write.mode("overwrite").parquet(
+        doc_path
+    )
+    return meta
+
+
 def generate(spark: SparkSession, out_dir: str, scale: float) -> dict:
     """Materialize a scale-X corpus under *out_dir* (skips if present).
 
