@@ -93,26 +93,50 @@ def stage_metrics(spark, group: str) -> dict:
     }
 
 
-def run_case(spark, name: str, build, results: dict, confs: dict | None = None):
-    """Time a noop write of build()'s DataFrame inside a job group."""
+def run_case(
+    spark,
+    name: str,
+    build,
+    results: dict,
+    confs: dict | None = None,
+    repeat: int = 2,
+):
+    """Time noop writes of build()'s DataFrame inside per-attempt job groups.
+
+    Two attempts by default: the first ("cold") carries whole-stage-codegen
+    JIT warm-up — measured up to ~10x wall inflation for the 128-permutation
+    minhash aggregate in a fresh JVM (SURVEY §7.6.5's same-JVM variance made
+    explicit) — the last ("warm") is the steady-state plan cost, and its
+    stages feed the straggler metrics. Production executors are long-lived
+    and warm; the cold number is recorded as JVM context, not plan cost.
+    """
     sc = spark.sparkContext
     saved = {}
     for k, v in (confs or {}).items():
         saved[k] = spark.conf.get(k)
         spark.conf.set(k, v)
-    sc.setJobGroup(name, name, interruptOnCancel=False)
-    t0 = time.time()
+    secs = []
+    group = name
     try:
-        df = build()
-        df.write.format("noop").mode("overwrite").save()
-        sec = round(time.time() - t0, 1)
+        for i in range(repeat):
+            group = f"{name}#r{i}"
+            sc.setJobGroup(group, group, interruptOnCancel=False)
+            t0 = time.time()
+            df = build()
+            df.write.format("noop").mode("overwrite").save()
+            secs.append(round(time.time() - t0, 1))
+            sc.setJobGroup("", "")
     finally:
         sc.setJobGroup("", "")
         for k, v in saved.items():
             spark.conf.set(k, v)
-    m = stage_metrics(spark, name)
-    results[name] = {"sec": sec, **m}
-    print(f"  {name}: {sec}s straggler={m.get('straggler_ratio')}", flush=True)
+    m = stage_metrics(spark, group)
+    results[name] = {"sec": secs[-1], "sec_cold": secs[0], **m}
+    print(
+        f"  {name}: warm={secs[-1]}s cold={secs[0]}s "
+        f"straggler={m.get('straggler_ratio')}",
+        flush=True,
+    )
 
 
 def run_scale(spark, scale: float) -> dict:
@@ -232,12 +256,32 @@ def run_scale(spark, scale: float) -> dict:
     )
 
     # --- dedup / CC on the source-skewed document corpus -------------------
-    for name in (
-        "dedup_minhash_lsh_pairs",
-        "dedup_ngram_jaccard_pairs",
-        "dedup_connected_components",
-    ):
+    for name in ("dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs"):
         run_case(spark, name, lambda n=name: qs[n](spark, sf_dir), results)
+
+    # CC reads the staged pair artifact; purge it (disk + process dict) so
+    # the measured run is the BUILD — the skew-relevant leg — not the read
+    import shutil
+    import tempfile
+
+    import ting_data_etl_spark.operators.dedup as dd
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "ting_cc_stage", tag),
+        ignore_errors=True,
+    )
+    dd._STAGED_PAIRS.pop(sf_dir, None)
+    dd._STAGED_COMPONENTS = {
+        k: v for k, v in dd._STAGED_COMPONENTS.items() if k[0] != sf_dir
+    }
+    run_case(
+        spark,
+        "dedup_connected_components",
+        lambda: qs["dedup_connected_components"](spark, sf_dir),
+        results,
+        repeat=1,  # write-once artifact: a second attempt would read cache
+    )
 
     return {**meta, "gen_sec": gen_sec, "cases": results}
 
