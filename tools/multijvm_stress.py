@@ -172,6 +172,17 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         qs = entrymod.queries()
+
+        # JIT warm-up at x10 (r06's single-JVM numbers came from a warm
+        # session after the x1/x10/x100 sequence; measured cold-JVM codegen
+        # warm-up inflates the minhash leg up to ~10x)
+        warm_dir = os.path.join(CORPUS_ROOT, "x10")
+        scale_corpus.generate(spark, warm_dir, 10)
+        for name in ("dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs"):
+            t0 = time.time()
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            print(f"warmup {name} @x10: {round(time.time()-t0,1)}s", flush=True)
+
         seen: set = set()
         _, _, seen = spill_since(spark, seen)
         for name in ("dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs"):
