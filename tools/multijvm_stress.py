@@ -37,15 +37,19 @@ CORES_PER_WORKER = 7
 MEM_PER_WORKER_MB = 11264
 
 
-def build_session():
+def build_session(workers, cores, mem_mb, partitions):
     from pyspark.sql import SparkSession
 
-    master = f"local-cluster[{WORKERS},{CORES_PER_WORKER},{MEM_PER_WORKER_MB}]"
+    master = f"local-cluster[{workers},{cores},{mem_mb}]"
     return (
         SparkSession.builder.appName("multijvm-stress")
         .master(master)
         .config("spark.driver.memory", "8g")
-        .config("spark.sql.shuffle.partitions", "64")
+        # local-cluster's mem-per-worker is only the WORKER's budget; the
+        # executor JVM heap comes from spark.executor.memory (default 1g —
+        # the first run's jaccard OOM was four 1 GiB heaps, not a plan flaw)
+        .config("spark.executor.memory", f"{mem_mb - 1024}m")
+        .config("spark.sql.shuffle.partitions", str(partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -122,9 +126,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=300)
     ap.add_argument("--out", default="SCALE_r07_multijvm")
+    ap.add_argument("--workers", type=int, default=WORKERS)
+    ap.add_argument("--cores", type=int, default=CORES_PER_WORKER)
+    ap.add_argument("--mem-mb", type=int, default=MEM_PER_WORKER_MB)
+    ap.add_argument("--partitions", type=int, default=64)
     args = ap.parse_args()
 
-    spark = build_session()
+    spark = build_session(args.workers, args.cores, args.mem_mb, args.partitions)
     spark.sparkContext.setLogLevel("ERROR")
 
     from tools import scale_corpus
@@ -152,10 +160,11 @@ def main() -> None:
         **meta,
         "gen_sec": gen_sec,
         "cluster": {
-            "workers": WORKERS,
-            "cores_per_worker": CORES_PER_WORKER,
-            "mem_per_worker_mb": MEM_PER_WORKER_MB,
-            "total_mem_mb": WORKERS * MEM_PER_WORKER_MB,
+            "workers": args.workers,
+            "cores_per_worker": args.cores,
+            "mem_per_worker_mb": args.mem_mb,
+            "shuffle_partitions": args.partitions,
+            "total_mem_mb": args.workers * args.mem_mb,
             "r06_single_jvm": {
                 "heap_mb": 48 * 1024,
                 "threads": 32,
