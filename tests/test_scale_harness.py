@@ -69,3 +69,34 @@ class TestScaleCorpusGenerator:
         assert cfg["srp_bits"] == 6
         assert cfg["simhash_bits"] == 32
         assert cfg["kmeans_lists"] == 8
+
+
+class TestFanoutStressHarness:
+    """Smoke for tools/fanout_stress.py (FANOUT_STRESS_r07 evidence)."""
+
+    def test_gen_rows_key_cardinality_and_schema(self, spark):
+        from tools.fanout_stress import gen_rows
+
+        df = gen_rows(spark, 5_000, 200)
+        assert df.columns == ["store_id", "row_id", "amt"]
+        n_keys = df.select("store_id").distinct().count()
+        # xxhash64-derived keys: expect essentially all 200 buckets hit
+        assert 190 <= n_keys <= 200
+        assert df.count() == 5_000
+
+    def test_fd_poller_observes_open_handles(self):
+        import tempfile
+
+        from tools.fanout_stress import FdPoller
+
+        import time as _t
+
+        with FdPoller() as p:
+            fs = [tempfile.TemporaryFile() for _ in range(32)]
+            _t.sleep(0.4)
+            for f in fs:
+                f.close()
+        # the poller watches the whole process tree; our own 32 temp files
+        # must show up in both the tree total and this process's count
+        assert p.peak_total >= p.baseline_total + 30
+        assert p.peak_max_proc >= 30

@@ -23,20 +23,34 @@ def write_fanout(
     partition_cols: Sequence[str] = ("store_id",),
     fmt: str = "csv",
     mode: str = "overwrite",
+    cluster_by_key: bool = True,
 ) -> None:
     """Hive-style partitioned write: ``output/{key}=.../part-*.{fmt}``.
 
     Rows with blank/NULL keys are dropped first (reference
-    ``fan_out_by_storeid.py:33-37``). Sorting within partitions by the
-    partition key before writing (planned write) bounds concurrent open
-    writers per task to one — the Spark-native analogue of the reference's
-    open-append-close-per-row file-handle bound.
+    ``fan_out_by_storeid.py:33-37``). Two physical guarantees:
+
+    * ``cluster_by_key=True`` (default) hash-repartitions on the partition
+      key before writing, so each key's rows land in exactly ONE task and
+      the output is O(keys) files. Without it, randomly-distributed input
+      makes EVERY task emit a file for every key it sees — measured at
+      100k keys x 32 tasks: a 3.2M-file write that spent 15+ minutes just
+      creating task-attempt dirs (FANOUT_STRESS_r07). One shuffle is the
+      price of a bounded file count; at reference scale (hundreds of
+      stores) either shape is fine, at 100 TB the clustered one is the
+      only one that finishes.
+    * ``sortWithinPartitions`` on the key bounds concurrent open writers
+      per task to one (the planned-write shape) — the Spark-native
+      analogue of the reference's open-append-close-per-row file-handle
+      bound.
     """
     keyed = df
     for c in partition_cols:
         keyed = keyed.filter(
             F.col(c).isNotNull() & (F.length(F.trim(F.col(c).cast("string"))) > 0)
         )
+    if cluster_by_key:
+        keyed = keyed.repartition(*[F.col(c) for c in partition_cols])
     writer = (
         keyed.sortWithinPartitions(*partition_cols)
         .write.mode(mode)

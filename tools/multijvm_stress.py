@@ -216,6 +216,19 @@ def main() -> None:
                 f"spill_disk={disk_sp}",
                 flush=True,
             )
+
+        # planted-duplicate recall: extends the single-JVM stress's
+        # recall-invariance curve (SCALE_r06: 10x/100x/300x) to whatever
+        # scale this run probes, under the same capacity retune
+        from tools.scale_stress import planted_recall
+
+        report["recall"] = planted_recall(
+            spark,
+            sf_dir,
+            meta,
+            {"dedup_minhash_lsh_pairs": qs["dedup_minhash_lsh_pairs"](spark, sf_dir)},
+        )
+        print(f"recall: {report['recall']}", flush=True)
     finally:
         S.SRP_BITS, S.SRP_SIGNS, S.KMEANS_LISTS, dd.SIMHASH_BITS = saved
 
