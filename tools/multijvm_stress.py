@@ -130,6 +130,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=CORES_PER_WORKER)
     ap.add_argument("--mem-mb", type=int, default=MEM_PER_WORKER_MB)
     ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument(
+        "--legs",
+        default="dedup_minhash_lsh_pairs,dedup_ngram_jaccard_pairs",
+        help="comma-separated query legs; run one per invocation when the "
+        "aggregate shuffle volume would press the local disk budget",
+    )
     args = ap.parse_args()
 
     spark = build_session(args.workers, args.cores, args.mem_mb, args.partitions)
@@ -187,14 +193,15 @@ def main() -> None:
         # warm-up inflates the minhash leg up to ~10x)
         warm_dir = os.path.join(CORPUS_ROOT, "x10")
         scale_corpus.generate(spark, warm_dir, 10)
-        for name in ("dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs"):
+        legs = [s.strip() for s in args.legs.split(",") if s.strip()]
+        for name in legs:
             t0 = time.time()
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
             print(f"warmup {name} @x10: {round(time.time()-t0,1)}s", flush=True)
 
         seen: set = set()
         _, _, seen = spill_since(spark, seen)
-        for name in ("dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs"):
+        for name in legs:
             before = executor_snapshot(spark)
             t0 = time.time()
             df = qs[name](spark, sf_dir)
@@ -222,13 +229,18 @@ def main() -> None:
         # scale this run probes, under the same capacity retune
         from tools.scale_stress import planted_recall
 
-        report["recall"] = planted_recall(
-            spark,
-            sf_dir,
-            meta,
-            {"dedup_minhash_lsh_pairs": qs["dedup_minhash_lsh_pairs"](spark, sf_dir)},
-        )
-        print(f"recall: {report['recall']}", flush=True)
+        if "dedup_minhash_lsh_pairs" in legs:
+            report["recall"] = planted_recall(
+                spark,
+                sf_dir,
+                meta,
+                {
+                    "dedup_minhash_lsh_pairs": qs["dedup_minhash_lsh_pairs"](
+                        spark, sf_dir
+                    )
+                },
+            )
+            print(f"recall: {report['recall']}", flush=True)
     finally:
         S.SRP_BITS, S.SRP_SIGNS, S.KMEANS_LISTS, dd.SIMHASH_BITS = saved
 
