@@ -120,6 +120,47 @@ class TestBandedRunningSum:
         want = {(r.i, r.k): (r.run, r.seq) for r in self._naive(ev).collect()}
         assert got == want
 
+    def test_empty_input_returns_empty_with_schema(self, spark):
+        """Empty (or all-filtered) input must not crash the min/max scalar
+        fetch — it degrades to the naive window and yields zero rows."""
+        from ting_data_etl_spark.operators.skew import banded_running_sum
+
+        ev = self._skewed_events(spark).filter(F.lit(False))
+        out = banded_running_sum(
+            ev, key="k", order_time="t", order_tiebreak="i", value="v"
+        )
+        assert out.count() == 0
+        assert {"__run", "__seq"} <= set(out.columns)
+
+    def test_null_timestamps_survive_and_sort_first(self, spark):
+        """NULL order-time rows must not be dropped by the (key, band) join
+        — they band to -1 and order before every real band, matching the
+        naive window's NULLS FIRST ascending semantics."""
+        from ting_data_etl_spark.operators.skew import banded_running_sum
+
+        ev = self._skewed_events(spark, n=4_000).withColumn(
+            "t", F.when(F.col("i") % 5 == 0, None).otherwise(F.col("t"))
+        )
+        banded = banded_running_sum(
+            ev, key="k", order_time="t", order_tiebreak="i", value="v"
+        ).select("i", "k", F.col("__run").alias("run"), F.col("__seq").alias("seq"))
+        a = sorted(tuple(r) for r in self._naive(ev).collect())
+        b = sorted(tuple(r) for r in banded.collect())
+        assert a == b
+
+    def test_all_null_timestamps_fall_back_to_naive(self, spark):
+        from ting_data_etl_spark.operators.skew import banded_running_sum
+
+        ev = self._skewed_events(spark, n=1_000).withColumn(
+            "t", F.lit(None).cast("long")
+        )
+        banded = banded_running_sum(
+            ev, key="k", order_time="t", order_tiebreak="i", value="v"
+        ).select("i", "k", F.col("__run").alias("run"), F.col("__seq").alias("seq"))
+        a = sorted(tuple(r) for r in self._naive(ev).collect())
+        b = sorted(tuple(r) for r in banded.collect())
+        assert a == b
+
     def test_hot_key_spans_many_bands(self, spark):
         """The physical claim: the hot key's rows land in >1 (ideally ~all)
         time bands, so the (key, band) shuffle grain splits the straggler."""

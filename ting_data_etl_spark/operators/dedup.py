@@ -241,7 +241,14 @@ def lsh_bands(sig_col, n_bands: int | None = None) -> F.Column:
     if n_bands is None:
         n_bands = MINHASH_BANDS
     r = MINHASH_HASHES // n_bands
-    assert r * n_bands == MINHASH_HASHES, "bands must divide hash count"
+    if r * n_bands != MINHASH_HASHES:
+        # a ValueError, not assert: under python -O an assert vanishes and
+        # the trailing permutations would silently drop from LSH coverage
+        raise ValueError(
+            f"MINHASH_BANDS={n_bands} must divide MINHASH_HASHES="
+            f"{MINHASH_HASHES}; {MINHASH_HASHES % n_bands} signature "
+            "positions would be silently uncovered"
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda j: F.concat_ws(",", F.slice(sig_col, j * r + 1, r)),

@@ -110,7 +110,7 @@ ZORDER_FILES = 8
 _STAGED_ZORDER: dict[str, str] = {}
 
 
-def zvalue(a, b, bits: int = ZORDER_BITS):
+def zvalue(a, b, bits: int | None = None):
     """Morton (Z-curve) interleave of two non-negative int columns.
 
     Bit i of *a* lands at position 2i, bit i of *b* at 2i+1 — a pure
@@ -118,7 +118,14 @@ def zvalue(a, b, bits: int = ZORDER_BITS):
     close on the Z-curve are close in BOTH dimensions, so sorting the
     layout by this value co-locates multi-dimensional neighborhoods into
     the same parquet row groups.
+
+    ``bits`` defaults to the module's ``ZORDER_BITS`` read at CALL time —
+    a def-time default would let a runtime retune move the coverage guard
+    and the stage fingerprint while the interleave silently kept the old
+    width (the trap fixed for KMEANS_LISTS/BAND_FREQUENCY_CAP in r6/r7).
     """
+    if bits is None:
+        bits = ZORDER_BITS
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z + (

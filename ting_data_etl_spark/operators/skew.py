@@ -135,11 +135,25 @@ def banded_running_sum(
     lo, hi = ev.agg(
         F.min(order_time), F.max(order_time)
     ).first()
+    if lo is None or hi is None:
+        # empty input or all-NULL time column: nothing to band — degrade to
+        # the naive single-window shape (correct on both inputs, and there
+        # is no hot key to protect against)
+        w = Window.partitionBy(key).orderBy(order_time, order_tiebreak)
+        return ev.withColumn(
+            "__run",
+            F.sum(value).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).withColumn("__seq", F.row_number().over(w).cast("long"))
     span = max(int(hi) - int(lo), 0) + 1
     band = F.floor(
         ((F.col(order_time) - F.lit(int(lo))) * F.lit(int(bands))) / F.lit(span)
     ).cast("int")
-    banded = ev.withColumn("__band", band)
+    # NULL times band to -1 (instead of NULL, which the inner join on
+    # (key, band) would silently DROP): they sort before every real band,
+    # matching the naive window's NULLS FIRST ascending order
+    banded = ev.withColumn("__band", F.coalesce(band, F.lit(-1)))
 
     wb = Window.partitionBy(key, "__band").orderBy(order_time, order_tiebreak)
     local = banded.withColumn(

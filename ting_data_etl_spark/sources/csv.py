@@ -102,9 +102,23 @@ _LINE_SAFE_ENCODINGS = frozenset(
 
 
 def _canon_encoding(encoding: str) -> str:
+    """Python-canonical codec name (e.g. ``latin-1`` → ``iso8859-1``).
+
+    Every canonical name of the line-safe set is also a valid JVM charset
+    name (probed against Spark 4.1's CSVOptions for all members), so the
+    canonical form is what gets passed to the distributed reader — raw
+    aliases like ``latin-1`` or ``ms950`` are NOT JVM-portable.
+    """
     import codecs
 
-    return codecs.lookup(encoding).name
+    try:
+        return codecs.lookup(encoding).name
+    except LookupError:
+        raise ValueError(
+            f"unknown encoding {encoding!r}: not a Python codec name or "
+            "alias (JVM-only aliases like 'ms950' are not accepted — use "
+            "the standard name, e.g. 'cp950')"
+        ) from None
 
 
 def _scan_header(
@@ -225,6 +239,10 @@ def read_messy_csv(
             spark.read.text(path)
             .withColumn("_lineno", F.monotonically_increasing_id())
             .filter(F.col("_lineno") > header_idx)
+            # blank physical lines parse to an all-NULL row under from_csv
+            # but are silently skipped by Spark's CSV reader — drop them so
+            # both charset branches agree on row counts for the same bytes
+            .filter(F.length(F.col("value")) > 0)
             .select(
                 F.from_csv(F.col("value"), ddl, {"mode": "PERMISSIVE"}).alias("r")
             )
@@ -244,17 +262,34 @@ def read_messy_csv(
     # bounded driver collect, mirroring the byte-bounded header scan.
     # Spark 4 restricts CSV charsets to a short list unless the (public,
     # documented) legacy flag re-enables the full JVM charset set — Big5 &
-    # friends live there.
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    # friends live there. The flag is deliberately left set for the session:
+    # CSVOptions re-reads it at EVERY action (verified empirically — a
+    # restore breaks the lazy DataFrame this function returns), so a
+    # save/restore scope is impossible for a lazy result. The flag only
+    # widens the accepted charset list; it changes no parse behavior of
+    # other reads. Set only when the charset actually needs it.
+    _SPARK_DEFAULT_CHARSETS = {
+        "utf-8", "utf-16", "utf-16be", "utf-16le",
+        "utf-32", "utf-32be", "utf-32le", "iso8859-1", "ascii",
+    }
+    if enc not in _SPARK_DEFAULT_CHARSETS:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     parsed = (
         spark.read.option("header", False)
-        .option("encoding", encoding)
+        # the CANONICAL python codec name — probed JVM-valid for every
+        # _LINE_SAFE_ENCODINGS member, unlike raw aliases ('latin-1')
+        .option("encoding", enc)
         .option("mode", "PERMISSIVE")
         .schema(all_string_schema(cols))
         .csv(path)
         .withColumn("_rec", F.monotonically_increasing_id())
     )
-    window = parsed.filter(F.col("_rec") <= header_idx).orderBy("_rec").collect()
+    # first header_idx+1 records only: limit() stops the scan at the head
+    # of the file instead of filtering a full pass (records of a single
+    # CSV file arrive in file order; _rec stays for the hdr_rec value)
+    window = sorted(
+        parsed.limit(int(header_idx) + 1).collect(), key=lambda r: r["_rec"]
+    )
     hdr_rec = None
     for r in window:
         cells = [r[c] for c in cols]

@@ -26,7 +26,6 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -58,18 +57,17 @@ def build_session(workers, cores, mem_mb, partitions):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
-        # worker JVMs import the package by reference when unpickling
-        .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+        # worker JVMs import the package by reference when unpickling —
+        # point them at THIS checkout, wherever it lives
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
         .getOrCreate()
     )
 
 
-def rest(spark, path: str):
-    base = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    url = f"{base}/api/v1/applications/{app}{path}"
-    with urllib.request.urlopen(url, timeout=30) as r:
-        return json.load(r)
+from tools.restmetrics import rest  # noqa: E402
 
 
 def executor_snapshot(spark) -> list[dict]:

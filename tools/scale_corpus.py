@@ -205,6 +205,15 @@ def gen_users(spark: SparkSession, n_users: int) -> DataFrame:
     return u.select("user_id", segment.alias("segment"))
 
 
+def _complete(*paths: str) -> bool:
+    """All dirs exist AND carry Spark's _SUCCESS marker — a killed partial
+    write must rebuild, not get silently served (same gate as the staged
+    artifacts in operators/olap.py and operators/dedup.py)."""
+    return all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths
+    )
+
+
 def generate_skewed(
     spark: SparkSession,
     out_dir: str,
@@ -238,7 +247,7 @@ def generate_skewed(
     ev_path = os.path.join(out_dir, "events.parquet")
     us_path = os.path.join(out_dir, "users.parquet")
     doc_path = os.path.join(out_dir, "documents.parquet")
-    if all(os.path.exists(p) for p in (ev_path, us_path, doc_path)):
+    if _complete(ev_path, us_path, doc_path):
         return meta
     ev = gen_events(spark, n_events, n_users, hot_user_fraction)
     ev.repartition(max(4, n_events // 500_000)).write.mode("overwrite").parquet(
@@ -277,7 +286,7 @@ def generate(spark: SparkSession, out_dir: str, scale: float) -> dict:
     }
     doc_path = os.path.join(out_dir, "documents.parquet")
     vec_path = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.exists(doc_path) and os.path.exists(vec_path):
+    if _complete(doc_path, vec_path):
         return meta
     docs = gen_documents(spark, n_docs, n_sources).repartition(
         max(4, n_docs // 50_000)

@@ -28,7 +28,6 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -39,12 +38,7 @@ CORPUS_ROOT = "/tmp/skew_corpus"
 QUANTILES = "0.0,0.5,1.0"
 
 
-def rest(spark, path: str):
-    base = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    url = f"{base}/api/v1/applications/{app}{path}"
-    with urllib.request.urlopen(url, timeout=30) as r:
-        return json.load(r)
+from tools.restmetrics import rest  # noqa: E402
 
 
 def stage_metrics(spark, group: str) -> dict:
