@@ -161,6 +161,56 @@ class TestBandedRunningSum:
         b = sorted(tuple(r) for r in banded.collect())
         assert a == b
 
+    def test_quantile_cuts_equal_naive_and_balance_bursty_time(self, spark):
+        """Bursty event time (99% of rows in 1% of the range): quantile
+        banding stays value-exact AND keeps the hot key spread across
+        many bands where linear banding collapses to very few."""
+        from ting_data_etl_spark.operators.skew import (
+            RUNNING_BANDS,
+            banded_running_sum,
+            quantile_band_cuts,
+        )
+
+        # burst: ids not divisible by 100 get t in [0, 10_000); the rest
+        # spread to 1e9 — linear bands over the full span put ~99% of rows
+        # into band 0
+        ev = self._skewed_events(spark, n=20_000).withColumn(
+            "t",
+            F.when(
+                F.col("i") % 100 != 0, F.abs(F.xxhash64("i")) % 10_000
+            ).otherwise(F.abs(F.xxhash64("i", F.lit(2))) % 1_000_000_000),
+        )
+        cuts = quantile_band_cuts(ev, "t")
+        banded = banded_running_sum(
+            ev, key="k", order_time="t", order_tiebreak="i", value="v", cuts=cuts
+        ).select("i", "k", F.col("__run").alias("run"), F.col("__seq").alias("seq"))
+        a = sorted(tuple(r) for r in self._naive(ev).collect())
+        b = sorted(tuple(r) for r in banded.collect())
+        assert a == b
+
+        def hot_key_max_band_share(cuts_arg):
+            lo = ev.agg(F.min("t")).first()[0]
+            hi = ev.agg(F.max("t")).first()[0]
+            span = max(int(hi) - int(lo), 0) + 1
+            if cuts_arg is None:
+                band = F.floor(
+                    (F.col("t") - F.lit(int(lo))) * RUNNING_BANDS / F.lit(span)
+                )
+            else:
+                band = sum(
+                    (F.col("t") > F.lit(c)).cast("int") for c in sorted(cuts_arg)
+                )
+            hot = ev.filter(F.col("k") == 0)
+            per_band = hot.groupBy(band.alias("b")).count()
+            mx = per_band.agg(F.max("count")).first()[0]
+            return mx / hot.count()
+
+        # linear bands over the full span: the burst lands ~99% of the hot
+        # key's rows in one band (the straggler survives); quantile cuts
+        # spread them near-uniformly
+        assert hot_key_max_band_share(None) > 0.9
+        assert hot_key_max_band_share(cuts) < 0.2
+
     def test_hot_key_spans_many_bands(self, spark):
         """The physical claim: the hot key's rows land in >1 (ideally ~all)
         time bands, so the (key, band) shuffle grain splits the straggler."""

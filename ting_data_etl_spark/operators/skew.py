@@ -108,6 +108,7 @@ def banded_running_sum(
     order_tiebreak: str,
     value: str,
     bands: int = RUNNING_BANDS,
+    cuts: list | None = None,
 ) -> DataFrame:
     """Per-key cumulative SUM + row_number, split across *bands* reducers.
 
@@ -123,9 +124,12 @@ def banded_running_sum(
     anywhere. Exact, not approximate: prefix sums compose associatively.
 
     Banding is linear in ``order_time`` between its global min/max (two
-    driver scalars). A key whose rows all share ONE timestamp cannot be
-    time-split and degrades to the naive shape for that key — banding by a
-    quantile sketch of the time column is the production refinement.
+    driver scalars) by default; pass ``cuts`` (e.g. from
+    :func:`quantile_band_cuts`) to band on the time column's quantiles
+    instead, so a bursty event-time distribution cannot concentrate the
+    hot key into a few calendar-dense bands. A key whose rows all share
+    ONE timestamp cannot be time-split under either mode and degrades to
+    the naive shape for that key.
 
     Returns the input columns plus ``__run`` (running sum) and ``__seq``
     (1-based row number) per the total order ``(order_time, order_tiebreak)``.
@@ -147,9 +151,18 @@ def banded_running_sum(
             ),
         ).withColumn("__seq", F.row_number().over(w).cast("long"))
     span = max(int(hi) - int(lo), 0) + 1
-    band = F.floor(
-        ((F.col(order_time) - F.lit(int(lo))) * F.lit(int(bands))) / F.lit(span)
-    ).cast("int")
+    if cuts is None:
+        band = F.floor(
+            ((F.col(order_time) - F.lit(int(lo))) * F.lit(int(bands))) / F.lit(span)
+        ).cast("int")
+    else:
+        # quantile cuts: band = number of cuts strictly below t. Monotone
+        # non-decreasing in t, and EQUAL timestamps always share a band
+        # (ties resolve inside the band window), so correctness is
+        # banding-agnostic while occupancy tracks the data distribution.
+        band = sum(
+            (F.col(order_time) > F.lit(c)).cast("int") for c in sorted(cuts)
+        )
     # NULL times band to -1 (instead of NULL, which the inner join on
     # (key, band) would silently DROP): they sort before every real band,
     # matching the naive window's NULLS FIRST ascending order
@@ -185,6 +198,22 @@ def banded_running_sum(
     )
 
 
+def quantile_band_cuts(
+    ev: DataFrame, order_time: str, bands: int = RUNNING_BANDS
+) -> list:
+    """Band boundaries at the time column's ``1/bands`` quantiles.
+
+    One ``approxQuantile`` pass (GK sketch, distributed; B-1 driver
+    scalars) — the production banding for bursty event time, where linear
+    min/max banding would leave most bands empty and pile the hot key's
+    rows into the few calendar-dense ones.
+    """
+    if bands < 2:
+        return []
+    probs = [i / bands for i in range(1, bands)]
+    return ev.approxQuantile(order_time, probs, 0.001)
+
+
 def _sql_banded_running() -> str:
     from ting_data_etl_spark.operators.temporal import _SQL_RUNNING
 
@@ -209,6 +238,40 @@ def skew_banded_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = banded_running_sum(
         ev, key="user_id", order_time="us", order_tiebreak="event_id", value="v6"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "us",
+        (F.col("__run").cast("long") / F.lit(1_000_000.0)).alias("running_value"),
+        F.col("__seq").alias("event_seq"),
+    )
+
+
+@register("skew_banded_running_quantile", oracle=_sql_banded_running)
+def skew_banded_running_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-banded twin of ``skew_banded_running_value``: identical
+    values (same oracle), but band boundaries come from the time column's
+    own quantiles (``quantile_band_cuts``), so occupancy stays ~uniform
+    even when event time is bursty — the production refinement the linear
+    variant's docstring promises.
+    """
+    from ting_data_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+    )
+    cuts = quantile_band_cuts(ev, "us")
+    out = banded_running_sum(
+        ev,
+        key="user_id",
+        order_time="us",
+        order_tiebreak="event_id",
+        value="v6",
+        cuts=cuts,
     )
     return out.select(
         "event_id",
