@@ -249,3 +249,55 @@ class TestPiiRegexParity:
                 [v, v, v, v],
             ).fetchone()
             assert got[i] == (ne, ni, np_, red), (v, got[i], (ne, ni, np_, red))
+
+
+class TestBandedRunningSumProperty:
+    """banded_running_sum ≡ the naive per-key window on ADVERSARIAL inputs:
+    duplicate timestamps, NULL timestamps, negative times, single-row keys,
+    constant times — under both linear and quantile banding."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 3),  # key
+                st.one_of(st.none(), st.integers(-50, 50)),  # time (dup-heavy)
+                st.integers(-5, 5),  # value
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        use_quantile=st.booleans(),
+    )
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_python_model(self, spark, rows, use_quantile):
+        from ting_data_etl_spark.operators.skew import (
+            banded_running_sum,
+            quantile_band_cuts,
+        )
+
+        data = [(i, k, t, v) for i, (k, t, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "i long, k long, t long, v long")
+        cuts = quantile_band_cuts(df, "t", bands=4) if use_quantile else None
+        got = {
+            r.i: (r["__run"], r["__seq"])
+            for r in banded_running_sum(
+                df, key="k", order_time="t", order_tiebreak="i", value="v",
+                bands=4, cuts=cuts,
+            ).collect()
+        }
+        # python model: per key, NULLS FIRST asc by (t, i), running sum
+        want = {}
+        byk: dict = {}
+        for i, k, t, v in data:
+            byk.setdefault(k, []).append((i, t, v))
+        for k, items in byk.items():
+            items.sort(key=lambda x: (x[1] is not None, x[1] if x[1] is not None else 0, x[0]))
+            run = 0
+            for seq, (i, t, v) in enumerate(items, start=1):
+                run += v
+                want[i] = (run, seq)
+        assert got == want
