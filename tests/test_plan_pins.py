@@ -59,6 +59,10 @@ PINNED = [
     "sample_per_group_fixed_k",
     "graph_near_dup_stats",
     "layout_zorder_rectangle_scan",
+    # round-7 additions: the skew-window rewrites — the pin guards the
+    # (key, band) shuffle grain that splits the hot key across reducers
+    "skew_banded_running_value",
+    "skew_banded_running_quantile",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The
