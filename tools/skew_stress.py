@@ -177,6 +177,16 @@ def run_scale(spark, scale: float) -> dict:
         results,
         confs=static_parts,
     )
+    # quantile-banded variant: on this corpus event time is uniform so it
+    # should match the linear bands; its burst-time advantage is measured
+    # separately in tools/burst_stress.py (BURST_STRESS_r07.json)
+    run_case(
+        spark,
+        "window_banded_quantile",
+        lambda: qs["skew_banded_running_quantile"](spark, sf_dir),
+        results,
+        confs=static_parts,
+    )
 
     # --- join family: sort-merge (AQE off / AQE skew-split) vs salted ------
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
