@@ -457,8 +457,12 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             # SCALE_r06 run: a "447-list" 200k-vector index was an 8-list
             # fit and searches scanned 25k-vector lists).
             _CENTROIDS[key] = kmeans_fit(_quantized(spark, sf_dir), k=KMEANS_LISTS)
-            with open(path, "w") as f:
+            # atomic publish (tmp + rename): a crash mid-dump must not
+            # leave a truncated json that every later process crashes on
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
                 json.dump(_CENTROIDS[key], f)
+            os.replace(tmp, path)
     return _CENTROIDS[key]
 
 
