@@ -22,6 +22,9 @@ Both queries check against full-hash DuckDB oracles over the same events.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -137,12 +140,9 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "complete")
 
 
-_SQL_STREAM_DEDUP_TTL = f"""
-SELECT event_type,
-       COUNT(*) AS n_events,
-       {sql_sum_exact("value", 6)} AS total_value
-FROM events GROUP BY event_type
-"""
+# same truth as the exactly-once dedup: per-type totals over the ORIGINAL
+# events — one constant, two registrations
+_SQL_STREAM_DEDUP_TTL = _SQL_STREAM_DEDUP
 
 
 @register("streaming_dedup_ttl_state", oracle=_SQL_STREAM_DEDUP_TTL)
@@ -205,16 +205,9 @@ def streaming_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     log committed, so retries/failures never double-count. The read-back
     aggregation must match the batch truth over the original events.
     """
-    import os
-    import tempfile
-
-    from ting_data_etl_spark.streaming.windows import stage_events_stream
+    from ting_data_etl_spark.streaming.windows import staged_events_generation
 
     if sf_dir not in _STAGED_SINK:
-        from ting_data_etl_spark.streaming.windows import (
-            staged_events_generation,
-        )
-
         ev = stage_events_stream(spark, sf_dir)
         # sink state (checkpoint + output) keyed by the staged input's
         # generation id: a rebuilt stage (new part filenames, same rows)
@@ -270,8 +263,6 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     all events (the oracle). Fixed-point sums make the merge associative —
     per-batch partial sums combine exactly regardless of batch boundaries.
     """
-    import os
-    import tempfile
     import uuid
 
     from ting_data_etl_spark.streaming.stateful import (
@@ -279,28 +270,20 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     staged = stage_events_time_split(spark, sf_dir)
-    schema = "event_id long, ts timestamp, user_id long, value double"
+    schema = (
+        "event_id long, ts timestamp, user_id long, value double, "
+        "event_type string"
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )
-    # the time-split stage carries (event_id, ts, user_id, value) only;
-    # purchases are identified by a broadcast semi-join on the id set
     base = os.path.join(
         tempfile.gettempdir(), "ting_fb_upsert", uuid.uuid4().hex
     )
     os.makedirs(base, exist_ok=True)
     last_gen: dict[str, int] = {"id": -1}
-
-    from ting_data_etl_spark.sources.tables import load_table
-
-    purchase_ids = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id")
-    )
-    pid = F.broadcast(purchase_ids)
 
     def merge(batch_df, batch_id: int) -> None:
         # Idempotent under micro-batch retry: generation gen_{batch_id} is
@@ -311,7 +294,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         # its contribution (the exactly-once contract foreachBatch asks the
         # sink to provide).
         delta = (
-            batch_df.join(pid, "event_id")
+            batch_df.filter(F.col("event_type") == "purchase")
             .groupBy("user_id")
             .agg(
                 F.count("*").alias("n_purchases"),
@@ -320,10 +303,17 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
                 ),
             )
         )
-        prev_path = os.path.join(base, f"gen_{batch_id - 1}")
-        if batch_id > 0 and os.path.exists(
-            os.path.join(prev_path, "_SUCCESS")
-        ):
+        if batch_id > 0:
+            prev_path = os.path.join(base, f"gen_{batch_id - 1}")
+            if not os.path.exists(os.path.join(prev_path, "_SUCCESS")):
+                # silently merging from nothing would restart the aggregate
+                # at this batch's delta — a fraction of the truth with no
+                # error; fail the query instead
+                raise RuntimeError(
+                    f"foreachBatch merge: previous generation {prev_path} "
+                    "is missing or uncommitted — accumulated history would "
+                    "be silently discarded"
+                )
             prev = batch_df.sparkSession.read.parquet(prev_path)
             merged = (
                 prev.unionByName(delta)

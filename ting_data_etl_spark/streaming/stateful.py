@@ -36,6 +36,7 @@ across batch boundaries, shuffle orders, and engines.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 from typing import Any
@@ -74,28 +75,43 @@ def stage_events_time_split(spark: SparkSession, sf_dir: str) -> str:
     file-arrival stream, one shuffle to stage.
     """
     if sf_dir not in _STAGED_SPLIT:
+        # path keyed by the SOURCE file's (mtime, size) fingerprint, like
+        # stage_events_stream: a testdata regeneration lands at a fresh
+        # path instead of being masked by a stale committed stage (the
+        # round-4 failure class)
+        src = os.path.join(sf_dir, "events.parquet")
+        fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
         out = os.path.join(
             tempfile.gettempdir(),
             "ting_stream_stage_split",
-            sf_dir.strip("/").replace("/", "_"),
+            f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
         )
         # durable: a committed stage keeps its part filenames AND its
         # ascending mtimes, so re-use is free and checkpointed consumers
-        # never see re-minted input files
+        # never see re-minted input files. Publish is ATOMIC (tmp dir +
+        # rename): a second process either sees the finished stage or
+        # loses the rename race and reuses the winner's — never a stage
+        # whose mtimes are still being set.
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            tmp = f"{out}.tmp.{os.getpid()}"
             ev = load_table(spark, sf_dir, "events").select(
-                "event_id", "ts", "user_id", "value"
+                "event_id", "ts", "user_id", "value", "event_type"
             )
             ev.repartitionByRange(N_STAGE_FILES, "ts", "event_id").write.mode(
                 "overwrite"
-            ).parquet(out)
+            ).parquet(tmp)
             parts = sorted(
-                f for f in os.listdir(out) if f.endswith(".parquet")
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
             )
-            base = int(os.path.getmtime(os.path.join(out, parts[-1])))
+            base = int(os.path.getmtime(os.path.join(tmp, parts[-1])))
             for i, name in enumerate(parts):
-                p = os.path.join(out, name)
+                p = os.path.join(tmp, name)
                 os.utime(p, (base + i, base + i))
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            try:
+                os.rename(tmp, out)
+            except OSError:  # lost the publish race: reuse the winner's
+                shutil.rmtree(tmp, ignore_errors=True)
         _STAGED_SPLIT[sf_dir] = out
     return _STAGED_SPLIT[sf_dir]
 

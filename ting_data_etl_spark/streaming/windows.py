@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,10 @@ from ting_data_etl_spark.streaming.batch_windows import (
 
 _STAGED: dict[str, str] = {}
 _SINK_IDS = itertools.count()
+#: most-recent memory-sink tables kept registered (older ones are dropped —
+#: they would otherwise pin every past run's full results in driver memory)
+_RECENT_SINKS: list[str] = []
+_SINK_KEEP = 4
 
 
 def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,8 +80,16 @@ def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # disk. Re-staging per process would mint new part filenames, which
         # a checkpointed file-source consumer (the parquet-sink round-trip)
         # would treat as NEW input and reprocess — duplicating its output.
+        # Publish is ATOMIC (tmp + rename) so a concurrent process either
+        # sees the finished stage or loses the race and reuses the winner's.
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            batch.write.mode("overwrite").parquet(out)
+            tmp = f"{out}.tmp.{os.getpid()}"
+            batch.write.mode("overwrite").parquet(tmp)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
         _STAGED[sf_dir] = out
     return spark.readStream.schema(batch.schema).parquet(_STAGED[sf_dir])
 
@@ -119,12 +132,11 @@ STREAM_SHUFFLE_PARTITIONS = int(
 def run_stream_to_table(
     sdf: DataFrame,
     output_mode: str,
-    once: bool = False,
     progress_out: list | None = None,
 ) -> DataFrame:
     """Run a bounded streaming query to completion via a memory sink.
 
-    ``availableNow`` (or ``once``) processes the full backlog then stops —
+    ``availableNow`` processes the full backlog then stops —
     the bounded-execution mode Structured Streaming provides for exactly
     this batch-parity pattern. Returns the sink table as a batch DataFrame.
     The shuffle-partition conf is pushed to the state-sized value for the
@@ -144,15 +156,19 @@ def run_stream_to_table(
         writer = (
             sdf.writeStream.format("memory").queryName(name).outputMode(output_mode)
         )
-        if once:
-            q = writer.trigger(once=True).start()
-        else:
-            q = writer.trigger(availableNow=True).start()
+        q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         if progress_out is not None:
             progress_out.extend(q.recentProgress)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # memory sinks pin their full result set in the driver heap for the
+    # session lifetime; keep only the last few (callers consume a sink's
+    # table before running the next streaming query — bench and the
+    # oracle sweep both run one query at a time)
+    _RECENT_SINKS.append(name)
+    while len(_RECENT_SINKS) > _SINK_KEEP:
+        spark.catalog.dropTempView(_RECENT_SINKS.pop(0))
     return spark.table(name)
 
 
@@ -208,7 +224,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch oracle reproduces exactly).
 _SQL_SESSION_WINDOWS = f"""
 WITH seq AS (
-  SELECT user_id, value, epoch_us(ts) AS us,
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_us
   FROM events
@@ -220,7 +236,10 @@ marked AS (
 ),
 sessions AS (
   SELECT *, SUM(is_new) OVER (
-           PARTITION BY user_id ORDER BY us
+           -- event_id tiebreak: with ROWS framing a non-unique ORDER BY
+           -- would make same-microsecond rows' session assignment depend
+           -- on sort luck (latent until a skewed corpus plants ts ties)
+           PARTITION BY user_id ORDER BY us, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS session_no
   FROM marked
