@@ -93,10 +93,28 @@ class TestShuffleBudgets:
         assert "props" not in exchange_line
         assert "partial_sum" in plan  # partial agg below the exchange
 
-    def test_stratified_split_map_only(self, spark, sf_dir):
+    def test_stratified_split_one_shuffle_on_source(self, spark, sf_dir):
+        """Exact per-source stratification costs exactly ONE shuffle (the
+        rank window over source); the r6 map-only form was a plain global
+        hash split that did not stratify at all."""
         from ting_data_etl_spark.operators.sampling import stratified_split
 
-        assert "Exchange" not in self._plan(stratified_split(spark, sf_dir))
+        plan = self._plan(stratified_split(spark, sf_dir))
+        assert plan.count("Exchange") == 1
+
+    def test_sample_and_mixture_stay_map_only(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import (
+            corpus_weighted_mixture,
+            sample_hash_mod,
+        )
+
+        assert "Exchange" not in self._plan(sample_hash_mod(spark, sf_dir))
+        # the mixture's report rollup aggregates AFTER the map-side filter;
+        # its only exchange is the tiny groupBy("source")
+        assert (
+            self._plan(corpus_weighted_mixture(spark, sf_dir)).count("Exchange")
+            <= 1
+        )
 
     def test_minhash_signatures_single_shuffle(self, spark, sf_dir):
         from ting_data_etl_spark.operators.dedup import (

@@ -39,34 +39,53 @@ class TestSplit:
         frac_train = sum(r.split == "train" for r in rows) / len(rows)
         assert 0.7 < frac_train < 0.9
 
-    def test_assignment_stable_under_corpus_growth(self, spark, sf_dir):
-        """A doc's split must not depend on which other docs are present."""
+    def test_exact_stratification_per_source(self, spark, sf_dir):
+        """EVERY source contributes to all three sets in 80/10/10
+        proportion (the property the query is named for — a global hash
+        split can leave a small source entirely inside train)."""
         from ting_data_etl_spark.operators.sampling import stratified_split
-
-        full = {r.doc_id: r.split for r in stratified_split(spark, sf_dir).collect()}
-        # same query over a filtered "smaller corpus"
-        from ting_data_etl_spark.operators.sampling import _bucket
         from ting_data_etl_spark.sources.tables import load_table
 
-        d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        joined = stratified_split(spark, sf_dir).join(docs, "doc_id")
+        per = {
+            (r.source, r.split): r.n
+            for r in joined.groupBy("source", "split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        sizes = {
+            r.source: r.n
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for src, n in sizes.items():
+            tr = per.get((src, "train"), 0)
+            # rank-range cut: train count is exactly ceil-or-floor of 80%
+            assert abs(tr - 0.8 * n) <= 1, (src, n, tr)
+            if n >= 10:
+                assert per.get((src, "val"), 0) >= 1
+                assert per.get((src, "test"), 0) >= 1
+
+    def test_split_deterministic_across_runs(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import stratified_split
+
+        a = {r.doc_id: r.split for r in stratified_split(spark, sf_dir).collect()}
+        b = {r.doc_id: r.split for r in stratified_split(spark, sf_dir).collect()}
+        assert a == b
+
+    def test_sample_and_split_decisions_are_decorrelated(self, spark, sf_dir):
+        """The per-purpose salts must break the round-6 correlation where
+        the 20% sample was a strict subset of the train split (an empty
+        val/test set for any sampled corpus)."""
         from ting_data_etl_spark.operators.sampling import (
-            SPLIT_TRAIN_PCT,
-            SPLIT_VAL_PCT,
+            sample_hash_mod,
+            stratified_split,
         )
 
-        b = _bucket(F.col("doc_id"))
-        sub = {
-            r.doc_id: r.split
-            for r in d.select(
-                "doc_id",
-                F.when(b < SPLIT_TRAIN_PCT, "train")
-                .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-                .otherwise("test")
-                .alias("split"),
-            ).collect()
-        }
-        for doc_id, split in sub.items():
-            assert full[doc_id] == split
+        sampled = {r.doc_id for r in sample_hash_mod(spark, sf_dir).collect()}
+        split = {r.doc_id: r.split for r in stratified_split(spark, sf_dir).collect()}
+        in_sample = {split[d] for d in sampled}
+        assert in_sample == {"train", "val", "test"}
 
 
 class TestShards:

@@ -30,18 +30,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ting_data_etl_spark.functions.text import portable_hash31, tokens
+from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
 
 # Shared tokenizer CTE — identical to text_queries._SQL_TOKS but kept local
 # so this module has no import-order coupling to the text family.
-_SQL_TOKS = """
+_SQL_TOKS = f"""
 ctok AS (
   SELECT doc_id, text,
-         list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{L}\\p{N}]+'),
-           t -> t <> '') AS toks
+         {SQL_TOKEN_LIST} AS toks
   FROM documents
 )
 """
@@ -318,13 +316,10 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- canonical-keeper dedup output -----------------------------------------
-def _sql_keep_canonical() -> str:
-    """Recursive-CTE twin: MinHash-LSH pairs → closure → keeper + size."""
-    from ting_data_etl_spark.operators.dedup import _SQL_MINHASH_PAIRS_CTE
-
-    return f"""
-{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
-und AS (
+# Transitive-closure CTE chain over the MinHash candidate pairs: shared by
+# the keep-canonical and e2e-status oracles so a labeling fix cannot be
+# applied to one and silently missed in the other.
+_SQL_CLOSURE_CTES = """und AS (
   SELECT doc_a AS a, doc_b AS b FROM mh_pairs
   UNION ALL
   SELECT doc_b, doc_a FROM mh_pairs
@@ -339,7 +334,16 @@ labeled AS (
   SELECT d.doc_id,
          LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-)
+)"""
+
+
+def _sql_keep_canonical() -> str:
+    """Recursive-CTE twin: MinHash-LSH pairs → closure → keeper + size."""
+    from ting_data_etl_spark.operators.dedup import _SQL_MINHASH_PAIRS_CTE
+
+    return f"""
+{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+{_SQL_CLOSURE_CTES}
 SELECT component AS keeper_doc_id,
        CAST(COUNT(*) AS BIGINT) AS cluster_size,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
@@ -376,22 +380,7 @@ def _sql_e2e_status() -> str:
 
     return f"""
 {_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
-und AS (
-  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM mh_pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
-labeled AS (
-  SELECT d.doc_id,
-         LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
-  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-),
+{_SQL_CLOSURE_CTES},
 {_SQL_TOKS},
 {_SQL_GOPHER_CTES},
 {_SQL_CONTAM_CTES}

@@ -32,6 +32,7 @@ from ting_data_etl_spark.functions.text import (
     doc_fingerprint_md5,
     word_ngrams,
 )
+from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
 
@@ -266,10 +267,7 @@ def _sql_perm_mins() -> str:
 _MINHASH_SIG_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{{L}}\\p{{N}}]+'),
-           t -> t <> '') AS toks
+         {SQL_TOKEN_LIST} AS toks
   FROM documents
 ),
 sh AS (
@@ -388,10 +386,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_JACCARD = f"""
 WITH tok AS (
   SELECT doc_id, source,
-         list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{{L}}\\p{{N}}]+'),
-           t -> t <> '') AS toks
+         {SQL_TOKEN_LIST} AS toks
   FROM documents
 ),
 sh AS (
@@ -588,10 +583,7 @@ def _sql_simhash() -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{{L}}\\p{{N}}]+'),
-           t -> t <> '') AS toks
+         {SQL_TOKEN_LIST} AS toks
   FROM documents
 ),
 dig AS (
@@ -746,10 +738,7 @@ def _sql_simhash_pairs() -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{{L}}\\p{{N}}]+'),
-           t -> t <> '') AS toks
+         {SQL_TOKEN_LIST} AS toks
   FROM documents
 ),
 dig AS (

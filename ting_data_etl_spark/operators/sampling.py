@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
 
@@ -42,48 +43,63 @@ SPLIT_VAL_PCT = 10  # [80, 90) val; [90, 100) test
 N_SHARDS = 16
 
 
-def _bucket(col) -> F.Column:
-    """Deterministic hash bucket in [0, 100) from a key column."""
+def _bucket(col, salt: str) -> F.Column:
+    """Deterministic hash bucket in [0, 100) from a key column.
+
+    ``salt`` names the DECISION (sample / mix / split): without it the
+    three pipeline verbs share one bucket value per doc and their outcomes
+    are fully correlated — a 20% sample would be a strict subset of the
+    80% train split, leaving a sampled corpus with EMPTY val/test sets.
+    Per-purpose salts make the decisions independent.
+    """
     return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        )
         .try_cast("long")
         % 100
     )
 
 
-def _sql_bucket(expr: str) -> str:
-    return f"(CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT) % 100)"
+def _sql_bucket(expr: str, salt: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('{salt}|' || CAST({expr} AS VARCHAR)), 1, 8) "
+        "AS BIGINT) % 100)"
+    )
 
 
 # --- deterministic subsample -----------------------------------------------
 _SQL_SAMPLE = f"""
 SELECT doc_id, source
 FROM documents
-WHERE {_sql_bucket("doc_id")} < {SAMPLE_PCT}
+WHERE {_sql_bucket("doc_id", "sample")} < {SAMPLE_PCT}
 """
 
 
 @register("sample_hash_mod", defer=True, oracle=_SQL_SAMPLE)
 def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible {SAMPLE_PCT}% subsample — a pure pushed-down filter.
+    f"""Reproducible {SAMPLE_PCT}% subsample — a pure pushed-down filter.
 
     The plan is a parquet scan with one predicate: no shuffle, no RNG state,
     and the sampled set is stable under any repartitioning — unlike
     ``df.sample()``, whose output depends on partition layout.
     """
     d = load_table(spark, sf_dir, "documents")
-    return d.filter(_bucket(F.col("doc_id")) < SAMPLE_PCT).select(
+    return d.filter(_bucket(F.col("doc_id"), "sample") < SAMPLE_PCT).select(
         "doc_id", "source"
     )
 
 
 # --- per-source weighted mixture -------------------------------------------
 def _mix_rate_expr() -> F.Column:
-    rate = F.lit(DEFAULT_MIX_PCT)
-    expr = F.when(F.lit(False), F.lit(0))
-    for src, pct in MIXTURE_PCT.items():
-        expr = expr.when(F.col("source") == src, F.lit(pct))
-    return expr.otherwise(rate)
+    items = iter(MIXTURE_PCT.items())
+    first_src, first_pct = next(items)
+    expr = F.when(F.col("source") == first_src, F.lit(first_pct))
+    for s, pct in items:
+        expr = expr.when(F.col("source") == s, F.lit(pct))
+    return expr.otherwise(F.lit(DEFAULT_MIX_PCT))
 
 
 def _sql_mix_rate() -> str:
@@ -97,7 +113,7 @@ _SQL_MIXTURE = f"""
 WITH kept AS (
   SELECT doc_id, source
   FROM documents
-  WHERE {_sql_bucket("doc_id")} < {_sql_mix_rate()}
+  WHERE {_sql_bucket("doc_id", "mix")} < {_sql_mix_rate()}
 )
 SELECT source, COUNT(*) AS n_docs
 FROM kept GROUP BY source
@@ -115,30 +131,52 @@ def corpus_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sequence + explode`` repeat — same deterministic-hash machinery.
     """
     d = load_table(spark, sf_dir, "documents")
-    kept = d.filter(_bucket(F.col("doc_id")) < _mix_rate_expr())
+    kept = d.filter(_bucket(F.col("doc_id"), "mix") < _mix_rate_expr())
     return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
 
 
 # --- train/val/test split --------------------------------------------------
 _SQL_SPLIT = f"""
 SELECT doc_id,
-       CASE WHEN {_sql_bucket("doc_id")} < {SPLIT_TRAIN_PCT} THEN 'train'
-            WHEN {_sql_bucket("doc_id")} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
-FROM documents
+FROM (
+  SELECT doc_id,
+         (100 * (row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('split|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1)) // COUNT(*) OVER (PARTITION BY source) AS bucket
+  FROM documents
+)
 """
 
 
 @register("stratified_split", defer=True, oracle=_SQL_SPLIT)
 def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 train/val/test assignment by content hash.
+    """STRATIFIED 80/10/10 train/val/test: exact proportions per source.
 
-    Hash-range splitting guarantees the three sets stay disjoint and stable
-    as the corpus grows (a doc's split never changes when other docs are
-    added — contamination-audit requirement). Map-only plan.
+    Docs are hash-ranked WITHIN their source and the rank range is cut
+    80/10/10, so every source — however small — contributes to all three
+    sets in proportion (a plain global hash split can leave a 30-doc
+    source entirely inside train). The selection is still deterministic
+    and seedless (md5 rank), but exact stratification trades away
+    append-stability: adding docs to a source shifts its ranks, so split
+    membership is stable per released corpus snapshot, not across appends.
+    For the append-stable (unstratified) property use the hash-bucket
+    predicate of :func:`sample_hash_mod` with per-purpose salts.
     """
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
-    b = _bucket(F.col("doc_id"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    n = Window.partitionBy("source")
+    b = F.floor(
+        (100 * (F.row_number().over(w) - 1)) / F.count("*").over(n)
+    )
     return d.select(
         "doc_id",
         F.when(b < SPLIT_TRAIN_PCT, "train")
@@ -152,10 +190,7 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SHARDS = f"""
 WITH tok AS (
   SELECT doc_id,
-         len(list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{{L}}\\p{{N}}]+'),
-           t -> t <> '')) AS n_toks
+         len({SQL_TOKEN_LIST}) AS n_toks
   FROM documents
 ),
 ranked AS (
@@ -207,10 +242,7 @@ PACK_BUDGET = 1024  # tokens per packed training sequence
 _SQL_PACK = f"""
 WITH tok AS (
   SELECT doc_id,
-         len(list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{{L}}\\p{{N}}]+'),
-           t -> t <> '')) AS n_toks
+         len({SQL_TOKEN_LIST}) AS n_toks
   FROM documents
 ),
 packed AS (
@@ -262,6 +294,28 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- banded (two-phase) variants of the global-window operators ------------
+def _quantile_bands(df: DataFrame, col: str, n_bands: int, desc: bool = False):
+    """Deterministic band column from the key's quantile cuts.
+
+    The previous formulation derived ``__band`` from
+    ``repartitionByRange(...).spark_partition_id()`` and leaned on
+    ``persist()`` for consistency — but a lost cached block recomputes
+    through a RE-SAMPLED range exchange, so recomputed rows could land in
+    different bands than the already-collected offsets (silently wrong
+    output under executor loss, exactly the failure large clusters have).
+    Quantile cuts make the band a PURE FUNCTION of the key: recomputation
+    is always consistent, cache or no cache. Ties share a band by
+    construction, which the rank math requires.
+    """
+    probs = [i / n_bands for i in range(1, n_bands)]
+    cuts = sorted(set(df.approxQuantile(col, probs, 0.001)))
+    if not cuts:
+        return F.lit(0)
+    if desc:
+        return sum((F.col(col) < F.lit(c)).cast("int") for c in cuts)
+    return sum((F.col(col) > F.lit(c)).cast("int") for c in cuts)
+
+
 def _band_offsets(df: DataFrame, value_col: str) -> DataFrame:
     """Per-partition row/total offsets via one tiny driver-side prefix sum.
 
@@ -270,13 +324,11 @@ def _band_offsets(df: DataFrame, value_col: str) -> DataFrame:
     broadcasts the offsets back. This is the only driver involvement — B
     scalars, never data.
     """
-    import pyspark.sql.functions as F_
-
     per_band = (
         df.groupBy("__band")
         .agg(
-            F_.count("*").alias("band_rows"),
-            F_.sum(value_col).alias("band_total"),
+            F.count("*").alias("band_rows"),
+            F.sum(value_col).alias("band_total"),
         )
         .orderBy("__band")
         .collect()
@@ -304,13 +356,14 @@ def shard_assignment_banded(
     the oracle stays the single-window SQL because the outputs are
     identical by construction.
 
-    Range-partition by the sort key into *n_bands* bands, rank locally
-    within each band, and convert to global ranks with the per-band offsets
-    from :func:`_band_offsets`. Every shuffle is bounded (range exchange +
-    in-band sorts); the only serialized work is a B-row prefix sum on the
-    driver. Output is IDENTICAL to the single-window form (pytest-pinned):
-    the (n_toks desc, doc_id) composite key is unique, so band-local ranks
-    + offsets reproduce the exact global ranking.
+    Band by the token count's quantile cuts (deterministic — see
+    :func:`_quantile_bands`), rank locally within each band, and convert
+    to global ranks with the per-band offsets from :func:`_band_offsets`.
+    Every shuffle is bounded (per-band sorts); the only serialized work is
+    a B-row prefix sum on the driver. Output is IDENTICAL to the
+    single-window form (pytest-pinned): ties on n_toks share a band and
+    the (n_toks desc, doc_id) in-band order is unique, so band-local
+    ranks + offsets reproduce the exact global ranking.
     """
     from pyspark.sql import Window
 
@@ -318,9 +371,8 @@ def shard_assignment_banded(
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", token_count("text").alias("n_toks"))
-    banded = tok.repartitionByRange(
-        n_bands, F.col("n_toks").desc(), F.col("doc_id")
-    ).withColumn("__band", F.spark_partition_id())
+    band = _quantile_bands(tok, "n_toks", n_bands, desc=True)
+    banded = tok.withColumn("__band", band)
     banded = banded.persist()
     try:
         offsets = _band_offsets(banded, "n_toks")
@@ -369,9 +421,8 @@ def pack_sequences_banded(
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", token_count("text").alias("n_toks"))
-    banded = tok.repartitionByRange(n_bands, "doc_id").withColumn(
-        "__band", F.spark_partition_id()
-    )
+    band = _quantile_bands(tok, "doc_id", n_bands)
+    banded = tok.withColumn("__band", band)
     banded = banded.persist()
     try:
         offsets = _band_offsets(banded, "n_toks")

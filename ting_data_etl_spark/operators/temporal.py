@@ -154,7 +154,17 @@ def events_range_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- semi-structured props extraction --------------------------------------
 _SQL_JSON_PROPS = """
 WITH x AS (
-  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+  -- exact parity with Spark's from_json("k long"): malformed JSON,
+  -- quoted numbers ("12"), and non-integer values (1.5) all yield NULL
+  -- (probed identical across both engines for all seven edge shapes);
+  -- the bare ->> '{k}' form would throw on malformed docs and coerce
+  -- quoted/float values where Spark does not
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+                AND json_type(json_extract(props, '$.k'))
+                    IN ('BIGINT', 'UBIGINT')
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
 )
 SELECT event_type,
        COUNT(*) AS n_events,
@@ -217,8 +227,6 @@ def events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     every prefix is exact: float running sums would otherwise disagree with
     the oracle in the last ULP wherever accumulation order differs.
     """
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -317,7 +325,7 @@ GROUP BY 1, 2
 
 @register("events_hour_cohort_retention", defer=True, oracle=_SQL_COHORT)
 def events_hour_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly cohort retention: users active N hours after their first hour.
+    f"""Hourly cohort retention: users active N hours after their first hour.
 
     The cohort matrix behind every retention chart: cohort = each user's
     first active hour (integer floor-division of epoch micros, exact in both

@@ -22,16 +22,14 @@ from ting_data_etl_spark.functions.text import (
     quality_score,
     token_count,
 )
+from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
 
-_SQL_TOKS = """
+_SQL_TOKS = f"""
 tok AS (
   SELECT doc_id, lang, source, n_chars, text,
-         list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{L}\\p{N}]+'),
-           t -> t <> '') AS toks
+         {SQL_TOKEN_LIST} AS toks
   FROM documents
 )
 """

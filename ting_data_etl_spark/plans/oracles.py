@@ -59,3 +59,12 @@ def sql_guarded_ratio(num: str, den: str) -> str:
 def sql_yoy(cur: str, prev: str) -> str:
     """Twin of ``cleaning.yoy_ratio``."""
     return sql_guarded_ratio(f"({cur}) - ({prev})", prev)
+
+#: DuckDB twin of ``functions.text.tokens`` — THE tokenizer SQL. Every
+#: oracle that counts or lists tokens interpolates this one expression;
+#: before round 7 it existed as 8 verbatim copies across four modules,
+#: where a tokenizer change could silently miss one.
+SQL_TOKEN_LIST = """list_filter(
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                 '[^\\p{L}\\p{N}]+'),
+           t -> t <> '')"""
