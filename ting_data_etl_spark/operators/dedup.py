@@ -1000,6 +1000,35 @@ def _stage_version_token() -> str:
     return hashlib.md5("_".join(str(p) for p in parts).encode()).hexdigest()[:10]
 
 
+def component_stage_path(sf_dir: str, key: str) -> str:
+    """Stage dir for the (sf_dir, key) components artifact — path only.
+
+    Keyed by EVERY source table's (mtime, size) fingerprint plus a
+    constants version token: a testdata regeneration of ANY input table
+    (embeddings included, for the ensemble key) or a candidate-generation
+    constant change invalidates the stage instead of serving stale labels
+    from a persistent temp dir (the round-4 failure mode for any durable
+    derived artifact). Exposed so callers (the ensemble build) can test
+    for a warm on-disk stage BEFORE paying the candidate-generation work —
+    the in-process dict alone made a fresh process regenerate and then
+    discard the pair relation.
+    """
+    import os
+    import tempfile
+
+    fp_parts = [key, _stage_version_token()]
+    for table in _STAGE_SOURCES.get(key, ("documents",)):
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        fp_parts.append(f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}")
+    fp = "_".join(fp_parts)
+    return os.path.join(
+        tempfile.gettempdir(),
+        "ting_cc_stage",
+        sf_dir.strip("/").replace("/", "_"),
+        fp,
+    )
+
+
 def staged_components(
     spark: SparkSession, sf_dir: str, key: str, nodes: "DataFrame", pairs: "DataFrame"
 ) -> DataFrame:
@@ -1020,23 +1049,7 @@ def staged_components(
 
     ck = (sf_dir, key)
     if ck not in _STAGED_COMPONENTS:
-        # stage dir keyed by EVERY source table's (mtime, size) fingerprint
-        # plus a constants version token: a testdata regeneration of ANY
-        # input table (embeddings included, for the ensemble key) or a
-        # candidate-generation constant change invalidates the stage
-        # instead of serving stale labels from a persistent temp dir (the
-        # round-4 failure mode for any durable derived artifact)
-        fp_parts = [key, _stage_version_token()]
-        for table in _STAGE_SOURCES.get(key, ("documents",)):
-            src = os.path.join(sf_dir, f"{table}.parquet")
-            fp_parts.append(f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}")
-        fp = "_".join(fp_parts)
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "ting_cc_stage",
-            sf_dir.strip("/").replace("/", "_"),
-            fp,
-        )
+        out = component_stage_path(sf_dir, key)
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             labels = connected_components_jump(nodes, pairs)
             labels.write.mode("overwrite").parquet(out)

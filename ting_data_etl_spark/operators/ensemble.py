@@ -82,15 +82,23 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ting_data_etl_spark.operators.dedup import (
         _STAGED_COMPONENTS,
+        component_stage_path,
         staged_components,
         staged_minhash_pairs,
     )
     from ting_data_etl_spark.operators.similarity import srp_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    if (sf_dir, "ensemble") in _STAGED_COMPONENTS:
+    warm_on_disk = os.path.exists(
+        os.path.join(component_stage_path(sf_dir, "ensemble"), "_SUCCESS")
+    )
+    if (sf_dir, "ensemble") in _STAGED_COMPONENTS or warm_on_disk:
         # materialized-view fast path: the union + Arrow candidate stages
-        # only need to exist for the build
+        # only need to exist for the build. The DISK check matters as much
+        # as the dict: a fresh process with a warm stage would otherwise
+        # regenerate the full candidate union and then have
+        # staged_components ignore it (work minutes long at scale,
+        # discarded)
         return staged_components(spark, sf_dir, "ensemble", None, None)
     lexical = staged_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     semantic = srp_candidate_pairs(spark, sf_dir, use_arrow=True).select(

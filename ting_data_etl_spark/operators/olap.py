@@ -130,6 +130,8 @@ def olap_rollup_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: grouping or merge order, which is what lets the oracle check the
 #: rollup-reuse path against a direct fact-table query value-for-value.
 
+_ROLLUP_VERSION = "v2_day_flag_cents"
+
 _DAILY_ROLLUP: dict[str, str] = {}
 
 
@@ -151,8 +153,14 @@ def staged_daily_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(sf_dir, "lineitem.parquet")
         fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
         tag = sf_dir.strip("/").replace("/", "_")
+        # _ROLLUP_VERSION folds the rollup's CODE identity into the path:
+        # the (mtime, size) fingerprint only sees DATA changes, so without
+        # it an edit to the grain/rounding/schema would keep serving the
+        # old-code artifact (same guard as dedup._stage_version_token).
+        # Bump when the rollup semantics change.
         path = os.path.join(
-            tempfile.gettempdir(), f"ting_rollup_daily_{tag}_{fp}.parquet"
+            tempfile.gettempdir(),
+            f"ting_rollup_daily_{_ROLLUP_VERSION}_{tag}_{fp}.parquet",
         )
         # gate reuse on _SUCCESS, not the directory: a crashed partial
         # write must rebuild, never get served (matches the other stages)

@@ -143,11 +143,14 @@ def table_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("min_ship_us"),
         F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("max_ship_us"),
     ).first()
+    def _f(x):  # min/max come back NULL from an empty table; report NULL
+        return None if x is None else float(x)
+
     rows = [
         ("l_orderkey", s.n, s.n - s.nn_ok, s.ndv_ok, None, None),
-        ("l_quantity", s.n, 0, None, float(s.min_qty), float(s.max_qty)),
+        ("l_quantity", s.n, 0, None, _f(s.min_qty), _f(s.max_qty)),
         ("l_returnflag", s.n, 0, s.ndv_rf, None, None),
-        ("l_shipdate", s.n, 0, None, float(s.min_ship_us), float(s.max_ship_us)),
+        ("l_shipdate", s.n, 0, None, _f(s.min_ship_us), _f(s.max_ship_us)),
     ]
     return spark.createDataFrame(
         rows,
@@ -164,8 +167,13 @@ WITH b AS (
   SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
 ),
 binned AS (
-  SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_BINS})) AS INTEGER),
-               {HIST_BINS - 1}) AS bin
+  -- hi = lo (constant column) guard: width 0 would make DuckDB compute
+  -- 0.0/0.0 = NaN and ERROR on the integer cast, while Spark NULL-skips
+  -- into the last bin — put the degenerate case in bin 0 on both sides
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_BINS}))
+                              AS INTEGER),
+                         {HIST_BINS - 1}) END AS bin
   FROM events, b
 )
 SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin
@@ -179,16 +187,22 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two passes: a tiny min/max aggregate (broadcast back as literals via a
     cross join, never collected per-row), then one binning aggregation.
     Bin arithmetic is identical FP in both engines (same divisions, same
-    floor), and the max value clamps into the last bin.
+    floor), the max value clamps into the last bin, and a constant column
+    (hi = lo) degenerates to bin 0 on both sides — without the guard DuckDB
+    raises on CAST(NaN AS INTEGER) where Spark NULL-skips.
     """
     ev = load_table(spark, sf_dir, "events")
     bounds = F.broadcast(ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
     width = (F.col("hi") - F.col("lo")) / HIST_BINS
     binned = ev.crossJoin(bounds).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-            F.lit(HIST_BINS - 1),
-        ).alias("bin")
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(HIST_BINS - 1),
+            )
+        )
+        .alias("bin")
     )
     return binned.groupBy("bin").agg(F.count("*").alias("n"))
 

@@ -94,6 +94,12 @@ def top_k_per_group(
     One shuffle on the group key; with AQE the per-group sort is local.
     NULL values sort last (they can never displace real values).
     """
+    if not tiebreak:
+        raise ValueError(
+            "tiebreak columns are required: without a total order, ties on "
+            "the k-th value select an arbitrary row per shuffle (the pandas "
+            "sort_values().head() instability this API exists to prevent)"
+        )
     order = [F.col(value_col).desc_nulls_last(), *[F.col(t).asc() for t in tiebreak]]
     return _ranked(df, group_cols, order, k)
 
@@ -106,6 +112,12 @@ def bottom_k_per_group(
     tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Bottom-k rows per group by value asc (SURVEY §2.7 O3)."""
+    if not tiebreak:
+        raise ValueError(
+            "tiebreak columns are required: without a total order, ties on "
+            "the k-th value select an arbitrary row per shuffle (the pandas "
+            "sort_values().head() instability this API exists to prevent)"
+        )
     order = [F.col(value_col).asc_nulls_last(), *[F.col(t).asc() for t in tiebreak]]
     return _ranked(df, group_cols, order, k)
 

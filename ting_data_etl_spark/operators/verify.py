@@ -84,12 +84,21 @@ def completeness_violations(
     return missing, extra
 
 
+def _invariant_predicate() -> F.Column:
+    """V2 predicate: embedded key != directory-derived partition key.
+
+    ONE definition shared by the count path and the sampling path — the
+    report branches on the count before sampling, so a drift between two
+    copies would make n_bad and the sampled rows silently disagree.
+    """
+    return F.coalesce(F.trim(F.col("store_key_copy")), F.lit("")) != F.coalesce(
+        F.col("store_id"), F.lit("")
+    )
+
+
 def invariant_violations(back: DataFrame) -> DataFrame:
     """V2: rows whose embedded key != their directory-derived partition key."""
-    return back.filter(
-        F.coalesce(F.trim(F.col("store_key_copy")), F.lit(""))
-        != F.coalesce(F.col("store_id"), F.lit(""))
-    )
+    return back.filter(_invariant_predicate())
 
 
 def sample_violations(violations: DataFrame, k: int = VIOLATION_SAMPLE_K) -> DataFrame:
@@ -123,10 +132,7 @@ def fanout_verification_report(
     write_fanout(source, output_dir, partition_cols=("store_id", "src"))
     back = read_fanout_back(spark, output_dir)
 
-    viol = (
-        F.coalesce(F.trim(F.col("store_key_copy")), F.lit(""))
-        != F.coalesce(F.col("store_id"), F.lit(""))
-    ).cast("long")
+    viol = _invariant_predicate().cast("long")
     per_pair = (
         back.groupBy("store_id", "src")
         .agg(F.count("*").alias("n_rows"), F.sum(viol).alias("n_bad"))
@@ -177,9 +183,12 @@ def prim_fanout_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row/store tallies to the source table's — so a fan-out write that
     drops, duplicates, or misroutes any row fails the hash comparison.
     """
+    # per-process suffix: two drivers verifying the same sf_dir (bench run
+    # next to a pytest session) must not overwrite each other's tree
+    # mid-read-back; within one process reruns still reuse/overwrite
     out = os.path.join(
         tempfile.gettempdir(),
         "ting_fanout_verify",
-        sf_dir.strip("/").replace("/", "_"),
+        f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}",
     )
     return fanout_verification_report(spark, fanout_source(spark, sf_dir), out)
