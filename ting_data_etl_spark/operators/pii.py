@@ -38,7 +38,10 @@ _PHONE_MOD = 13
 
 
 def _augmented_spark(d: DataFrame) -> F.Column:
-    doc = F.col("doc_id")
+    """Planted-PII augmented text, BOUND to *d*'s columns (the expression
+    resolves against the passed frame, not whatever frame it is later
+    selected on — an aliased or renamed documents frame stays correct)."""
+    doc = d["doc_id"]
     email = F.when(
         doc % _EMAIL_MOD == 0,
         F.concat(
@@ -61,7 +64,7 @@ def _augmented_spark(d: DataFrame) -> F.Column:
             F.lit(" tel "), (F.lit(5_550_000_000) + doc % 999_999).cast("string")
         ),
     ).otherwise(F.lit(""))
-    return F.concat(F.col("text"), email, ipv4, phone)
+    return F.concat(d["text"], email, ipv4, phone)
 
 
 _SQL_AUG = f"""

@@ -323,7 +323,11 @@ def text_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").alias("total_tokens"),
         F.sum("n").alias("total_chars"),
-        (F.sum("n_punct").cast("double") / F.sum("n")).alias("punct_ratio"),
+        # when() guard: a zero-char source (all-empty docs) must yield NULL
+        # like the oracle's BIGINT division, not an ANSI DIVIDE_BY_ZERO
+        F.when(
+            F.sum("n") > 0, F.sum("n_punct").cast("double") / F.sum("n")
+        ).alias("punct_ratio"),
     )
 
 

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ting_data_etl_spark.functions.cleaning import parse_month, sum_exact, to_number
+from ting_data_etl_spark.functions.cleaning import sum_exact
 from ting_data_etl_spark.sources.tables import load_table
 
 
@@ -31,16 +31,15 @@ class AggregationConfig:
 
 
 def _binds_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The stringified orders view every generic job reads (fixture A1)."""
-    from ting_data_etl_spark.plans.jobs import referral_binds
+    """The stringified orders view every generic job reads (fixture A1).
 
-    b = referral_binds(spark, sf_dir)
-    return b.select(
-        "store_id",
-        "year",
-        parse_month("month_raw").alias("month"),
-        to_number("total_binds_raw").alias("v"),
-    )
+    Delegates to ``jobs._cleaned_binds`` — one definition of the cleaning
+    projection, so a sentinel/rename change there cannot silently leave
+    the generic-config path on old semantics.
+    """
+    from ting_data_etl_spark.plans.jobs import _cleaned_binds
+
+    return _cleaned_binds(spark, sf_dir)
 
 
 def run_generic(spark: SparkSession, sf_dir: str, cfg: AggregationConfig) -> DataFrame:

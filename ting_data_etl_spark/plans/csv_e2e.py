@@ -46,7 +46,10 @@ def write_fixture(path: str = FIXTURE_PATH) -> str:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     rng = random.Random(_SEED)
     stores = [f"store_{i:03d}" for i in range(1, 9)]
-    with open(path, "w", newline="", encoding="utf-8") as f:
+    # atomic publish (tmp + replace): a concurrent reader must never see a
+    # truncated half-written fixture (same pattern as the IVF artifact)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)
         w.writerow(["Report generated", "2025-07-01"])  # meta row 1
         w.writerow(["Source", "BI-Export"])  # meta row 2
@@ -72,6 +75,7 @@ def write_fixture(path: str = FIXTURE_PATH) -> str:
                 ]
             )
             w.writerow([store, month, amt, rng.choice(["ok", "void"])])
+    os.replace(tmp, path)
     return path
 
 
@@ -149,6 +153,16 @@ def _stage_scan_corpus() -> list[tuple[str, int]]:
     from ting_data_etl_spark.sources.csv_gen import generate_messy_csvs
 
     paths = generate_messy_csvs(SCAN_DIR, n_files=8, seed=_SCAN_SEED)
+    # hermetic dir: a stray CSV left by an older revision (different
+    # n_files/seed) or another process would be profiled by the Spark scan
+    # but absent from the oracle union — a permanent hash mismatch
+    # indistinguishable from a real regression
+    import glob as _glob
+
+    expected = {os.path.abspath(p) for p in paths}
+    for f in _glob.glob(os.path.join(SCAN_DIR, "*.csv")):
+        if os.path.abspath(f) not in expected:
+            os.remove(f)
     kept: list[tuple[str, int]] = []
     for p in paths:
         with open(p, newline="", encoding="utf-8") as f:
