@@ -339,10 +339,10 @@ labeled AS (
 
 def _sql_keep_canonical() -> str:
     """Recursive-CTE twin: MinHash-LSH pairs → closure → keeper + size."""
-    from ting_data_etl_spark.operators.dedup import _SQL_MINHASH_PAIRS_CTE
+    from ting_data_etl_spark.operators.dedup import _sql_minhash_pairs_cte
 
     return f"""
-{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+{_sql_minhash_pairs_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)},
 {_SQL_CLOSURE_CTES}
 SELECT component AS keeper_doc_id,
        CAST(COUNT(*) AS BIGINT) AS cluster_size,
@@ -376,10 +376,10 @@ def _sql_e2e_status() -> str:
     """Composite oracle: gopher gate + contamination + dedup closure, one
     statement. The MinHash CTE chain defines its own ``tok``; this module's
     fragments use ``ctok``, so the chains compose without collision."""
-    from ting_data_etl_spark.operators.dedup import _SQL_MINHASH_PAIRS_CTE
+    from ting_data_etl_spark.operators.dedup import _sql_minhash_pairs_cte
 
     return f"""
-{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+{_sql_minhash_pairs_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)},
 {_SQL_CLOSURE_CTES},
 {_SQL_TOKS},
 {_SQL_GOPHER_CTES},

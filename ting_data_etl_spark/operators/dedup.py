@@ -264,7 +264,18 @@ def _sql_perm_mins() -> str:
     return f"list_value({terms})"
 
 
-_MINHASH_SIG_SQL = f"""
+def _minhash_sig_sql() -> str:
+    """Signature CTE, rebuilt at CALL time from the current constants.
+
+    The whole minhash oracle family is registered as zero-arg callables
+    (resolved per run by ``registry.resolve_oracles``) rather than baked
+    import-time strings, so a runtime retune of ``MINHASH_BANDS`` /
+    ``BAND_FREQUENCY_CAP`` / ``SHINGLE_N`` keeps the oracle on the SAME
+    semantics as the Spark side (whose ``lsh_bands`` /
+    ``band_frequency_cap`` already resolve the globals at call time) —
+    the pattern the simhash family established.
+    """
+    return f"""
 WITH tok AS (
   SELECT doc_id,
          {SQL_TOKEN_LIST} AS toks
@@ -286,13 +297,16 @@ hx AS (
 sig AS (SELECT doc_id, {_sql_perm_mins()} AS sig FROM hx)
 """
 
-_SQL_MINHASH_PAIRS_CTE = f"""
-{_MINHASH_SIG_SQL},
+
+def _sql_minhash_pairs_cte() -> str:
+    r = MINHASH_HASHES // MINHASH_BANDS
+    return f"""
+{_minhash_sig_sql()},
 bands AS (
   SELECT doc_id, j,
          array_to_string(list_slice(sig,
-           j * {MINHASH_ROWS_PER_BAND} + 1,
-           j * {MINHASH_ROWS_PER_BAND} + {MINHASH_ROWS_PER_BAND}), ',') AS band
+           j * {r} + 1,
+           j * {r} + {r}), ',') AS band
   FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)
 ),
 capped AS (
@@ -306,8 +320,10 @@ mh_pairs AS (
     ON a.band = b.band AND a.j = b.j AND a.doc_id < b.doc_id
 )"""
 
-_SQL_MINHASH_PAIRS = f"""
-{_SQL_MINHASH_PAIRS_CTE}
+
+def _sql_minhash_pairs() -> str:
+    return f"""
+{_sql_minhash_pairs_cte()}
 SELECT doc_a, doc_b FROM mh_pairs
 """
 
@@ -337,7 +353,7 @@ def band_frequency_cap(bands: DataFrame, cap: int | None = None) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh_pairs", oracle=_SQL_MINHASH_PAIRS)
+@register("dedup_minhash_lsh_pairs", oracle=_sql_minhash_pairs)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH banding.
 
@@ -363,13 +379,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.distinct()
 
 
-_SQL_MINHASH_SIGS = f"""
-{_MINHASH_SIG_SQL}
+def _sql_minhash_sigs() -> str:
+    return f"""
+{_minhash_sig_sql()}
 SELECT doc_id, array_to_string(sig, ',') AS sig_str FROM sig
 """
 
 
-@register("dedup_minhash_signatures", oracle=_SQL_MINHASH_SIGS)
+@register("dedup_minhash_signatures", oracle=_sql_minhash_sigs)
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw MinHash signatures (joined to one string for oracle comparison)."""
     d = load_table(spark, sf_dir, "documents")
@@ -418,10 +435,13 @@ WHERE CAST(s.common AS DOUBLE) / (sa.n + sb.n - s.common) >= 0.1
 """
 
 
-def shingle_frequency_cap(
-    sh: DataFrame, cap: int = SHINGLE_FREQUENCY_CAP
-) -> DataFrame:
+def shingle_frequency_cap(sh: DataFrame, cap: int | None = None) -> DataFrame:
     """Drop shingles shared by more than *cap* docs within a source block.
+
+    ``cap`` resolves ``SHINGLE_FREQUENCY_CAP`` at CALL time (None sentinel,
+    same as :func:`band_frequency_cap` / :func:`lsh_bands`) so a runtime
+    retune actually changes the jaccard block's semantics instead of
+    silently keeping the import-time value.
 
     Same construction as :func:`band_frequency_cap` but keyed on
     ``(source, shingle)`` — the block+join key of the shared-shingle
@@ -431,6 +451,9 @@ def shingle_frequency_cap(
     the same capped set on both engines, keeping scores consistent.
     """
     from pyspark.sql import Window
+
+    if cap is None:
+        cap = SHINGLE_FREQUENCY_CAP
 
     w = Window.partitionBy("source", "shingle")
     return (
@@ -648,13 +671,15 @@ def simhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
 INCR_BATCH_MOD = 5
 INCR_BATCH_REM = 1
 
-_SQL_INCR_MINHASH = f"""
-{_MINHASH_SIG_SQL},
+def _sql_incr_minhash() -> str:
+    r = MINHASH_HASHES // MINHASH_BANDS
+    return f"""
+{_minhash_sig_sql()},
 bands AS (
   SELECT doc_id, j,
          array_to_string(list_slice(sig,
-           j * {MINHASH_ROWS_PER_BAND} + 1,
-           j * {MINHASH_ROWS_PER_BAND} + {MINHASH_ROWS_PER_BAND}), ',') AS band
+           j * {r} + 1,
+           j * {r} + {r}), ',') AS band
   FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)
 ),
 corpus_capped AS (
@@ -678,7 +703,7 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
-@register("dedup_incremental_minhash", oracle=_SQL_INCR_MINHASH)
+@register("dedup_incremental_minhash", oracle=_sql_incr_minhash)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedupe an incoming batch against the indexed corpus (asymmetric LSH).
 
@@ -833,8 +858,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- connected components over near-dup pairs ------------------------------
 CC_MAX_ITERS = 25
 
-_SQL_CC = f"""
-{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+def _sql_cc() -> str:
+    cte = _sql_minhash_pairs_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)
+    return f"""
+{cte},
 und AS (
   SELECT doc_a AS a, doc_b AS b FROM mh_pairs
   UNION ALL
@@ -858,21 +885,35 @@ def _persistent_rdd_ids(spark) -> set[int]:
     return {int(k) for k in m.keySet().toArray()}
 
 
+#: Serializes the snapshot→checkpoint→snapshot window below. The id diff is
+#: only a correct attribution if no OTHER thread persists an RDD inside that
+#: window — two clustering loops running concurrently (e.g. the minhash and
+#: ensemble staged builds) would otherwise attribute each other's checkpoint
+#: blocks and destroy them at the next generation swap, and localCheckpoint
+#: blocks are unrecoverable once unpersisted (lineage is truncated).
+import threading as _threading
+
+_CHECKPOINT_LOCK = _threading.Lock()
+
+
 def _tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     """``localCheckpoint(eager=True)`` + the exact RDD ids it persisted.
 
-    Diffs the persistent-RDD id set immediately around the checkpoint call,
-    so the caller learns precisely which blocks belong to this generation.
-    The clustering loops below free superseded generations by unpersisting
-    ONLY ids they created themselves — never a global sweep — so a
-    concurrently running query's checkpoint blocks (whose lineage is
-    already truncated and therefore unrecoverable) can never be destroyed
-    by this loop.
+    Diffs the persistent-RDD id set immediately around the checkpoint call
+    (under ``_CHECKPOINT_LOCK``, so concurrent callers of THIS helper can
+    never cross-attribute), so the caller learns precisely which blocks
+    belong to this generation. The clustering loops below free superseded
+    generations by unpersisting ONLY ids they created themselves — never a
+    global sweep. Residual scope: a concurrent ``persist()``/checkpoint
+    issued by code outside this module during the (held-lock) checkpoint
+    job would still land in the diff; within this module every iterative
+    loop routes through this helper, which is the hazard that matters.
     """
     spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
-    out = df.localCheckpoint(eager=True)
-    return out, _persistent_rdd_ids(spark) - before
+    with _CHECKPOINT_LOCK:
+        before = _persistent_rdd_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_rdd_ids(spark) - before
 
 
 def _unpersist_ids(spark, ids: set[int]) -> None:
@@ -929,34 +970,49 @@ def connected_components(
     pairs.unpersist()
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels, label_ids = _tracked_checkpoint(labels)
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
-            .select(
-                "doc_id",
-                F.col("component").alias("old"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
+    # try/finally so the edge checkpoint — and, on ANY failure path
+    # (no-fixpoint raise, a Spark error mid-round), the current label
+    # generation — are unpersisted instead of leaking for the process
+    # lifetime. On success the final label checkpoint must STAY persisted:
+    # it backs the returned (lineage-truncated) DataFrame.
+    converged = False
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
             )
-        )
-        updated, new_ids = _tracked_checkpoint(updated)
-        changed = updated.filter(F.col("component") < F.col("old")).count()
-        labels = updated.drop("old")
-        # free the superseded label generation — only blocks THIS loop made
-        _unpersist_ids(spark, label_ids)
-        label_ids = new_ids
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
-    _unpersist_ids(spark, edge_ids)
+            updated = (
+                labels.join(
+                    neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+                )
+                .select(
+                    "doc_id",
+                    F.col("component").alias("old"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            updated, new_ids = _tracked_checkpoint(updated)
+            changed = updated.filter(F.col("component") < F.col("old")).count()
+            labels = updated.drop("old")
+            # free the superseded label generation — only blocks THIS loop made
+            _unpersist_ids(spark, label_ids)
+            label_ids = new_ids
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iters} iters"
+            )
+        converged = True
+    finally:
+        _unpersist_ids(spark, edge_ids)
+        if not converged:
+            _unpersist_ids(spark, label_ids)
     return labels
 
 
@@ -1000,6 +1056,59 @@ def _stage_version_token() -> str:
     return hashlib.md5("_".join(str(p) for p in parts).encode()).hexdigest()[:10]
 
 
+def _stage_dir(sf_dir: str, fp_parts: list[str]) -> str:
+    """ONE path scheme for every staged artifact under this module.
+
+    The dataset tag is ``basename + md5(abspath)[:8]`` — readable, and
+    collision-free where the old ``strip('/').replace('/','_')`` munging
+    aliased ``/a/b_c`` with ``/a/b/c``. Shared by the labels and pairs
+    stages so a change to the invalidation scheme cannot drift between
+    them.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    ap = os.path.abspath(sf_dir)
+    tag = f"{os.path.basename(ap)}_{hashlib.md5(ap.encode()).hexdigest()[:8]}"
+    return os.path.join(
+        tempfile.gettempdir(), "ting_cc_stage", tag, "_".join(fp_parts)
+    )
+
+
+def _source_fp(sf_dir: str, table: str) -> str:
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    return f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+
+
+def _publish_stage(df: DataFrame, out: str) -> None:
+    """Atomic write-once publish: write a tmp dir, rename into place.
+
+    check-_SUCCESS-then-``mode('overwrite')`` straight onto the shared
+    stage path is a race: two processes cold-starting together would
+    overwrite each other mid-commit and could leave a mixed part-file set
+    under a valid ``_SUCCESS`` — served permanently because the
+    fingerprint still matches. Writing to a pid-suffixed tmp dir and
+    ``os.rename``-ing makes publication all-or-nothing: the loser's
+    rename fails (ENOTEMPTY), it discards its tmp dir, and every reader
+    sees exactly one complete artifact. Same contract as the IVF model
+    json (similarity.ivf_centroids) and the streaming split stage.
+    """
+    import os
+    import shutil
+
+    tmp = f"{out}.tmp.{os.getpid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            raise
+
+
 def component_stage_path(sf_dir: str, key: str) -> str:
     """Stage dir for the (sf_dir, key) components artifact — path only.
 
@@ -1013,20 +1122,10 @@ def component_stage_path(sf_dir: str, key: str) -> str:
     the in-process dict alone made a fresh process regenerate and then
     discard the pair relation.
     """
-    import os
-    import tempfile
-
     fp_parts = [key, _stage_version_token()]
     for table in _STAGE_SOURCES.get(key, ("documents",)):
-        src = os.path.join(sf_dir, f"{table}.parquet")
-        fp_parts.append(f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}")
-    fp = "_".join(fp_parts)
-    return os.path.join(
-        tempfile.gettempdir(),
-        "ting_cc_stage",
-        sf_dir.strip("/").replace("/", "_"),
-        fp,
-    )
+        fp_parts.append(_source_fp(sf_dir, table))
+    return _stage_dir(sf_dir, fp_parts)
 
 
 def staged_components(
@@ -1045,14 +1144,13 @@ def staged_components(
     re-staging idempotent across processes sharing the temp dir.
     """
     import os
-    import tempfile
 
     ck = (sf_dir, key)
     if ck not in _STAGED_COMPONENTS:
         out = component_stage_path(sf_dir, key)
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             labels = connected_components_jump(nodes, pairs)
-            labels.write.mode("overwrite").parquet(out)
+            _publish_stage(labels, out)
         _STAGED_COMPONENTS[ck] = out
     return spark.read.parquet(_STAGED_COMPONENTS[ck])
 
@@ -1073,25 +1171,14 @@ def staged_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the labels stage: source (mtime, size) + constants token.
     """
     import os
-    import tempfile
 
     if sf_dir not in _STAGED_PAIRS:
-        src = os.path.join(sf_dir, "documents.parquet")
-        fp = "_".join(
-            [
-                "minhash_pairs",
-                _stage_version_token(),
-                f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}",
-            ]
-        )
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "ting_cc_stage",
-            sf_dir.strip("/").replace("/", "_"),
-            fp,
+        out = _stage_dir(
+            sf_dir,
+            ["minhash_pairs", _stage_version_token(), _source_fp(sf_dir, "documents")],
         )
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            dedup_minhash_pairs(spark, sf_dir).write.mode("overwrite").parquet(out)
+            _publish_stage(dedup_minhash_pairs(spark, sf_dir), out)
         _STAGED_PAIRS[sf_dir] = out
     return spark.read.parquet(_STAGED_PAIRS[sf_dir])
 
@@ -1108,7 +1195,7 @@ def staged_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_connected_components", oracle=_SQL_CC)
+@register("dedup_connected_components", oracle=_sql_cc)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: every document labeled with its component's min id.
 
@@ -1152,12 +1239,14 @@ def connected_components_jump(
     pairs.unpersist()
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels, label_ids = _tracked_checkpoint(labels)
-    # the loop's working sets are tiny (|pairs| rows); per-round job cost is
-    # dominated by task overhead, so shrink the shuffle width for the loop's
-    # lifetime (same sizing rule as the streaming state stores)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # The loop's working sets are tiny (|pairs| rows) and AQE coalescing
+    # (on in every session, session.py) already shrinks each round's
+    # shuffles to a handful of partitions — no manual shuffle-width
+    # override. (An earlier revision set the SESSION-global
+    # spark.sql.shuffle.partitions to 8 here, which throttled any
+    # concurrently running corpus-scale query for the loop's lifetime.)
     prev_total = None
+    converged = False
     try:
         for _ in range(max_iters):
             nbr = (
@@ -1212,15 +1301,20 @@ def connected_components_jump(
             raise RuntimeError(
                 f"connected_components_jump: no fixpoint in {max_iters} iters"
             )
+        converged = True
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    _unpersist_ids(spark, edge_ids)
+        # see connected_components: edges always; labels only on failure
+        # (the final generation backs the returned DataFrame)
+        _unpersist_ids(spark, edge_ids)
+        if not converged:
+            _unpersist_ids(spark, label_ids)
     return labels
 
 
 # --- near-dup graph statistics ---------------------------------------------
-_SQL_GRAPH_STATS = f"""
-{_SQL_MINHASH_PAIRS_CTE},
+def _sql_graph_stats() -> str:
+    return f"""
+{_sql_minhash_pairs_cte()},
 und AS (
   SELECT doc_a AS a, doc_b AS b FROM mh_pairs
   UNION ALL
@@ -1249,7 +1343,7 @@ FROM agg
 """
 
 
-@register("graph_near_dup_stats", defer=True, oracle=_SQL_GRAPH_STATS)
+@register("graph_near_dup_stats", defer=True, oracle=_sql_graph_stats)
 def graph_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape metrics of the near-dup candidate graph, one summary row.
 

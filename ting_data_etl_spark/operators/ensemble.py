@@ -39,11 +39,11 @@ from ting_data_etl_spark.sources.tables import load_table
 
 def _sql_ensemble_cc() -> str:
     """Recursive-CTE oracle: identical pair union + transitive closure."""
-    from ting_data_etl_spark.operators.dedup import _SQL_MINHASH_PAIRS_CTE
+    from ting_data_etl_spark.operators.dedup import _sql_minhash_pairs_cte
     from ting_data_etl_spark.operators.similarity import sql_srp_pair_ctes
 
     return f"""
-{_SQL_MINHASH_PAIRS_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)},
+{_sql_minhash_pairs_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)},
 {sql_srp_pair_ctes()},
 all_pairs AS (
   SELECT doc_a, doc_b FROM mh_pairs

@@ -269,7 +269,7 @@ NPROBE = 3  # lists probed per query (recall/cost knob)
 KMEANS_SAMPLE_MOD = 3  # fit on a deterministic ~1/3 hash-sample
 EMB_DIM = 64  # embedding dimensionality of the corpus (also SRP_DIM below)
 
-_CENTROIDS: dict[tuple[str, int], list[list[float]]] = {}
+_CENTROIDS: dict[tuple[str, int, int, int], list[list[int]]] = {}
 
 
 def _vec_sample_hash(col: str = "vec_id") -> F.Column:
@@ -395,9 +395,29 @@ def kmeans_fit(
     # per shuffle partition (on a cluster: one per executor core is ideal)
     sample = sample.coalesce(8).persist()
     try:
-        d = sample.select(F.size("q").alias("d")).first().d
+        row = sample.select(F.size("q").alias("d")).first()
+        if row is None and sample_mod > 1:
+            # degenerate tiny corpus where no vec_id hashes to 0 mod
+            # sample_mod: fit on the full corpus rather than crash. (The
+            # SQL oracle would produce an empty centroid set here — a
+            # non-answer for a non-empty corpus; registered corpora are
+            # orders of magnitude past this regime.)
+            sample.unpersist()
+            sample = (
+                vectors.select("vec_id", "q")
+                .withColumn("h", _vec_sample_hash("vec_id"))
+                .coalesce(8)
+                .persist()
+            )
+            row = sample.select(F.size("q").alias("d")).first()
+        if row is None:
+            raise ValueError("kmeans_fit: no vectors to fit (empty input)")
+        d = row.d
         init = sample.orderBy("h", "vec_id").limit(k).collect()
         centroids = [[int(x) for x in r.q] for r in init]
+        # a sample smaller than k yields fewer lists — same shrink the SQL
+        # oracle's LIMIT k init exhibits, and still a valid coarse quantizer
+        k_eff = len(centroids)
         for _ in range(iters):
             assign = nearest_lists_udf(centroids, 1)
             assigned = sample.select(
@@ -414,7 +434,7 @@ def kmeans_fit(
                 for r in sums.collect()
             }
             # empty clusters keep their previous centroid (standard Lloyd's)
-            centroids = [got.get(i, centroids[i]) for i in range(k)]
+            centroids = [got.get(i, centroids[i]) for i in range(k_eff)]
         return centroids
     finally:
         sample.unpersist()
@@ -433,7 +453,11 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     import os
     import tempfile
 
-    key = (sf_dir, KMEANS_LISTS)
+    # cache key + artifact name carry the FULL fit config (k, iters,
+    # sample_mod): a retune of any of the three must miss the cache and
+    # refit, or searches run against a model the config no longer
+    # describes while the SQL oracle refits with the new values.
+    key = (sf_dir, KMEANS_LISTS, KMEANS_ITERS, KMEANS_SAMPLE_MOD)
     if key not in _CENTROIDS:
         tag = sf_dir.strip("/").replace("/", "_")
         # v2 = integer-exact md5-seeded fit; the version tag invalidates
@@ -444,19 +468,25 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         src_fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
         path = os.path.join(
             tempfile.gettempdir(),
-            f"ting_ivf_model_v2_{tag}_{src_fp}_k{KMEANS_LISTS}_i{KMEANS_ITERS}.json",
+            f"ting_ivf_model_v2_{tag}_{src_fp}"
+            f"_k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}.json",
         )
         if os.path.exists(path):
             with open(path) as f:
                 _CENTROIDS[key] = json.load(f)
         else:
-            # k passed EXPLICITLY: kmeans_fit's `k=KMEANS_LISTS` default
-            # binds the import-time value, so a capacity retune of the
-            # module constant would otherwise fit 8 lists while the cache
-            # key and artifact name claim the retuned k (caught by the
-            # SCALE_r06 run: a "447-list" 200k-vector index was an 8-list
-            # fit and searches scanned 25k-vector lists).
-            _CENTROIDS[key] = kmeans_fit(_quantized(spark, sf_dir), k=KMEANS_LISTS)
+            # every fit param passed EXPLICITLY: kmeans_fit's defaults bind
+            # the import-time values, so a capacity retune of a module
+            # constant would otherwise fit with stale params while the
+            # cache key and artifact name claim the retuned ones (caught by
+            # the SCALE_r06 run: a "447-list" 200k-vector index was an
+            # 8-list fit and searches scanned 25k-vector lists).
+            _CENTROIDS[key] = kmeans_fit(
+                _quantized(spark, sf_dir),
+                k=KMEANS_LISTS,
+                iters=KMEANS_ITERS,
+                sample_mod=KMEANS_SAMPLE_MOD,
+            )
             # atomic publish (tmp + rename): a crash mid-dump must not
             # leave a truncated json that every later process crashes on
             tmp = f"{path}.tmp.{os.getpid()}"
