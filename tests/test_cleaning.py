@@ -151,6 +151,13 @@ class TestEnsureCol:
         with pytest.raises(KeyError):
             ensure_col(["a", "b"], ["月份", "month"])
 
+    def test_first_match_wins_on_colliding_headers(self):
+        # ' month' and 'month ' both strip to 'month'; the reference scans
+        # left to right, so the FIRST collider must win (a dict
+        # comprehension silently kept the last)
+        assert ensure_col([" month", "month "], ["month"]) == " month"
+        assert ensure_col(["Month", "MONTH"], ["month"]) == "Month"
+
 
 class TestSumExact:
     def test_exact_and_order_independent(self, spark):

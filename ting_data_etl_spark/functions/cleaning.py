@@ -110,13 +110,19 @@ def ensure_col(columns: list[str], candidates: list[str]) -> str:
     the plan is built, zero runtime cost). Mirrors reference
     ``aggregate_by_store.py:452-464`` (``_ensure_month_col``) and ``530-550``
     (``_ensure_store_name_col``): exact match on stripped names first, then
-    case-insensitive, else KeyError.
+    case-insensitive, else KeyError. FIRST match wins on colliding headers
+    (e.g. ``' month'`` and ``'month '`` both strip to ``'month'``) — the
+    reference scans its column list left to right, and a dict comprehension
+    would silently keep the LAST collider instead.
     """
-    stripped = {c.strip(): c for c in columns}
+    stripped: dict[str, str] = {}
+    lowered: dict[str, str] = {}
+    for c in columns:
+        stripped.setdefault(c.strip(), c)
+        lowered.setdefault(c.strip().lower(), c)
     for cand in candidates:
         if cand in stripped:
             return stripped[cand]
-    lowered = {c.strip().lower(): c for c in columns}
     for cand in candidates:
         if cand.lower() in lowered:
             return lowered[cand.lower()]

@@ -14,17 +14,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ting_data_etl_spark.functions.cleaning import parse_month, sum_exact, to_number
+from ting_data_etl_spark.functions.cleaning import (
+    fmt_pct,
+    guarded_ratio,
+    parse_month,
+    sum_exact,
+    to_number,
+)
 from ting_data_etl_spark.operators.relational import (
     pivot_years,
     set_difference,
     top_k_per_group,
 )
+from ting_data_etl_spark.plans.jobs import CUR_YEAR, PREV_YEAR
 from ting_data_etl_spark.plans.oracles import sql_parse_month, sql_sum_exact, sql_to_number
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
-
-CUR_YEAR = "2000"
 
 
 # --- F-series cleaning: to_number over adversarial strings -----------------
@@ -220,13 +225,13 @@ def prim_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- U1 union: two yearly projections combined -----------------------------
-_SQL_UNION = """
+_SQL_UNION = f"""
 WITH u AS (
-  SELECT CAST(o_custkey AS VARCHAR) AS store_id, '1999' AS tag
-  FROM orders WHERE year(o_orderdate) = 1999
+  SELECT CAST(o_custkey AS VARCHAR) AS store_id, '{PREV_YEAR}' AS tag
+  FROM orders WHERE year(o_orderdate) = {PREV_YEAR}
   UNION ALL
-  SELECT CAST(o_custkey AS VARCHAR) AS store_id, '2000' AS tag
-  FROM orders WHERE year(o_orderdate) = 2000
+  SELECT CAST(o_custkey AS VARCHAR) AS store_id, '{CUR_YEAR}' AS tag
+  FROM orders WHERE year(o_orderdate) = {CUR_YEAR}
 )
 SELECT store_id, COUNT(*) AS n, COUNT(DISTINCT tag) AS n_years
 FROM u GROUP BY store_id
@@ -236,11 +241,13 @@ FROM u GROUP BY store_id
 @register("prim_union_by_name", defer=True, oracle=_SQL_UNION)
 def prim_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.year("o_orderdate") == 1999).select(
-        F.col("o_custkey").cast("string").alias("store_id"), F.lit("1999").alias("tag")
+    a = o.filter(F.year("o_orderdate") == int(PREV_YEAR)).select(
+        F.col("o_custkey").cast("string").alias("store_id"),
+        F.lit(PREV_YEAR).alias("tag"),
     )
-    b = o.filter(F.year("o_orderdate") == 2000).select(
-        F.col("o_custkey").cast("string").alias("store_id"), F.lit("2000").alias("tag")
+    b = o.filter(F.year("o_orderdate") == int(CUR_YEAR)).select(
+        F.col("o_custkey").cast("string").alias("store_id"),
+        F.lit(CUR_YEAR).alias("tag"),
     )
     return (
         a.unionByName(b)
@@ -360,8 +367,6 @@ def prim_fmt_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     string. Ratios come from fixed-point sums, so Spark's and DuckDB's
     formatting see bit-identical doubles.
     """
-    from ting_data_etl_spark.functions.cleaning import fmt_pct, guarded_ratio
-
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderpriority").agg(
         sum_exact(
@@ -396,6 +401,7 @@ def sink_per_group_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_sinks.py``.
     """
     import os
+    import shutil
     import tempfile
 
     from ting_data_etl_spark.sinks.single_file import write_per_group_csv
@@ -408,6 +414,12 @@ def sink_per_group_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), "ting_sink_s5", sf_dir.strip("/").replace("/", "_")
     )
+    # reset the target: a group present in an OLD run but absent from the
+    # current data would otherwise survive as a phantom {group}/monthly.csv
+    # (the receipts oracle only checks groups that exist now). Single-node
+    # sink by design — per-group files land on the local filesystem; the
+    # distributed path is sinks.fanout.
+    shutil.rmtree(out, ignore_errors=True)
     return write_per_group_csv(
         monthly,
         out,

@@ -57,9 +57,13 @@ def write_per_group_csv(
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
         target_dir = os.path.join(output_dir, key)
         os.makedirs(target_dir, exist_ok=True)
-        pdf[cols].to_csv(
-            os.path.join(target_dir, file_name), index=False, encoding=encoding
-        )
+        # atomic per-file publish (tmp + os.replace): a concurrent run over
+        # the same output_dir, or a speculative/retried copy of this task,
+        # must never leave a torn half-written CSV for a reader
+        final = os.path.join(target_dir, file_name)
+        tmp = f"{final}.tmp.{os.getpid()}"
+        pdf[cols].to_csv(tmp, index=False, encoding=encoding)
+        os.replace(tmp, final)
         return pd.DataFrame({"group_key": [key], "rows_written": [len(pdf)]})
 
     return df.groupBy(group_col).applyInPandas(_write_group, schema=out_schema)
