@@ -136,6 +136,47 @@ class TestLoudFailures:
         row = res.df.collect()[0]
         assert (row["a"], row["a_2"]) == ("1", "2")
 
+    def test_dedup_never_collides_with_real_header(self, spark):
+        # 'a,a,a_2': the generated alias for the second 'a' must not
+        # collide with the real 'a_2' column
+        path = os.path.join(tempfile.gettempdir(), "ting_dup_hdr2.csv")
+        with open(path, "w", newline="", encoding="utf-8") as f:
+            f.write(f"{KEY},a,a,a_2\ns1,1,2,3\n")
+        res = read_messy_csv(spark, path, key_col=KEY)
+        assert len(set(res.header)) == len(res.header)
+        row = res.df.collect()[0]
+        assert (row["a"], row["a_2"], row["a_2_2"]) == ("1", "2", "3")
+
+    def test_bare_quote_in_unquoted_cell_accepted(self, spark):
+        # an inch mark inside an unquoted cell is literal text to every
+        # CSV parser; the torn-record sweep must not reject it
+        path = os.path.join(tempfile.gettempdir(), "ting_inch.csv")
+        with open(path, "w", newline="", encoding="utf-8") as f:
+            f.write(f'{KEY},item,qty\nS001,5" pipe,10\n')
+        res = read_messy_csv(spark, path, key_col=KEY)
+        assert res.df.collect()[0]["item"] == '5" pipe'
+
+    def test_truncated_scan_does_not_accept_partial_header(self, spark):
+        # the header straddles the scan boundary: a partial last line must
+        # not be parsed as the header (losing trailing columns silently)
+        path = os.path.join(tempfile.gettempdir(), "ting_trunc.csv")
+        with open(path, "w", newline="", encoding="utf-8") as f:
+            f.write("meta,row\n")
+            f.write(f"{KEY},month,amount\n")
+            f.write("s1,1,100\n")
+        # scan bound cuts inside 'amount' -> header line is incomplete
+        cut = open(path, "rb").read().index(b"amou") + 2
+        with pytest.warns(UserWarning, match="skipped"):
+            res = read_messy_csv(spark, path, key_col=KEY, max_scan_bytes=cut)
+        assert res.skipped
+
+    def test_backtick_header_cell(self, spark):
+        path = os.path.join(tempfile.gettempdir(), "ting_backtick.csv")
+        with open(path, "w", newline="", encoding="utf-8") as f:
+            f.write(f"{KEY},price`usd\ns1,7\n")
+        res = read_messy_csv(spark, path, key_col=KEY)
+        assert res.df.collect()[0]["price`usd"] == "7"
+
 
 class TestNonUtf8RoundTrip:
     """Round-7 (VERDICT r6 missing #4): the reference's ``--encoding``

@@ -40,3 +40,35 @@ class TestPerGroupSingleFileSink:
         assert lines[0] == "month,v"  # fixed column order (P1)
         months = [int(line.split(",")[0]) for line in lines[1:]]
         assert months == sorted(months)  # O1 pre-output sort
+
+
+class TestPathSafety:
+    def test_traversal_group_key_rejected(self, spark):
+        rows = [("../evil", 1, 1.0), ("ok", 2, 2.0)]
+        df = spark.createDataFrame(rows, "store string, month int, v double")
+        out = os.path.join(tempfile.gettempdir(), "ting_sink_traversal")
+        shutil.rmtree(out, ignore_errors=True)
+        receipts = write_per_group_csv(
+            df, out, group_col="store", file_name="x.csv", columns=["month", "v"]
+        )
+        try:
+            receipts.collect()
+            raise AssertionError("expected the traversal key to be rejected")
+        except Exception as e:  # PySpark wraps the UDF's ValueError
+            assert "safe path component" in str(e)
+        # nothing escaped the sink root
+        assert not os.path.exists(
+            os.path.join(tempfile.gettempdir(), "evil", "x.csv")
+        )
+
+    def test_null_doc_id_rejected_by_text_shards(self, spark, tmp_path):
+        from ting_data_etl_spark.sources.textfile import write_text_shards
+
+        df = spark.createDataFrame(
+            [(None, "orphan text")], "doc_id long, text string"
+        )
+        try:
+            write_text_shards(df, str(tmp_path / "s"), shards=1)
+            raise AssertionError("expected NULL doc_id to be rejected")
+        except Exception as e:  # Spark wraps raise_error's RuntimeException
+            assert "NULL doc_id" in str(e)

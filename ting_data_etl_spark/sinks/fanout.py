@@ -103,18 +103,29 @@ def write_fanout_per_store_csv(
     def _write_group(pdf):
         import pandas as pd
 
-        key = str(pdf[key_col].iloc[0]).strip()
-        pdf = pdf.sort_values(cols, kind="mergesort")
+        from ting_data_etl_spark.sinks.single_file import safe_path_component
+
+        # the path key IS the Spark group value (_k = F.trim(key)), not a
+        # re-derived Python strip() of the raw column: F.trim removes only
+        # ASCII spaces, so 'S001\t' and 'S001 ' are DIFFERENT groups —
+        # str.strip() would collapse both onto one path and let the two
+        # tasks clobber each other's file
+        key = safe_path_component(str(pdf["_k"].iloc[0]))
+        pdf = pdf.drop(columns=["_k"]).sort_values(cols, kind="mergesort")
         target_dir = os.path.join(output_dir, key)
         os.makedirs(target_dir, exist_ok=True)
-        with open(
-            os.path.join(target_dir, file_name), "w", newline="", encoding=encoding
-        ) as f:
+        # atomic publish (tmp + os.replace), same contract as
+        # single_file.write_per_group_csv: a speculative/retried task or a
+        # concurrent run must never expose a torn file
+        final = os.path.join(target_dir, file_name)
+        tmp = f"{final}.tmp.{os.getpid()}"
+        with open(tmp, "w", newline="", encoding=encoding) as f:
             w = csv.writer(f)
             for r in prefix_rows:
                 w.writerow(r)
             for row in pdf[cols].itertuples(index=False):
                 w.writerow(["" if v is None or v != v else v for v in row])
+        os.replace(tmp, final)
         return pd.DataFrame({"group_key": [key], "rows_written": [len(pdf)]})
 
     keyed = df.filter(
@@ -122,6 +133,4 @@ def write_fanout_per_store_csv(
         & (F.length(F.trim(F.col(key_col).cast("string"))) > 0)
     )
     grouped = keyed.withColumn("_k", F.trim(F.col(key_col)))
-    return grouped.groupBy("_k").applyInPandas(
-        lambda pdf: _write_group(pdf.drop(columns=["_k"])), schema=out_schema
-    )
+    return grouped.groupBy("_k").applyInPandas(_write_group, schema=out_schema)

@@ -23,6 +23,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
+def safe_path_component(key: str) -> str:
+    """Validate a group key used as a filesystem path component.
+
+    Group values come from DATA; used raw in ``os.path.join`` a value like
+    ``'../evil'`` escapes the sink root, ``'a/b'`` silently nests, and
+    ``''`` drops the file at the root. Loud rejection over silent
+    mangling — the repo's posture for every other hostile-input path.
+    """
+    if (
+        not key
+        or key in (".", "..")
+        or "/" in key
+        or os.sep in key
+        or (os.altsep and os.altsep in key)
+        or "\x00" in key
+    ):
+        raise ValueError(
+            f"group key {key!r} is not a safe path component; "
+            "sanitize the key column before writing"
+        )
+    return key
+
+
 def write_per_group_csv(
     df: DataFrame,
     output_dir: str,
@@ -52,7 +75,7 @@ def write_per_group_csv(
     def _write_group(pdf):
         import pandas as pd
 
-        key = str(pdf[group_col].iloc[0])
+        key = safe_path_component(str(pdf[group_col].iloc[0]))
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
         target_dir = os.path.join(output_dir, key)

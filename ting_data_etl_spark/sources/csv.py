@@ -166,8 +166,10 @@ def read_messy_csv(
     * embedded newlines inside quoted cells break the line-oriented model
       (a CSV *record* would span several text lines): any such cell in the
       scanned prefix raises immediately, and ``validate_quotes`` adds a
-      distributed quote-parity sweep over the data region — a line with an
-      odd number of ``\"`` characters means a record was torn apart.
+      distributed sweep over the data region — a line where a quoted field
+      OPENS (quote at line start or after a comma) but never closes means
+      a record was torn apart. Bare quotes inside unquoted cells
+      (``5" pipe``) are literal text and pass.
     """
     if not os.path.isfile(path):
         raise ValueError(
@@ -183,8 +185,18 @@ def read_messy_csv(
         )
     with open(path, "rb") as f:
         raw = f.read(max_scan_bytes)
+        truncated = len(raw) == max_scan_bytes
+    if truncated:
+        # the read can cut mid-line; a partial last line must not be parsed
+        # as a real row (a header torn after 'store_id,mo' would otherwise
+        # be ACCEPTED with missing trailing columns and every data row
+        # would silently lose cells under PERMISSIVE)
+        nl = raw.rfind(b"\n")
+        raw = raw[: nl + 1] if nl >= 0 else b""
     meta, header, raw_header, header_idx = _scan_header(raw, key_col, encoding)
-    for row in [*meta, *([header] if header else [])]:
+    # inspect the RAW rows: a quoted newline at a header cell's edge would
+    # be stripped off the normalized header and evade a check on it
+    for row in [*meta, *([raw_header] if raw_header else [])]:
         if any("\n" in cell or "\r" in cell for cell in row):
             raise ValueError(
                 f"{path!r}: quoted embedded newline inside the meta/header "
@@ -193,38 +205,58 @@ def read_messy_csv(
             )
     if header is None:
         # No header row contains the key column: warn + skip
-        # (reference fan_out_by_storeid.py:28-30).
+        # (reference fan_out_by_storeid.py:28-30 prints the same warning).
+        import warnings
+
+        warnings.warn(
+            f"read_messy_csv: {path!r} has no header row containing "
+            f"{key_col!r} in the first {max_scan_bytes} bytes — file skipped",
+            stacklevel=2,
+        )
         empty = spark.createDataFrame([], all_string_schema(["_skipped"]))
         return MessyCsvResult(df=empty, header=[], meta_rows=meta, skipped=True)
 
     # Deduplicate header names the way BI exports need (a, a -> a, a_2).
+    # The generated name is checked against every name already taken so a
+    # header like 'a,a,a_2' yields a/a_2/a_2_2, never a duplicate (which
+    # would make the from_csv DDL ambiguous downstream).
     seen: dict[str, int] = {}
+    taken: set[str] = set()
     cols: list[str] = []
     for c in header:
         n = seen.get(c, 0)
+        cand = c if n == 0 else f"{c}_{n + 1}"
+        while cand in taken:
+            n += 1
+            cand = f"{c}_{n + 1}"
         seen[c] = n + 1
-        cols.append(c if n == 0 else f"{c}_{n + 1}")
+        taken.add(cand)
+        cols.append(cand)
 
     if validate_quotes:
-        # quote-parity sweep: a physical line with an odd number of '"' can
-        # only come from a record whose quoted cell spans lines — the one
-        # shape the line-positional model cannot represent. One cheap
-        # column-pruned pass; fail loudly instead of parsing garbage. The
-        # lossy utf-8 decode of spark.read.text is fine HERE even for the
-        # non-utf-8 charsets: every _LINE_SAFE_ENCODINGS member never emits
-        # 0x22 inside a multi-byte sequence, so ASCII quote bytes survive
-        # the replacement-char mangling positionally intact.
+        # torn-record sweep: a quoted cell spanning physical lines is the
+        # one shape the line-positional model cannot represent. Detector: a
+        # FUNCTIONAL opening quote (directly after line start or a comma)
+        # whose field never closes on the same line — i.e. the line matches
+        # (^|,)" followed only by doubled quotes / non-quotes to EOL. A
+        # bare quote INSIDE an unquoted cell ('5" pipe') is literal text to
+        # every CSV parser and must NOT be rejected (a plain odd-parity
+        # count would). One cheap column-pruned pass; fail loudly instead
+        # of parsing garbage. The lossy utf-8 decode of spark.read.text is
+        # fine HERE even for the non-utf-8 charsets: every
+        # _LINE_SAFE_ENCODINGS member never emits 0x22 or 0x2C inside a
+        # multi-byte sequence, so the ASCII quote/comma bytes the regex
+        # anchors on survive the replacement-char mangling positionally
+        # intact.
         lines = spark.read.text(path).withColumn(
             "_lineno", F.monotonically_increasing_id()
         )
-        odd = (
-            F.length(F.regexp_replace(F.col("value"), '[^"]', "")) % 2 == 1
-        )
-        if not lines.filter(F.col("_lineno") > header_idx).filter(odd).isEmpty():
+        torn = F.col("value").rlike('(^|,)"(""|[^"])*$')
+        if not lines.filter(F.col("_lineno") > header_idx).filter(torn).isEmpty():
             raise ValueError(
                 f"{path!r}: data region contains a quoted embedded newline "
-                "(odd quote parity on a physical line); parse this file "
-                "with a multiLine CSV reader instead"
+                "(a quoted field opens but never closes on its physical "
+                "line); parse this file with a multiLine CSV reader instead"
             )
 
     if enc in ("utf-8", "ascii"):
@@ -234,7 +266,8 @@ def read_messy_csv(
         # the first split in byte order with counter starting at 0, so ids
         # 0..header_idx are exactly the meta rows + header line (the 256 KB
         # scan bound guarantees they sit inside the first split).
-        ddl = ", ".join(f"`{c}` STRING" for c in cols)
+        # backticks in a header cell must be doubled or the DDL mis-parses
+        ddl = ", ".join(f"`{c.replace('`', '``')}` STRING" for c in cols)
         df = (
             spark.read.text(path)
             .withColumn("_lineno", F.monotonically_increasing_id())

@@ -84,12 +84,18 @@ def write_text_shards(df: DataFrame, path: str, shards: int = TXT_SHARDS) -> Non
 
     Text is backslash-escaped (see :func:`_escape_text`) so embedded
     newlines/tabs and NULLs round-trip losslessly through the line format.
+    A NULL ``doc_id`` is rejected loudly: ``concat_ws`` would silently skip
+    it and emit a line with NO tab, which the reader mis-frames (the text
+    round-trips as the id) — and the corruption is undetectable after the
+    fact.
     """
+    doc_id = F.when(
+        F.col("doc_id").isNull(),
+        F.raise_error(F.lit("write_text_shards: NULL doc_id cannot be framed")),
+    ).otherwise(F.col("doc_id").cast("string"))
     (
         df.select(
-            F.concat_ws(
-                "\t", F.col("doc_id").cast("string"), _escape_text(F.col("text"))
-            ).alias("value")
+            F.concat_ws("\t", doc_id, _escape_text(F.col("text"))).alias("value")
         )
         .repartition(shards)
         .write.mode("overwrite")
