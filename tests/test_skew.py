@@ -148,6 +148,53 @@ class TestBandedRunningSum:
         b = sorted(tuple(r) for r in banded.collect())
         assert a == b
 
+    def test_null_keys_kept_as_their_own_partition(self, spark):
+        """NULL join keys: groupBy keeps NULLs as a group, so the offsets
+        join must be null-safe or every NULL-key row silently vanishes
+        (the naive window keeps them as their own partition)."""
+        from ting_data_etl_spark.operators.skew import banded_running_sum
+
+        ev = self._skewed_events(spark, n=4_000).withColumn(
+            "k", F.when(F.col("i") % 7 == 0, None).otherwise(F.col("k"))
+        )
+        banded = banded_running_sum(
+            ev, key="k", order_time="t", order_tiebreak="i", value="v"
+        ).select("i", "k", F.col("__run").alias("run"), F.col("__seq").alias("seq"))
+        a = sorted((r.i, r.k, r.run, r.seq) for r in self._naive(ev).collect())
+        b = sorted((r.i, r.k, r.run, r.seq) for r in banded.collect())
+        assert len(a) == 4_000  # nothing dropped
+        assert a == b
+
+    def test_null_values_null_skip_like_window_sum(self, spark):
+        """NULL values: SUM null-skips per prefix — an all-NULL band prefix
+        must not null-propagate into the running total, and a prefix with
+        zero non-null values anywhere must stay NULL."""
+        from ting_data_etl_spark.operators.skew import banded_running_sum
+
+        ev = self._skewed_events(spark, n=4_000).withColumn(
+            # key 1's EARLIEST rows all-NULL (leading-NULL prefix), plus
+            # scattered NULLs everywhere
+            "v",
+            F.when(F.col("i") % 3 == 0, None).otherwise(F.col("v")),
+        )
+        banded = banded_running_sum(
+            ev, key="k", order_time="t", order_tiebreak="i", value="v"
+        ).select("i", "k", F.col("__run").alias("run"), F.col("__seq").alias("seq"))
+        a = sorted((r.i, r.k, r.run, r.seq) for r in self._naive(ev).collect())
+        b = sorted((r.i, r.k, r.run, r.seq) for r in banded.collect())
+        assert a == b
+
+    def test_empty_cuts_degrade_to_single_band(self, spark):
+        from ting_data_etl_spark.operators.skew import banded_running_sum
+
+        ev = self._skewed_events(spark, n=500)
+        banded = banded_running_sum(
+            ev, key="k", order_time="t", order_tiebreak="i", value="v", cuts=[]
+        ).select("i", "k", F.col("__run").alias("run"), F.col("__seq").alias("seq"))
+        a = sorted(tuple(r) for r in self._naive(ev).collect())
+        b = sorted(tuple(r) for r in banded.collect())
+        assert a == b
+
     def test_all_null_timestamps_fall_back_to_naive(self, spark):
         from ting_data_etl_spark.operators.skew import banded_running_sum
 

@@ -203,3 +203,18 @@ def doc_fingerprint_md5(col: Column | str) -> Column:
 def doc_fingerprint_fast(col: Column | str) -> Column:
     """xxhash64 fingerprint — the at-scale default (not oracle-portable)."""
     return F.xxhash64(normalize_text(col))
+
+
+def content_hash(col: Column | str) -> Column:
+    """Portable per-row content hash: md5-derived, folded to < 10⁹ so a
+    BIGINT SUM holds ~9×10⁹ rows before overflow (ANSI mode errors on
+    overflow rather than wrapping — the fold keeps the headroom explicit).
+
+    SQL twin: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000000``.
+    ONE definition shared by the jsonl source and the compaction checksum —
+    a change to the fold width/modulus must move both with their oracles.
+    """
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).try_cast("long")
+        % 1_000_000_000
+    )

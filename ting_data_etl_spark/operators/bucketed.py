@@ -32,7 +32,15 @@ _STAGED_BUCKETS: set[str] = set()
 
 
 def _table_tag(sf_dir: str) -> str:
-    return sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    """Catalog-safe tag: whitelist [A-Za-z0-9_], everything else -> '_'.
+
+    The tag lands unquoted in SQL and ``saveAsTable`` names; a blacklist of
+    just '/' and '.' let a hyphenated path (every pytest tmp dir) produce
+    an unparseable identifier.
+    """
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
 
 
 def stage_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

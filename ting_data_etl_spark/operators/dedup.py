@@ -1083,7 +1083,9 @@ def _source_fp(sf_dir: str, table: str) -> str:
     return f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
 
 
-def _publish_stage(df: DataFrame, out: str) -> None:
+def _publish_stage(
+    df: DataFrame, out: str, partition_by: tuple[str, ...] = ()
+) -> None:
     """Atomic write-once publish: write a tmp dir, rename into place.
 
     check-_SUCCESS-then-``mode('overwrite')`` straight onto the shared
@@ -1100,7 +1102,10 @@ def _publish_stage(df: DataFrame, out: str) -> None:
     import shutil
 
     tmp = f"{out}.tmp.{os.getpid()}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     try:
         os.rename(tmp, out)
     except OSError:

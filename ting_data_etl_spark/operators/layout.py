@@ -65,17 +65,30 @@ GROUP BY user_id
 
 
 def stage_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
-    """Write events partitioned by event_type (once per process+sf)."""
+    """Write events partitioned by event_type (once per process+sf).
+
+    Fingerprinted by the source's (mtime, size) — a regenerated events
+    table must invalidate the stage instead of being served the OLD layout
+    forever (the round-4 staleness class; the zorder stage below always
+    had this, this stage was the gap) — and published atomically via
+    :func:`~ting_data_etl_spark.operators.dedup._publish_stage`.
+    """
+    from ting_data_etl_spark.operators.dedup import _publish_stage
+
     if sf_dir not in _STAGED_PARTITIONED:
+        src = os.path.join(sf_dir, "events.parquet")
+        fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
         out = os.path.join(
             tempfile.gettempdir(),
             "ting_partitioned_events",
-            sf_dir.strip("/").replace("/", "_"),
+            f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
         )
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            load_table(spark, sf_dir, "events").write.mode(
-                "overwrite"
-            ).partitionBy("event_type").parquet(out)
+            _publish_stage(
+                load_table(spark, sf_dir, "events"),
+                out,
+                partition_by=("event_type",),
+            )
         _STAGED_PARTITIONED[sf_dir] = out
     return _STAGED_PARTITIONED[sf_dir]
 
@@ -159,6 +172,8 @@ def stage_lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:
             f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
         )
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            from ting_data_etl_spark.operators.dedup import _publish_stage
+
             li = load_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey",
                 "l_partkey",
@@ -168,19 +183,21 @@ def stage_lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:
             mx = li.agg(
                 F.max("l_orderkey").alias("a"), F.max("l_partkey").alias("b")
             ).first()
-            if max(mx["a"], mx["b"]) >= (1 << ZORDER_BITS):
-                raise ValueError(
-                    f"ZORDER_BITS={ZORDER_BITS} cannot cover max key "
-                    f"{max(mx['a'], mx['b'])}; raise ZORDER_BITS"
-                )
+            # empty table: max() is NULL — nothing to cover, skip the guard
+            # (max(None, None) would raise a bare TypeError)
+            if mx["a"] is not None and mx["b"] is not None:
+                if max(mx["a"], mx["b"]) >= (1 << ZORDER_BITS):
+                    raise ValueError(
+                        f"ZORDER_BITS={ZORDER_BITS} cannot cover max key "
+                        f"{max(mx['a'], mx['b'])}; raise ZORDER_BITS"
+                    )
             z = zvalue(F.col("l_orderkey"), F.col("l_partkey"))
-            (
+            _publish_stage(
                 li.withColumn("__z", z)
                 .repartitionByRange(ZORDER_FILES, "__z")
                 .sortWithinPartitions("__z")
-                .drop("__z")
-                .write.mode("overwrite")
-                .parquet(out)
+                .drop("__z"),
+                out,
             )
         _STAGED_ZORDER[sf_dir] = out
     return _STAGED_ZORDER[sf_dir]

@@ -53,12 +53,7 @@ def _parquet_files(path: str) -> list[str]:
     return [f for f in os.listdir(path) if f.endswith(".parquet")]
 
 
-def _content_hash(col) -> F.Column:
-    """Folded content hash — see sources/jsonl.py:_content_hash."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).try_cast("long")
-        % 1_000_000_000
-    )
+from ting_data_etl_spark.functions.text import content_hash as _content_hash
 
 
 _SQL_COMPACT = f"""

@@ -236,11 +236,15 @@ def real_resizer(payload: bytes, media_type: str):
     )
 
 
-def fake_resizer(payload: bytes, media_type: str) -> bytes:
+def fake_resizer(payload: bytes, media_type: str):
     """Deterministic stand-in resize: cap the payload at RESIZE_CHARS chars
-    (re-encoded), preserving UTF-8 boundaries so the oracle can mirror it."""
+    (re-encoded), preserving UTF-8 boundaries so the oracle can mirror it.
+    NULL propagates (None -> None): the oracle's ``substr(NULL, ..)`` is
+    NULL, so mapping it to ``b''`` would make resized_bytes/md5 disagree
+    row-for-row on any NULL payload (fake_framer's None -> [] is the
+    consistent-with-its-oracle counterpart)."""
     if payload is None:
-        return b""
+        return None
     text = bytes(payload).decode("utf-8")
     return text[:RESIZE_CHARS].encode("utf-8")
 
@@ -272,11 +276,16 @@ def resize_media(
                 {
                     "media_id": pdf["media_id"],
                     "orig_bytes": pdf["n_bytes"],
+                    # nullable Int64: a NULL payload resizes to NULL, not 0
                     "resized_bytes": pd.Series(
-                        [len(r) for r in resized], dtype="int64"
+                        [None if r is None else len(r) for r in resized],
+                        dtype="Int64",
                     ),
                     "resized_md5": pd.Series(
-                        [hashlib.md5(r).hexdigest() for r in resized],
+                        [
+                            None if r is None else hashlib.md5(r).hexdigest()
+                            for r in resized
+                        ],
                         dtype="object",
                     ),
                 }

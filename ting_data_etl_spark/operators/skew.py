@@ -155,6 +155,11 @@ def banded_running_sum(
         band = F.floor(
             ((F.col(order_time) - F.lit(int(lo))) * F.lit(int(bands))) / F.lit(span)
         ).cast("int")
+    elif not cuts:
+        # quantile_band_cuts(bands=1) returns [] — a single band; sum()
+        # over zero cut columns would yield the Python int 0, which
+        # F.coalesce rejects with a TypeError
+        band = F.lit(0)
     else:
         # quantile cuts: band = number of cuts strictly below t. Monotone
         # non-decreasing in t, and EQUAL timestamps always share a band
@@ -185,16 +190,37 @@ def banded_running_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        key,
-        "__band",
-        F.coalesce(F.sum("__bsum").over(wo), F.lit(0)).alias("__off_sum"),
+        F.col(key).alias("__k"),
+        F.col("__band").alias("__b"),
+        # __off_sum stays RAW (no coalesce): NULL means "zero non-null
+        # values in every prior band", which must combine with an all-NULL
+        # local prefix to a NULL running sum — exactly the naive window's
+        # null-skipping SUM. Coalescing here would turn that case into 0.
+        F.sum("__bsum").over(wo).alias("__off_sum"),
         F.coalesce(F.sum("__bn").over(wo), F.lit(0)).alias("__off_n"),
     )
-    joined = local.join(offsets, on=[key, "__band"], how="inner")
+    # eqNullSafe on the key: groupBy keeps NULL keys as their own group
+    # (matching the naive window's NULL partition), but a plain equi-join
+    # would silently DROP those rows — same mechanism the band coalesce
+    # above guards against for NULL times
+    joined = local.join(
+        offsets,
+        local[key].eqNullSafe(F.col("__k")) & (local["__band"] == F.col("__b")),
+        "inner",
+    )
+    # SUM semantics, band-split: NULL iff NO non-null value in the whole
+    # prefix (off and loc both NULL); otherwise null-skip either side
+    run = F.when(
+        F.col("__off_sum").isNull() & F.col("__loc_sum").isNull(),
+        F.lit(None),
+    ).otherwise(
+        F.coalesce(F.col("__off_sum"), F.lit(0))
+        + F.coalesce(F.col("__loc_sum"), F.lit(0))
+    )
     return (
-        joined.withColumn("__run", F.col("__off_sum") + F.col("__loc_sum"))
+        joined.withColumn("__run", run)
         .withColumn("__seq", (F.col("__off_n") + F.col("__loc_rn")).cast("long"))
-        .drop("__band", "__loc_sum", "__loc_rn", "__off_sum", "__off_n")
+        .drop("__band", "__loc_sum", "__loc_rn", "__off_sum", "__off_n", "__k", "__b")
     )
 
 

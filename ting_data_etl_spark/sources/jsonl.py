@@ -55,14 +55,7 @@ def stage_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
     return _STAGED_JSONL[sf_dir]
 
 
-def _content_hash(col) -> F.Column:
-    """Portable per-row content hash: md5-derived, folded to < 10⁹ so a
-    BIGINT SUM holds ~9×10⁹ rows before overflow (ANSI mode errors on
-    overflow rather than wrapping — the fold keeps the headroom explicit)."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).try_cast("long")
-        % 1_000_000_000
-    )
+from ting_data_etl_spark.functions.text import content_hash as _content_hash
 
 
 _SQL_JSONL_PROFILE = """
