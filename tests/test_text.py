@@ -205,3 +205,31 @@ class TestTfidfTopTerms:
             )]
             for r in rs:
                 assert r.tf >= 1 and r.df >= 1
+
+
+class TestWhitespaceClassParity:
+    def test_vertical_tab_normalizes_identically_in_both_engines(self, spark):
+        """Java \\s includes U+000B, RE2's does not — the explicit shared
+        WS_CHARS class must make Spark and DuckDB normalize (and therefore
+        md5-fingerprint) a VT-bearing document identically."""
+        import duckdb
+
+        from ting_data_etl_spark.functions.text import normalize_text
+        from ting_data_etl_spark.plans.oracles import sql_normalize_text
+
+        docs = ["a\x0bb", "a \x0b b", "tab\there", "v\x0b\x0bw", "plain"]
+        got_spark = [
+            r.n
+            for r in spark.createDataFrame([(d,) for d in docs], "text string")
+            .select(normalize_text("text").alias("n"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {sql_normalize_text('?::VARCHAR')}"
+                .replace("?::VARCHAR", "$1")
+            , [d]).fetchone()[0]
+            for d in docs
+        ]
+        assert got_spark == got_duck

@@ -24,10 +24,18 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
+#: Explicit whitespace class, spelled out because the two regex engines
+#: disagree on ``\s``: Java (Spark) includes vertical tab U+000B, RE2
+#: (DuckDB oracles) does not. One byte-identical class on BOTH sides keeps
+#: fingerprints/tokenization engine-portable for VT-bearing documents.
+#: (``plans.oracles`` interpolates this same constant into the SQL twins.)
+WS_CHARS = "\\t\\n\\x0B\\f\\r "
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lowercase, collapse whitespace, trim — canonical form for dedup."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), f"[{WS_CHARS}]+", " "))
 
 
 def tokens(col: Column | str) -> Column:
@@ -66,7 +74,9 @@ def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are not letters/digits/whitespace."""
     c = F.col(col) if isinstance(col, str) else col
     total = F.length(c)
-    punct = total - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
+    punct = total - F.length(
+        F.regexp_replace(c, f"[^\\p{{L}}\\p{{N}}{WS_CHARS}]", "")
+    )
     return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
 
 
@@ -150,16 +160,23 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
 
 
+#: 2³¹−1 — the modulus of every 31-bit portable hash in the repo. ONE
+#: constant: the dedup shingle hash, the winnow/curation fingerprints and
+#: their SQL twins all key off it, so a retune (or an xxhash64 swap) moves
+#: every family together instead of silently splitting them.
+MERSENNE_31 = 2_147_483_647
+
+
 def portable_hash31(col: Column) -> Column:
     """31-bit integer hash both engines compute identically.
 
-    First 8 hex chars of md5 → int, mod 2³¹−1. The cross-engine twin of the
-    shingle hash used by the dedup operators; at 100 TB swap ``xxhash64``
-    (JVM-native, no hex round-trip) for the same plan shape.
+    First 8 hex chars of md5 → int, mod 2³¹−1. THE shingle/fingerprint
+    hash — dedup's ``_shingle_hash_spark`` delegates here; at 100 TB swap
+    ``xxhash64`` (JVM-native, no hex round-trip) for the same plan shape.
     """
     return (
         F.conv(F.substring(F.md5(col), 1, 8), 16, 10).try_cast("long")
-        % 2_147_483_647
+        % MERSENNE_31
     )
 
 

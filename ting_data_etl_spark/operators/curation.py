@@ -235,7 +235,9 @@ BENCHMARK_MOD = 41
 CONTAM_NGRAM = 8  # word n-gram width, the standard decontamination shingle
 CONTAM_FLAG_FRAC = 0.1
 
-_sql_h31 = "(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 2147483647)"
+from ting_data_etl_spark.plans.oracles import sql_shingle_hash as _sql_sh31
+
+_sql_h31 = _sql_sh31("g")
 
 # CTE chain ending in `contam` — composable (used standalone below and by
 # the e2e status oracle). Requires `ctok` in scope.

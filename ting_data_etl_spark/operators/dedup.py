@@ -32,7 +32,11 @@ from ting_data_etl_spark.functions.text import (
     doc_fingerprint_md5,
     word_ngrams,
 )
-from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+from ting_data_etl_spark.plans.oracles import (
+    SQL_TOKEN_LIST,
+    sql_normalize_text,
+    sql_shingle_hash,
+)
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
 
@@ -52,7 +56,10 @@ SHINGLE_N = 3  # word 3-gram shingles
 BAND_FREQUENCY_CAP = 50
 SHINGLE_FREQUENCY_CAP = 100
 
-MERSENNE_P = 2_147_483_647  # 2^31 - 1; (a·x+b) mod p stays in int64
+from ting_data_etl_spark.functions.text import MERSENNE_31 as MERSENNE_P
+
+# 2^31 - 1; (a·x+b) mod p stays in int64. Shared with portable_hash31 so
+# the minhash and winnow/curation hash families can never drift apart.
 
 # Fixed affine-permutation coefficients (seeded, embedded identically in the
 # oracle SQL). One md5 per shingle + 16 integer permutations replaces 16 md5
@@ -67,21 +74,21 @@ PERMS: list[tuple[int, int]] = [
 
 
 def _shingle_hash_spark(s):
-    """Portable 31-bit base hash: first 8 hex of md5 → int, mod p."""
-    return (
-        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).try_cast("long") % MERSENNE_P
-    )
+    """Portable 31-bit base hash — THE shared definition, see text.py."""
+    from ting_data_etl_spark.functions.text import portable_hash31
+
+    return portable_hash31(s if not isinstance(s, str) else F.col(s))
 
 
 def _sql_shingle_hash(s: str) -> str:
-    return f"(CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT) % {MERSENNE_P})"
+    return sql_shingle_hash(s)
 
 
 # --- exact dedup -----------------------------------------------------------
-_SQL_DEDUP_EXACT = """
+_SQL_DEDUP_EXACT = f"""
 WITH n AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         md5({sql_normalize_text()}) AS fp
   FROM documents
 ),
 k AS (
@@ -116,10 +123,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- fingerprint dedup (md5 digest as the shuffle key) ---------------------
-_SQL_DEDUP_FP = """
+_SQL_DEDUP_FP = f"""
 WITH n AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         md5({sql_normalize_text()}) AS fp
   FROM documents
 )
 SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper

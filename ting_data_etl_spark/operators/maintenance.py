@@ -54,11 +54,12 @@ def _parquet_files(path: str) -> list[str]:
 
 
 from ting_data_etl_spark.functions.text import content_hash as _content_hash
+from ting_data_etl_spark.plans.oracles import sql_content_hash as _sql_ch
 
 
 _SQL_COMPACT = f"""
 SELECT COUNT(*) AS n_rows,
-       CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000000) AS BIGINT)
+       CAST(SUM({_sql_ch('text')}) AS BIGINT)
          AS content_checksum,
        CAST({COMPACT_TARGET_FILES} AS INTEGER) AS files_after
 FROM documents

@@ -22,7 +22,8 @@ from ting_data_etl_spark.functions.text import (
     quality_score,
     token_count,
 )
-from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+from ting_data_etl_spark.functions.text import WS_CHARS
+from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST, sql_normalize_text
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.tables import load_table
 
@@ -99,12 +100,14 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- winnowed rolling-hash fingerprints ------------------------------------
-# DuckDB twin of functions.text.portable_hash31
-_sql_shingle_hash_g = "(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 2147483647)"
+# DuckDB twin of functions.text.portable_hash31 — the shared builder
+from ting_data_etl_spark.plans.oracles import sql_shingle_hash as _sql_sh
+
+_sql_shingle_hash_g = _sql_sh("g")
 
 _SQL_WINNOW = f"""
 WITH nrm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  SELECT doc_id, {sql_normalize_text()} AS t
   FROM documents
 ),
 grams AS (
@@ -203,7 +206,7 @@ WITH {_SQL_TOKS},
 m AS (
   SELECT doc_id,
          length(text) AS n,
-         length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+         length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}{WS_CHARS}]', '', 'g'))
            AS n_punct,
          len(toks) AS n_toks,
          {_sql_hits("en")} AS en_hits
@@ -293,7 +296,7 @@ m AS (
   SELECT source,
          len(toks) AS n_toks,
          length(text) AS n,
-         length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+         length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}{WS_CHARS}]', '', 'g'))
            AS n_punct
   FROM tok
 )

@@ -10,7 +10,12 @@ inputs is IEEE-deterministic in both engines.
 
 from __future__ import annotations
 
-NULL_SENTINELS_SQL = "('', 'nan', 'NaN', 'NULL', 'None')"
+from ting_data_etl_spark.functions.cleaning import NULL_SENTINELS
+from ting_data_etl_spark.functions.text import MERSENNE_31, WS_CHARS
+
+#: DERIVED from the engine's sentinel list — a new sentinel added to
+#: cleaning.NULL_SENTINELS moves every oracle with it, no hand sync.
+NULL_SENTINELS_SQL = "(" + ", ".join(f"'{s}'" for s in NULL_SENTINELS) + ")"
 
 
 def sql_clean_nulls(expr: str) -> str:
@@ -60,11 +65,32 @@ def sql_yoy(cur: str, prev: str) -> str:
     """Twin of ``cleaning.yoy_ratio``."""
     return sql_guarded_ratio(f"({cur}) - ({prev})", prev)
 
+def sql_normalize_text(col: str = "text") -> str:
+    """Twin of ``functions.text.normalize_text``.
+
+    The whitespace class is the shared explicit ``WS_CHARS`` — RE2's
+    ``\\s`` omits vertical tab where Java's includes it, so ``\\s`` in
+    either engine's pattern would silently diverge fingerprints on
+    VT-bearing documents.
+    """
+    return f"trim(regexp_replace(lower({col}), '[{WS_CHARS}]+', ' ', 'g'))"
+
+
+def sql_shingle_hash(expr: str) -> str:
+    """Twin of ``functions.text.portable_hash31`` (the shingle hash)."""
+    return f"(CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT) % {MERSENNE_31})"
+
+
+def sql_content_hash(expr: str) -> str:
+    """Twin of ``functions.text.content_hash`` (folded checksum hash)."""
+    return f"(CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT) % 1000000000)"
+
+
 #: DuckDB twin of ``functions.text.tokens`` — THE tokenizer SQL. Every
 #: oracle that counts or lists tokens interpolates this one expression;
 #: before round 7 it existed as 8 verbatim copies across four modules,
 #: where a tokenizer change could silently miss one.
-SQL_TOKEN_LIST = """list_filter(
-           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                                 '[^\\p{L}\\p{N}]+'),
+SQL_TOKEN_LIST = f"""list_filter(
+           regexp_split_to_array({sql_normalize_text()},
+                                 '[^\\p{{L}}\\p{{N}}]+'),
            t -> t <> '')"""

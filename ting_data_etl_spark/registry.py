@@ -14,10 +14,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-OracleSpec = "str | Callable[[], str]"
+#: An oracle is the SQL string itself or a zero-arg builder resolved at
+#: sweep time (the builder form defers fixture staging / constant reads).
+OracleSpec = str | Callable[[], str]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str | Callable[[], str]] = {}
+ORACLES: dict[str, OracleSpec] = {}
 
 # Rotation queue: queries marked ``defer=True`` at decoration time land here
 # and only enter QUERIES when ``flush_deferred()`` runs at the END of
@@ -25,12 +27,12 @@ ORACLES: dict[str, str | Callable[[], str]] = {}
 # one place while rotating stable, repeatedly-green entries OUT of the
 # driver's finite first-N correctness budget to make room for recently
 # changed families — without moving code between modules.
-_DEFERRED: list[tuple[str, "str | Callable[[], str] | None", QueryFn]] = []
+_DEFERRED: list[tuple[str, "OracleSpec | None", QueryFn]] = []
 
 
 def register(
     name: str,
-    oracle: str | Callable[[], str] | None = None,
+    oracle: OracleSpec | None = None,
     defer: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under *name* with an optional SQL oracle.
@@ -158,7 +160,8 @@ def _apply_rotation_plan() -> None:
     if not plan:
         return
     ordered = [n for n in plan.get("order", []) if n in QUERIES]
-    tail = [n for n in QUERIES if n not in set(ordered)]
+    ordered_set = set(ordered)
+    tail = [n for n in QUERIES if n not in ordered_set]
     reordered = {n: QUERIES[n] for n in ordered + tail}
     QUERIES.clear()
     QUERIES.update(reordered)

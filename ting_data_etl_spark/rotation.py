@@ -105,7 +105,13 @@ def compute_plan(
     """Derive the full registration order + evidence for the coming round."""
     hist, last_round = correctness_history(repo_root)
     current_round = last_round + 1
-    changed_abs = {os.path.abspath(c) for c in changed_files}
+    # repo-relative paths (git diff --name-only output) resolve against
+    # repo_root, NOT the caller's CWD — abspath alone silently disabled
+    # the changed-module rule when run from a subdirectory
+    changed_abs = {
+        os.path.abspath(c if os.path.isabs(c) else os.path.join(repo_root, c))
+        for c in changed_files
+    }
     due: list[tuple[int, str]] = []
     fresh: list[tuple[int, str]] = []
     module_of: dict[str, str] = {}

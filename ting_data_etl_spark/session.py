@@ -18,43 +18,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-
-
-def get_spark(
-    app_name: str = "ting-data-etl-spark",
-    master: str | None = None,
-    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
-    extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's tuned defaults."""
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-        # keep \r progress bars out of sweep logs (they overwrite PASS
-        # lines and make independent auditing of the .txt artifacts hard)
-        .config("spark.ui.showConsoleProgress", "false")
-    )
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    # getOrCreate silently ignores builder configs when a session already
-    # exists in the process. JVM-static settings (master, driver.memory)
-    # genuinely can't change then, but every spark.sql.* conf above is
-    # runtime-settable — re-apply them so callers asking for e.g. a specific
-    # shuffle_partitions get it even on a reused session.
-    runtime = {
+def _tuned_defaults(shuffle_partitions: int) -> dict[str, str]:
+    """The runtime-settable tuned defaults — ONE list, applied both to the
+    builder (fresh session) and via conf.set (reused session), so the two
+    paths cannot drift apart."""
+    return {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -63,8 +31,49 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
-        **{k: v for k, v in (extra_conf or {}).items() if k.startswith("spark.sql.")},
     }
+
+
+def get_spark(
+    app_name: str = "ting-data-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults.
+
+    ``shuffle_partitions`` defaults from ``SPARK_GRAFT_SHUFFLE_PARTITIONS``
+    read at CALL time (an import-time read frozen into a def-time default
+    would ignore a harness setting the env var after import).
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+        )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # keep \r progress bars out of sweep logs (they overwrite PASS
+        # lines and make independent auditing of the .txt artifacts hard)
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in _tuned_defaults(shuffle_partitions).items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # getOrCreate silently ignores builder configs when a session already
+    # exists in the process. JVM-static settings (master, driver.memory,
+    # warehouse.dir) genuinely can't change then; everything that IS
+    # runtime-settable — per spark.conf.isModifiable, not a name-prefix
+    # guess (static spark.sql.* keys like warehouse.dir exist, and
+    # modifiable non-sql keys exist) — is re-applied so callers asking for
+    # e.g. a specific shuffle_partitions get it on a reused session too.
+    runtime = {**_tuned_defaults(shuffle_partitions), **(extra_conf or {})}
     for k, v in runtime.items():
-        spark.conf.set(k, v)
+        if spark.conf.isModifiable(k):
+            spark.conf.set(k, v)
     return spark

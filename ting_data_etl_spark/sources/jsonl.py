@@ -56,13 +56,14 @@ def stage_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
 
 
 from ting_data_etl_spark.functions.text import content_hash as _content_hash
+from ting_data_etl_spark.plans.oracles import sql_content_hash as _sql_ch
 
 
-_SQL_JSONL_PROFILE = """
+_SQL_JSONL_PROFILE = f"""
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000000) AS BIGINT)
+       CAST(SUM({_sql_ch('text')}) AS BIGINT)
          AS content_checksum
 FROM documents
 GROUP BY source

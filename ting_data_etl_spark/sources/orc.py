@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.jsonl import _content_hash
 from ting_data_etl_spark.sources.tables import load_table
+from ting_data_etl_spark.plans.oracles import sql_content_hash as _sql_ch
 
 _STAGED_ORC: dict[str, str] = {}
 
@@ -51,11 +52,11 @@ def stage_documents_orc(spark: SparkSession, sf_dir: str) -> str:
     return _STAGED_ORC[sf_dir]
 
 
-_SQL_ORC_PROFILE = """
+_SQL_ORC_PROFILE = f"""
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000000) AS BIGINT)
+       CAST(SUM({_sql_ch('text')}) AS BIGINT)
          AS content_checksum
 FROM documents
 GROUP BY lang

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.jsonl import _content_hash
 from ting_data_etl_spark.sources.tables import load_table
+from ting_data_etl_spark.plans.oracles import sql_content_hash as _sql_ch
 
 _STAGED_TXT: dict[str, str] = {}
 
@@ -128,12 +129,12 @@ def stage_documents_text(spark: SparkSession, sf_dir: str) -> str:
     return _STAGED_TXT[sf_dir]
 
 
-_SQL_TXT_PROFILE = """
+_SQL_TXT_PROFILE = f"""
 SELECT doc_id % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS id_sum,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000000) AS BIGINT)
+       CAST(SUM({_sql_ch('text')}) AS BIGINT)
          AS content_checksum
 FROM documents
 GROUP BY 1
