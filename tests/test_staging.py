@@ -70,3 +70,45 @@ class TestStagedPairsInvalidation:
         monkeypatch.setattr(dd, "_STAGED_PAIRS", {})
         dd.staged_minhash_pairs(spark, corpus)
         assert dd._STAGED_PAIRS[corpus] != first
+
+
+class TestAtomicPublish:
+    def test_loser_keeps_winners_artifact(self, spark, tmp_path):
+        """Two processes racing to publish the same stage: the second
+        os.rename fails (target exists), the loser discards its tmp dir and
+        serves the winner's complete artifact — never a mixed part set."""
+        import os
+
+        from ting_data_etl_spark.operators.dedup import _publish_stage
+
+        out = str(tmp_path / "stage")
+        a = spark.range(5).withColumnRenamed("id", "v")
+        _publish_stage(a, out)  # winner publishes first
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        before = sorted(os.listdir(out))
+
+        b = spark.range(9).withColumnRenamed("id", "v")
+        _publish_stage(b, out)  # loser: rename fails, tmp discarded
+        assert sorted(os.listdir(out)) == before  # winner's files untouched
+        assert spark.read.parquet(out).count() == 5
+        # no stray tmp dirs left behind
+        stray = [d for d in os.listdir(tmp_path) if ".tmp." in d]
+        assert stray == []
+
+    def test_partitioned_publish(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ting_data_etl_spark.operators.dedup import _publish_stage
+
+        out = str(tmp_path / "part_stage")
+        df = spark.range(10).select(
+            F.col("id"), (F.col("id") % 2).alias("p")
+        )
+        _publish_stage(df, out, partition_by=("p",))
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        assert spark.read.parquet(out).count() == 10
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("p=")
+        ) == ["p=0", "p=1"]
