@@ -16,18 +16,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Every registered query, alphabetized — complete perf transparency. The
-# handful of fixture-priming entries stay: their cost is the staging they
-# exercise, which pass 1 absorbs.
-def _headline() -> list[str]:
-    import __spark_entry__ as entrymod
-
-    return sorted(entrymod.queries())
-
-
-HEADLINE: list[str] = []
-
-
 def main() -> None:
     import __spark_entry__ as entrymod
     from ting_data_etl_spark.session import get_spark
@@ -35,9 +23,10 @@ def main() -> None:
     spark = get_spark(app_name="ting-data-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Every registered query, alphabetized — complete perf transparency.
+    # Fixture-priming entries stay: their cost is the staging they
+    # exercise, which pass 1 absorbs.
     qs = entrymod.queries()
-    global HEADLINE
-    HEADLINE = _headline()
 
     # Warm the JVM/codegen path once so timings measure steady-state compute.
     qs["flagship_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
@@ -46,7 +35,7 @@ def main() -> None:
 
     def run_all() -> dict[str, float]:
         out: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in sorted(qs):
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             out[name] = round(time.time() - t0, 3)
@@ -62,7 +51,12 @@ def main() -> None:
     timings = run_all()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        # must not raise AFTER both timing passes: a malformed dir suffix
+        # would discard tens of minutes of measurements
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
     # Full per-query map → committed side file (the driver's tail capture
     # truncates long lines — BENCH_r04/r05 lost their parsed payload that
     # way). The FINAL stdout line stays compact: totals + the 10 slowest.

@@ -1121,6 +1121,24 @@ def _publish_stage(
             raise
 
 
+def purge_stages(sf_dir: str) -> None:
+    """Remove every staged artifact for *sf_dir* — disk AND process dicts.
+
+    The supported way for stress harnesses to force a cold BUILD
+    measurement. Callers must NOT re-derive the on-disk path themselves:
+    the tag scheme lives in :func:`_stage_dir` and has already changed
+    once (lossy munging -> md5 tag), silently turning a re-derived purge
+    into a no-op that served cached artifacts as "build" timings.
+    """
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.dirname(_stage_dir(sf_dir, ["x"])), ignore_errors=True)
+    _STAGED_PAIRS.pop(sf_dir, None)
+    for k in [k for k in _STAGED_COMPONENTS if k[0] == sf_dir]:
+        del _STAGED_COMPONENTS[k]
+
+
 def component_stage_path(sf_dir: str, key: str) -> str:
     """Stage dir for the (sf_dir, key) components artifact — path only.
 

@@ -32,7 +32,7 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-CORPUS = "/tmp/burst_corpus/events.parquet"
+CORPUS_ROOT = "/tmp/burst_corpus"
 HOT_FRACTION = 0.3
 BURST_SHARE = 0.99  # of rows ...
 BURST_WIDTH = 0.01  # ... inside this share of the time range
@@ -76,14 +76,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+    # corpus dir keyed by the requested row count: a rerun with a
+    # different --rows must not silently reuse the previous corpus
+    corpus = os.path.join(CORPUS_ROOT, f"events_r{args.rows}.parquet")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         t0 = time.time()
         gen_burst_events(spark, args.rows).repartition(32).write.mode(
             "overwrite"
-        ).parquet(CORPUS)
+        ).parquet(corpus)
         print(f"corpus written in {round(time.time()-t0,1)}s", flush=True)
 
-    ev = spark.read.parquet(CORPUS)
+    ev = spark.read.parquet(corpus)
     stats = ev.agg(
         F.count("*").alias("n"),
         (F.sum((F.col("user_id") == 0).cast("int")) / F.count("*")).alias("hot"),

@@ -78,6 +78,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:
+        # a typo'd name must not produce a silent 0-query green exit
+        print(f"ERROR: unknown queries {sorted(unknown)}; "
+              f"did you mean one of {sorted(qs)[:5]}...?")
+        return 2
     failures, passed, rows_only = [], 0, 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

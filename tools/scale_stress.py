@@ -158,7 +158,13 @@ def planted_recall(spark, sf_dir: str, meta: dict, found: dict) -> dict:
     out = {}
     n_cluster_docs = int(meta["n_docs"] * CLUSTER_FRACTION)
     n_clusters = n_cluster_docs // CLUSTER_SIZE
-    planted_doc_pairs = n_clusters * (CLUSTER_SIZE * (CLUSTER_SIZE - 1) // 2)
+    rem = n_cluster_docs % CLUSTER_SIZE
+    # the partial tail cluster's pairs DO pass the found-filter (same
+    # floor-group, doc_b < n_cluster_docs), so they must count as planted
+    # too or recall can exceed 1.0 at sizes not divisible by CLUSTER_SIZE
+    planted_doc_pairs = n_clusters * (
+        CLUSTER_SIZE * (CLUSTER_SIZE - 1) // 2
+    ) + rem * (rem - 1) // 2
     if "dedup_minhash_lsh_pairs" in found:
         hit = (
             found["dedup_minhash_lsh_pairs"]

@@ -264,21 +264,12 @@ def run_scale(spark, scale: float) -> dict:
         run_case(spark, name, lambda n=name: qs[n](spark, sf_dir), results)
 
     # CC reads the staged pair artifact; purge it (disk + process dict) so
-    # the measured run is the BUILD — the skew-relevant leg — not the read
-    import shutil
-    import tempfile
-
+    # the measured run is the BUILD — the skew-relevant leg — not the read.
+    # purge_stages owns the path scheme — re-deriving it here broke when
+    # the stage tag scheme changed (the purge became a silent no-op)
     import ting_data_etl_spark.operators.dedup as dd
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "ting_cc_stage", tag),
-        ignore_errors=True,
-    )
-    dd._STAGED_PAIRS.pop(sf_dir, None)
-    dd._STAGED_COMPONENTS = {
-        k: v for k, v in dd._STAGED_COMPONENTS.items() if k[0] != sf_dir
-    }
+    dd.purge_stages(sf_dir)
     run_case(
         spark,
         "dedup_connected_components",

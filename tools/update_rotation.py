@@ -26,9 +26,17 @@ from ting_data_etl_spark import registry, rotation  # noqa: E402
 
 
 def _git(*args: str) -> str:
-    return subprocess.run(
+    proc = subprocess.run(
         ["git", *args], cwd=REPO, capture_output=True, text=True, check=False
-    ).stdout
+    )
+    if proc.returncode != 0:
+        # a swallowed git failure yields an empty changed-file set, which
+        # silently under-rotates exactly the modules that changed
+        raise RuntimeError(
+            f"git {' '.join(args)} failed ({proc.returncode}): "
+            f"{proc.stderr.strip()[:500]}"
+        )
+    return proc.stdout
 
 
 def changed_since_round_marker() -> set[str]:
