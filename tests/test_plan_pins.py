@@ -63,6 +63,8 @@ PINNED = [
     # (key, band) shuffle grain that splits the hot key across reducers
     "skew_banded_running_value",
     "skew_banded_running_quantile",
+    # chunking must stay a pure one-pass map: zero shuffles, zero UDFs
+    "text_chunk_windows",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

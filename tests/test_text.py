@@ -233,3 +233,80 @@ class TestWhitespaceClassParity:
             for d in docs
         ]
         assert got_spark == got_duck
+
+
+class TestChunkWindows:
+    def _chunks(self, spark, texts):
+        import ting_data_etl_spark.operators.text_queries as tq
+        from ting_data_etl_spark.functions.text import portable_hash31, tokens
+        from pyspark.sql import functions as F
+
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        tok = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        n = F.size("toks")
+        n_chunks = F.when(n <= tq.CHUNK_TOKENS, F.lit(1)).otherwise(
+            F.ceil((n - tq.CHUNK_TOKENS) / F.lit(tq.CHUNK_STRIDE)).cast("int") + 1
+        )
+        out = (
+            tok.filter(n > 0)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: F.slice(
+                            F.col("toks"), i * tq.CHUNK_STRIDE + 1, tq.CHUNK_TOKENS
+                        ),
+                    )
+                ).alias("chunk_idx", "chunk"),
+            )
+        )
+        rows = out.collect()
+        return {(r.doc_id, r.chunk_idx): list(r.chunk) for r in rows}
+
+    def test_edge_shapes(self, spark):
+        import ting_data_etl_spark.operators.text_queries as tq
+
+        C, S = tq.CHUNK_TOKENS, tq.CHUNK_STRIDE
+        texts = [
+            "",                                  # 0 tokens -> 0 chunks
+            "one",                               # 1 token -> 1 chunk
+            " ".join(f"w{i}" for i in range(C)),       # exactly C -> 1 chunk
+            " ".join(f"w{i}" for i in range(C + 1)),   # C+1 -> 2 chunks
+            " ".join(f"w{i}" for i in range(3 * S + C)),  # 4 chunks
+        ]
+        got = self._chunks(spark, texts)
+        per_doc = {}
+        for (d, i), chunk in got.items():
+            per_doc.setdefault(d, []).append((i, chunk))
+        assert 0 not in per_doc                      # empty doc: no chunks
+        assert len(per_doc[1]) == 1 and per_doc[1][0][1] == ["one"]
+        assert len(per_doc[2]) == 1 and len(per_doc[2][0][1]) == C
+        assert len(per_doc[3]) == 2
+        # second chunk of doc 3 starts at token S and holds the C+1-S tail
+        tail = sorted(per_doc[3])[1][1]
+        assert tail == [f"w{i}" for i in range(S, C + 1)]
+        assert len(per_doc[4]) == 4
+
+    def test_consecutive_chunks_overlap(self, spark):
+        import ting_data_etl_spark.operators.text_queries as tq
+
+        C, S = tq.CHUNK_TOKENS, tq.CHUNK_STRIDE
+        text = " ".join(f"w{i}" for i in range(2 * S + C))
+        got = self._chunks(spark, [text])
+        chunks = [c for (_, i), c in sorted(got.items(), key=lambda kv: kv[0])]
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[S:] == b[: C - S]  # the overlap region is shared
+
+    def test_every_token_covered(self, spark):
+        import ting_data_etl_spark.operators.text_queries as tq
+
+        n = 3 * tq.CHUNK_STRIDE + 7
+        text = " ".join(f"w{i}" for i in range(n))
+        got = self._chunks(spark, [text])
+        covered = set()
+        for chunk in got.values():
+            covered.update(chunk)
+        assert covered == {f"w{i}" for i in range(n)}

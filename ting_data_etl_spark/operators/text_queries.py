@@ -444,3 +444,84 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP)
         .drop("rn")
     )
+
+
+# --- sliding-window chunking (context-window precursor) --------------------
+#: Token-window chunking constants. Pretraining pipelines split long
+#: documents into overlapping windows BEFORE packing them into fixed-length
+#: sequences (the overlap preserves cross-boundary context); chunk-level
+#: hashes also drive chunk-granular dedup. Small values so the sf0.01
+#: corpus (avg ~10² tokens/doc) produces multi-chunk docs worth testing.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive windows
+
+_SQL_CHUNKS = f"""
+WITH {_SQL_TOKS},
+nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE CAST(ceil(CAST(n - {CHUNK_TOKENS} AS DOUBLE)
+                             / {CHUNK_STRIDE}) AS BIGINT) + 1 END AS n_chunks
+  FROM nz
+),
+e AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS chunk_idx,
+         list_slice(toks, t.i * {CHUNK_STRIDE} + 1,
+                    t.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS chunk
+  FROM c, UNNEST(range(0, c.n_chunks)) AS t(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS INTEGER) AS n_tokens,
+       {_sql_sh("array_to_string(chunk, ' ')")} AS chunk_hash
+FROM e
+"""
+
+
+@register("text_chunk_windows", oracle=_SQL_CHUNKS)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping CHUNK_TOKENS-token windows.
+
+    Window *i* covers tokens ``[i·stride, i·stride + chunk)``; the final
+    window may be partial; zero-token documents yield zero chunks. Output
+    one row per chunk with its token count and a portable 31-bit content
+    hash (chunk-granular dedup key, same shared hash as the shingle
+    family).
+
+    Plan shape: tokenize → per-row window count → ``posexplode`` of sliced
+    windows — a pure one-pass map with NO shuffle and no UDF (array ops
+    stay JVM-side), so at 100 TB it scales with scan bandwidth exactly
+    like the token-count queries. ``n <= 0`` rows are filtered BEFORE the
+    ``sequence()`` call: ``sequence(0, -1)`` would generate a descending
+    range, not an empty one.
+    """
+    from ting_data_etl_spark.functions.text import portable_hash31, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_TOKENS) / F.lit(CHUNK_STRIDE)).cast("int") + 1
+    )
+    exploded = (
+        tok.filter(n > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(
+                        F.col("toks"), i * CHUNK_STRIDE + 1, CHUNK_TOKENS
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").alias("n_tokens"),
+        portable_hash31(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    )
