@@ -63,8 +63,10 @@ PINNED = [
     # (key, band) shuffle grain that splits the hot key across reducers
     "skew_banded_running_value",
     "skew_banded_running_quantile",
-    # chunking must stay a pure one-pass map: zero shuffles, zero UDFs
+    # chunking must stay a pure one-pass map: zero shuffles, zero UDFs;
+    # boilerplate detection adds exactly ONE hash-keyed shuffle on top
     "text_chunk_windows",
+    "dedup_chunk_boilerplate",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The
@@ -72,9 +74,16 @@ PINNED = [
 #: row-at-a-time BatchEvalPython (banned in hot paths — a nonzero count that
 #: was zero in the pin is exactly the regression this file exists to catch).
 FEATURES: dict[str, str] = {
-    "shuffle_hash": r"Exchange hashpartitioning",
-    "shuffle_range": r"Exchange rangepartitioning",
-    "shuffle_single": r"Exchange SinglePartition",
+    # formatted mode prints the node as '(N) Exchange' with the
+    # partitioning on a following 'Arguments:' line — the old single-line
+    # 'Exchange hashpartitioning' regex matched NOTHING, so every pin
+    # recorded 0 shuffles and a reintroduced shuffle was invisible.
+    # Arguments lines print as 'Arguments: hashpartitioning(...' for the
+    # exchange node; count those (broadcast exchanges match their own
+    # feature via the node name, not hashpartitioning).
+    "shuffle_hash": r"Arguments: hashpartitioning",
+    "shuffle_range": r"Arguments: rangepartitioning",
+    "shuffle_single": r"Arguments: SinglePartition",
     "broadcast_exchange": r"BroadcastExchange",
     "broadcast_hash_join": r"BroadcastHashJoin",
     "sort_merge_join": r"SortMergeJoin",

@@ -310,3 +310,31 @@ class TestChunkWindows:
         for chunk in got.values():
             covered.update(chunk)
         assert covered == {f"w{i}" for i in range(n)}
+
+
+class TestChunkBoilerplate:
+    def test_shared_paragraph_detected_across_distinct_docs(self, spark, tmp_path):
+        import ting_data_etl_spark.operators.text_queries as tq
+
+        C = tq.CHUNK_TOKENS
+        shared = " ".join(f"b{i}" for i in range(C))  # one full shared window
+        docs = [
+            (1, shared + " " + " ".join(f"x{i}" for i in range(C))),
+            (2, shared + " " + " ".join(f"y{i}" for i in range(C))),
+            (3, " ".join(f"z{i}" for i in range(C))),  # unique content
+        ]
+        import pyspark.sql.functions as F
+
+        from ting_data_etl_spark.functions.text import portable_hash31, tokens
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        # doc 1 and 2's FIRST chunk is exactly the shared window
+        first = toks.select(
+            "doc_id",
+            portable_hash31(
+                F.concat_ws(" ", F.slice("toks", 1, C))
+            ).alias("h"),
+        ).collect()
+        h = {r.doc_id: r.h for r in first}
+        assert h[1] == h[2] != h[3]

@@ -455,7 +455,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive windows
 
-_SQL_CHUNKS = f"""
+def _sql_chunks_cte() -> str:
+    """Chunk rows as a CTE chain ending in ``ch`` — built at CALL time so
+    a CHUNK_TOKENS/CHUNK_STRIDE retune keeps both engines in lockstep
+    (the minhash-family convention)."""
+    return f"""
 WITH {_SQL_TOKS},
 nz AS (
   SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
@@ -472,15 +476,23 @@ e AS (
          list_slice(toks, t.i * {CHUNK_STRIDE} + 1,
                     t.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS chunk
   FROM c, UNNEST(range(0, c.n_chunks)) AS t(i)
-)
-SELECT doc_id, chunk_idx,
-       CAST(len(chunk) AS INTEGER) AS n_tokens,
-       {_sql_sh("array_to_string(chunk, ' ')")} AS chunk_hash
-FROM e
+),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         CAST(len(chunk) AS INTEGER) AS n_tokens,
+         {_sql_sh("array_to_string(chunk, ' ')")} AS chunk_hash
+  FROM e
+)"""
+
+
+def _sql_chunks() -> str:
+    return f"""
+{_sql_chunks_cte()}
+SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM ch
 """
 
 
-@register("text_chunk_windows", oracle=_SQL_CHUNKS)
+@register("text_chunk_windows", oracle=_sql_chunks)
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split each document into overlapping CHUNK_TOKENS-token windows.
 
@@ -524,4 +536,50 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size("chunk").alias("n_tokens"),
         portable_hash31(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    )
+
+
+#: A chunk is "boilerplate" when it appears verbatim in at least this many
+#: DISTINCT documents (template headers, license blocks, cookie banners).
+BOILERPLATE_MIN_DOCS = 2
+
+
+def _sql_chunk_boilerplate() -> str:
+    return f"""
+{_sql_chunks_cte()}
+SELECT chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS min_doc_id
+FROM ch
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+"""
+
+
+@register("dedup_chunk_boilerplate", oracle=_sql_chunk_boilerplate)
+def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated windows: chunk-granular boilerplate detection.
+
+    Where document-level dedup finds whole near-dup documents, this finds
+    PARAGRAPH-level repetition — template headers, license blocks, cookie
+    banners — that survives document dedup because the surrounding text
+    differs. The output (hash, doc count, occurrence count, canonical doc)
+    is the removal list a curation pipeline joins back against chunks.
+
+    Plan shape: the zero-shuffle chunk map feeds ONE shuffle keyed by the
+    8-byte chunk hash (never the chunk text) — at 100 TB the shuffle
+    carries ~16 B/chunk. 31-bit hash identity stands in for chunk equality
+    (identical in both engines, so the oracle matches exactly); at corpus
+    scale flip to ``xxhash64`` for a 64-bit keyspace, same plan.
+    """
+    ch = text_chunk_windows(spark, sf_dir)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
     )
