@@ -236,6 +236,10 @@ def run_scale(spark, scale: float) -> dict:
             "dedup_incremental_minhash",
             "dedup_simhash_pairs",
             "dedup_ngram_jaccard_pairs",
+            # r7 chunk family: the map leg must scale with scan bandwidth
+            # (zero-shuffle), the boilerplate groupBy with linear rows
+            "text_chunk_windows",
+            "dedup_chunk_boilerplate",
             "dedup_connected_components",
             "dedup_keep_canonical",
             "dedup_embedding_cosine_pairs",
