@@ -187,3 +187,48 @@ class TestBandedVariants:
             for r in pack_sequences_banded(spark, sf_dir).collect()
         }
         assert ref == banded
+
+
+class TestQualityWeightedSample:
+    def test_zero_check_docs_never_kept_and_rate_tracks_checks(self, spark):
+        from pyspark.sql import functions as F
+
+        import ting_data_etl_spark.operators.sampling as sm
+        from ting_data_etl_spark.functions.text import quality_checks
+
+        # synthetic docs spanning the check bands: too-short garbage
+        # (0 gates), and long English prose (3 gates)
+        rows = []
+        for i in range(400):
+            if i % 2 == 0:
+                # too long, all punctuation, no stopwords -> 0 gates
+                rows.append((i, "#@!$% " * 1000, "junk"))
+            else:
+                rows.append(
+                    (i, "the quick fox and the dog run to the field " * 4, "prose")
+                )
+        d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+        checks = {
+            r.doc_id: r.c
+            for r in d.select(
+                "doc_id", quality_checks(F.col("text")).alias("c")
+            ).collect()
+        }
+        accept = (
+            quality_checks(F.col("text")) * sm.QUALITY_ACCEPT_PCT_PER_CHECK
+        ).cast("int")
+        kept = {
+            r.doc_id
+            for r in d.select(
+                "doc_id", "source", accept.alias("accept_pct")
+            )
+            .filter(sm._bucket(F.col("doc_id"), "qsample") < F.col("accept_pct"))
+            .collect()
+        }
+        zero_docs = {k for k, c in checks.items() if c == 0}
+        full_docs = {k for k, c in checks.items() if c == 3}
+        assert zero_docs and full_docs  # the fixture spans both bands
+        assert not (kept & zero_docs)  # 0 gates -> never sampled
+        rate_full = len(kept & full_docs) / len(full_docs)
+        assert 0.80 <= rate_full <= 0.99  # ~90% acceptance for 3 gates

@@ -102,12 +102,24 @@ def quality_score(col: Column | str) -> Column:
     stopword presence — the standard cheap pre-filters a pretraining
     pipeline applies before expensive model-based scoring.
     """
+    return quality_checks(col).cast("double") / 3.0
+
+
+def quality_checks(col: Column | str) -> Column:
+    """INTEGER count (0..3) of passed quality gates.
+
+    The exact-arithmetic core shared by :func:`quality_score` (÷3 to the
+    usual [0,1] score) and the quality-weighted sampler (×30 to an accept
+    percentage) — integer so downstream thresholds never ride on a
+    float→int cast whose truncation/rounding semantics differ between
+    engines.
+    """
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
-    length_ok = F.when((n >= 50) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio(c) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
-    sw_ok = F.when(stopword_ratio(c) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
-    return (length_ok + punct_ok + sw_ok) / 3.0
+    length_ok = ((n >= 50) & (n <= 2000)).cast("int")
+    punct_ok = (punct_ratio(c) <= 0.2).cast("int")
+    sw_ok = (stopword_ratio(c) >= 0.05).cast("int")
+    return length_ok + punct_ok + sw_ok
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
@@ -145,8 +157,11 @@ def lang_id(col: Column | str) -> Column:
 #: "BPE-ish" pre-tokenizer pattern: letter runs are one token, each digit is
 #: its own token (GPT-style digit splitting), every other non-space symbol is
 #: its own token. ASCII classes only so Java regex (Spark) and RE2 (DuckDB)
-#: agree byte for byte — the portability requirement of the oracle twin.
-BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+#: agree byte for byte — the whitespace is the shared explicit ``WS_CHARS``
+#: class because ``\s`` itself is NOT engine-portable (Java includes
+#: U+000B, RE2 does not; this pattern is interpolated verbatim into the
+#: DuckDB twin, so a VT char would count as a token in one engine only).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9" + WS_CHARS + "]"
 
 
 def bpe_token_count(col: Column | str) -> Column:

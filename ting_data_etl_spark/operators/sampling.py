@@ -494,3 +494,67 @@ def sample_per_group_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= RESERVOIR_K)
     )
+
+
+# --- quality-weighted sampling ---------------------------------------------
+#: Acceptance percentage per passed quality gate: 0 checks -> drop, 3 checks
+#: -> keep 90%. Integer arithmetic end to end — the threshold NEVER rides on
+#: a float->int cast (Spark CAST truncates where DuckDB rounds).
+QUALITY_ACCEPT_PCT_PER_CHECK = 30
+
+
+def _sql_quality_sample() -> str:
+    from ting_data_etl_spark.functions.text import WS_CHARS
+    from ting_data_etl_spark.operators.text_queries import _SQL_TOKS, _sql_hits
+
+    return f"""
+WITH {_SQL_TOKS},
+m AS (
+  SELECT doc_id, source,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}{WS_CHARS}]', '', 'g'))
+           AS n_punct,
+         len(toks) AS n_toks,
+         {_sql_hits("en")} AS en_hits
+  FROM tok
+),
+c AS (
+  SELECT doc_id, source,
+         (CASE WHEN n BETWEEN 50 AND 2000 THEN 1 ELSE 0 END
+          + CASE WHEN (CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE) / n
+                            ELSE 0.0 END) <= 0.2 THEN 1 ELSE 0 END
+          + CASE WHEN (CASE WHEN n_toks > 0 THEN CAST(en_hits AS DOUBLE) / n_toks
+                            ELSE 0.0 END) >= 0.05 THEN 1 ELSE 0 END
+         ) AS n_checks
+  FROM m
+)
+SELECT doc_id, source,
+       CAST(n_checks * {QUALITY_ACCEPT_PCT_PER_CHECK} AS INTEGER) AS accept_pct
+FROM c
+WHERE {_sql_bucket("doc_id", "qsample")} < n_checks * {QUALITY_ACCEPT_PCT_PER_CHECK}
+"""
+
+
+@register("sample_quality_weighted", oracle=_sql_quality_sample)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted subsample (DoReMi-flavored selection).
+
+    Each document's acceptance probability is proportional to its passed
+    quality-gate count (:func:`~ting_data_etl_spark.functions.text.
+    quality_checks` — the integer core quality_score divides by 3): zero
+    gates drops the doc outright, all three keep it with 90% probability.
+    The coin is the same salted md5 bucket every sampling verb uses, so
+    the decision is reproducible, independent of partitioning, and
+    decorrelated from the plain sampler and the train/val/test split
+    (per-purpose salt). Plan: one scan + codegen predicate — no shuffle,
+    no RNG state; at 100 TB it rides scan bandwidth like sample_hash_mod.
+    """
+    from ting_data_etl_spark.functions.text import quality_checks
+
+    d = load_table(spark, sf_dir, "documents")
+    accept = (
+        quality_checks(F.col("text")) * QUALITY_ACCEPT_PCT_PER_CHECK
+    ).cast("int")
+    return d.select(
+        "doc_id", "source", accept.alias("accept_pct")
+    ).filter(_bucket(F.col("doc_id"), "qsample") < F.col("accept_pct"))
