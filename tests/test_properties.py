@@ -301,3 +301,57 @@ class TestBandedRunningSumProperty:
                 run += v
                 want[i] = (run, seq)
         assert got == want
+
+
+class TestChunkWindowProperty:
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(st.lists(st.integers(min_value=0, max_value=210), min_size=1, max_size=30))
+    def test_chunks_match_python_model(self, spark, token_counts):
+        """For arbitrary per-doc token counts, the Spark chunking must
+        equal the obvious Python sliding-window model: same chunk count,
+        same window contents, full coverage, no phantom chunks."""
+        from pyspark.sql import functions as F
+
+        import ting_data_etl_spark.operators.text_queries as tq
+        from ting_data_etl_spark.functions.text import tokens
+
+        C, S = tq.CHUNK_TOKENS, tq.CHUNK_STRIDE
+        docs = [
+            (i, " ".join(f"t{i}x{j}" for j in range(n)))
+            for i, n in enumerate(token_counts)
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        tok = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        n = F.size("toks")
+        n_chunks = F.when(n <= C, F.lit(1)).otherwise(
+            F.ceil((n - C) / F.lit(S)).cast("int") + 1
+        )
+        got = {}
+        rows = (
+            tok.filter(n > 0)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: F.slice(F.col("toks"), i * S + 1, C),
+                    )
+                ).alias("idx", "chunk"),
+            )
+            .collect()
+        )
+        for r in rows:
+            got[(r.doc_id, r.idx)] = list(r.chunk)
+
+        # python model
+        want = {}
+        for i, cnt in enumerate(token_counts):
+            toks_py = [f"t{i}x{j}" for j in range(cnt)]
+            if not toks_py:
+                continue
+            k = 1 if cnt <= C else -(-(cnt - C) // S) + 1
+            for idx in range(k):
+                want[(i, idx)] = toks_py[idx * S : idx * S + C]
+        assert got == want
