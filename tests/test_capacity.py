@@ -36,3 +36,18 @@ class TestCapacityRules:
 
     def test_simhash_clamped_to_md5_safe_max(self):
         assert capacity.simhash_bits(10**9) == capacity.SIMHASH_MAX_BITS == 60
+
+
+class TestChunkHashRule:
+    def test_width_flips_at_collision_budget(self):
+        from ting_data_etl_spark.capacity import (
+            CHUNK_HASH31_MAX_CHUNKS,
+            chunk_hash_bits,
+            recommend,
+        )
+
+        assert chunk_hash_bits(770_456) == 31  # the x100 measured corpus
+        assert chunk_hash_bits(CHUNK_HASH31_MAX_CHUNKS) == 31
+        assert chunk_hash_bits(CHUNK_HASH31_MAX_CHUNKS + 1) == 64
+        assert recommend(5_000, 2_000)["chunk_hash_bits"] == 31
+        assert recommend(5_000_000, 2_000)["chunk_hash_bits"] == 64

@@ -47,10 +47,27 @@ def kmeans_lists(n_vecs: int) -> int:
     return 8 if n_vecs <= 2_000 else int(math.sqrt(n_vecs))
 
 
+#: Above this many CHUNKS, the portable 31-bit chunk hash's birthday
+#: collision expectation (~k²/2³²) passes ~1 colliding pair — flip
+#: dedup_chunk_boilerplate / text_chunk_windows to ``xxhash64`` (same
+#: plan, 64-bit keyspace, engine-specific digest → driver checks
+#: rows-only). Measured context: x100 (770k chunks) ≈ 0.14 expected
+#: collisions (SCALE_r07_chunk.md).
+CHUNK_HASH31_MAX_CHUNKS = 2_000_000
+
+
+def chunk_hash_bits(n_chunks: int) -> int:
+    """Chunk-hash width rule: 31-bit portable md5 below the collision
+    budget, 64-bit xxhash64 above it."""
+    return 31 if n_chunks <= CHUNK_HASH31_MAX_CHUNKS else 64
+
+
 def recommend(n_docs: int, n_vecs: int) -> dict[str, int]:
     """Knob settings for a corpus of this size (see module docstring)."""
     return {
         "srp_bits": srp_bits(n_vecs),
         "simhash_bits": simhash_bits(n_docs),
         "kmeans_lists": kmeans_lists(n_vecs),
+        # ~1.5 chunks per avg document at the synthetic corpus shape
+        "chunk_hash_bits": chunk_hash_bits(int(n_docs * 1.5)),
     }
