@@ -232,3 +232,38 @@ class TestQualityWeightedSample:
         assert not (kept & zero_docs)  # 0 gates -> never sampled
         rate_full = len(kept & full_docs) / len(full_docs)
         assert 0.80 <= rate_full <= 0.99  # ~90% acceptance for 3 gates
+
+
+class TestTemperatureMixture:
+    def test_kept_volume_tracks_sqrt_of_source_size(self, spark):
+        from pyspark.sql import functions as F
+
+        import ting_data_etl_spark.operators.sampling as sm
+
+        # skewed sources: big is 100x small; sqrt-temperature must pull
+        # the kept RATIO toward 10x (sqrt(100)), far below the raw 100x
+        rows = [(i, "big" if i < 20_000 else "small") for i in range(20_200)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        counts = d.groupBy("source").agg(F.count("*").alias("n_total"))
+        rates = counts.select(
+            "source",
+            F.least(
+                F.lit(sm.TEMP_MAX_PCT),
+                F.floor(
+                    F.lit(sm.TEMP_BUDGET)
+                    / F.sqrt(F.col("n_total").cast("double"))
+                ),
+            )
+            .cast("int")
+            .alias("accept_pct"),
+        )
+        kept = (
+            d.join(F.broadcast(rates), "source")
+            .filter(sm._bucket(F.col("doc_id"), "tempmix") < F.col("accept_pct"))
+            .groupBy("source")
+            .count()
+        )
+        got = {r.source: r["count"] for r in kept.collect()}
+        # accept pcts: big floor(200/sqrt(20000)) = 1%, small floor(200/sqrt(200)) = 14%
+        ratio = got["big"] / got["small"]
+        assert 3 < ratio < 25  # ~7x expected; raw size ratio is 100x

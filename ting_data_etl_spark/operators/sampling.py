@@ -558,3 +558,77 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "source", accept.alias("accept_pct")
     ).filter(_bucket(F.col("doc_id"), "qsample") < F.col("accept_pct"))
+
+
+# --- temperature-scaled source mixture -------------------------------------
+#: sqrt-temperature (tau = 0.5) budget numerator: a source's acceptance
+#: percentage is floor(TEMP_BUDGET / sqrt(n_source)), capped at 95 — the
+#: expected kept volume is then proportional to sqrt(n_source), i.e. the
+#: classic temperature-flattened mixture (T5/PaLM style) that upweights
+#: small sources relative to their raw share. tau is FIXED at 0.5 because
+#: sqrt is an exactly-rounded IEEE op: the whole rate computation is
+#: bit-identical across engines, where a general pow(n, tau) is not.
+TEMP_BUDGET = 200.0
+TEMP_MAX_PCT = 95
+
+
+def _sql_temp_mixture() -> str:
+    return f"""
+WITH n AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+r AS (
+  SELECT source, n_total,
+         CAST(least({TEMP_MAX_PCT},
+                    floor({TEMP_BUDGET} / sqrt(CAST(n_total AS DOUBLE))))
+              AS INTEGER) AS accept_pct
+  FROM n
+),
+kept AS (
+  SELECT d.source, r.n_total, r.accept_pct
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE {_sql_bucket("d.doc_id", "tempmix")} < r.accept_pct
+)
+SELECT source,
+       CAST(MAX(n_total) AS BIGINT) AS n_total,
+       MAX(accept_pct) AS accept_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY source
+"""
+
+
+@register("corpus_temperature_mixture", oracle=_sql_temp_mixture)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture: kept volume ∝ sqrt(source size).
+
+    Unlike :func:`corpus_weighted_mixture` (hand-configured per-source
+    rates), the rates here DERIVE from the corpus itself: big sources are
+    downweighted toward the root of their share, the standard temperature
+    knob for balancing a scraped corpus against boutique sources. The
+    per-source form needs no global normalization term, so there is no
+    order-sensitive float sum anywhere — every arithmetic step (sqrt,
+    divide, floor) is exactly rounded and engine-identical.
+
+    Plan: a map-side-combine count rollup (tiny: one row per source),
+    broadcast back onto the scan as a rate dimension, one codegen
+    predicate, one final rollup. The corpus-sized leg is scan + filter —
+    no data-sized shuffle at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    rates = counts.select(
+        "source",
+        "n_total",
+        F.least(
+            F.lit(TEMP_MAX_PCT),
+            F.floor(F.lit(TEMP_BUDGET) / F.sqrt(F.col("n_total").cast("double"))),
+        )
+        .cast("int")
+        .alias("accept_pct"),
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(
+        _bucket(F.col("doc_id"), "tempmix") < F.col("accept_pct")
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_total").cast("long").alias("n_total"),
+        F.max("accept_pct").alias("accept_pct"),
+        F.count("*").alias("n_kept"),
+    )
