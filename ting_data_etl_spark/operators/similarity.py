@@ -99,14 +99,28 @@ q AS (
 )
 """
 
+def sql_cosine_case(a: str, b: str) -> str:
+    """ONE definition of the oracle-side guarded cosine.
+
+    Twin of the Spark ``_cosine_pre`` arithmetic; previously copy-pasted
+    into five oracle strings, where a guard or association change could
+    silently miss one. Operands are the two vector expressions.
+    """
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return (
+        f"CASE WHEN {na} * {nb} <> 0\n"
+        f"              THEN list_dot_product({a}, {b}) /\n"
+        f"                   ({na} * {nb})\n"
+        f"         END"
+    )
+
+
 _SQL_BRUTE = f"""
 WITH {_SQL_QUANT},
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         CASE WHEN sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
-              THEN list_dot_product(a.q, b.q) /
-                   (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
-         END AS cosine
+         {sql_cosine_case('a.q', 'b.q')} AS cosine
   FROM q a JOIN q b ON b.vec_id <> a.vec_id
   WHERE a.vec_id % {QUERY_MOD} = 0
 )
@@ -136,10 +150,17 @@ def _corpus_rows(sf_dir: str) -> int:
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(path):
-        return sum(
-            pa_pq.ParquetFile(p).metadata.num_rows
-            for p in glob.glob(os.path.join(path, "*.parquet"))
-        )
+        parts = glob.glob(os.path.join(path, "*.parquet"))
+        if not parts:
+            # nested layouts (partitioned writes) would otherwise count 0
+            # rows and silently DISARM the broadcast gate below
+            raise ValueError(
+                f"_corpus_rows: no part files directly under {path!r}; "
+                "nested/partitioned layouts are not supported by the "
+                "footer-metadata count — flatten the table or gate by "
+                "an explicit row count"
+            )
+        return sum(pa_pq.ParquetFile(p).metadata.num_rows for p in parts)
     return pa_pq.ParquetFile(path).metadata.num_rows
 
 
@@ -159,6 +180,34 @@ def assert_broadcastable_corpus(n_rows: int, limit: int | None = None) -> None:
             "not run at corpus scale - use similarity_srp_lsh_topk or "
             "similarity_ivf_kmeans_topk."
         )
+
+
+def topk_per_query(
+    pairs: "DataFrame",
+    k: int | None = None,
+    extra_partition: tuple[str, ...] = (),
+) -> "DataFrame":
+    """ONE definition of the ANN result ranking.
+
+    Rank candidate ``(query_id, neighbor_id, cosine)`` pairs per query by
+    ``cosine DESC NULLS LAST, neighbor_id ASC`` and keep the top *k*
+    (``TOP_K`` read at CALL time). Every search variant — brute force,
+    IVF, kmeans-IVF, SRP — and both phases of the salted exact truth rank
+    through this helper, so a tie-break or k change cannot silently drift
+    between operators; the SQL twins embed the same ORDER BY.
+    """
+    from pyspark.sql import Window
+
+    if k is None:
+        k = TOP_K
+    w = Window.partitionBy("query_id", *extra_partition).orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 @register("similarity_bruteforce_topk", defer=True, oracle=_SQL_BRUTE)
@@ -184,26 +233,14 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .drop("rn")
-    )
+    return topk_per_query(pairs)
 
 
 _SQL_IVF = f"""
 WITH {_SQL_QUANT},
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         CASE WHEN sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
-              THEN list_dot_product(a.q, b.q) /
-                   (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
-         END AS cosine
+         {sql_cosine_case('a.q', 'b.q')} AS cosine
   FROM q a JOIN q b ON a.label = b.label AND b.vec_id <> a.vec_id
   WHERE a.vec_id % {QUERY_MOD} = 0
 )
@@ -250,16 +287,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .drop("rn")
-    )
+    return topk_per_query(pairs)
 
 
 # --- real IVF: deterministic k-means fit + multi-probe search --------------
@@ -269,7 +297,7 @@ NPROBE = 3  # lists probed per query (recall/cost knob)
 KMEANS_SAMPLE_MOD = 3  # fit on a deterministic ~1/3 hash-sample
 EMB_DIM = 64  # embedding dimensionality of the corpus (also SRP_DIM below)
 
-_CENTROIDS: dict[tuple[str, int, int, int], list[list[int]]] = {}
+_CENTROIDS: dict[tuple[str, str, int, int, int], list[list[int]]] = {}
 
 
 def _vec_sample_hash(col: str = "vec_id") -> F.Column:
@@ -390,10 +418,13 @@ def kmeans_fit(
     )
     if sample_mod > 1:
         sample = sample.filter(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
-    # the fit sample is small by construction — pack it into few partitions
-    # so each Lloyd iteration spins up a handful of Arrow workers, not one
-    # per shuffle partition (on a cluster: one per executor core is ideal)
-    sample = sample.coalesce(8).persist()
+    # the fit sample is 1/sample_mod of the corpus — NOT constant-sized —
+    # so size the partition count to the cluster, not a constant: a fixed
+    # coalesce(8) serialized a third of the corpus through 8 workers per
+    # Lloyd iteration at scale. defaultParallelism = total cores (local
+    # and cluster alike), the natural Arrow-worker count per pass.
+    fit_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    sample = sample.coalesce(fit_parts).persist()
     try:
         row = sample.select(F.size("q").alias("d")).first()
         if row is None and sample_mod > 1:
@@ -406,13 +437,23 @@ def kmeans_fit(
             sample = (
                 vectors.select("vec_id", "q")
                 .withColumn("h", _vec_sample_hash("vec_id"))
-                .coalesce(8)
+                .coalesce(fit_parts)
                 .persist()
             )
             row = sample.select(F.size("q").alias("d")).first()
         if row is None:
             raise ValueError("kmeans_fit: no vectors to fit (empty input)")
         d = row.d
+        if d != EMB_DIM:
+            # the SQL oracle's unrolled Lloyd CTEs hardcode EMB_DIM dims
+            # (range(1, EMB_DIM+1)); a corpus of another width would fit a
+            # DIFFERENT model oracle-side and surface as a baffling value
+            # mismatch — fail here with the actual constraint instead
+            raise ValueError(
+                f"kmeans_fit: corpus dimensionality {d} != EMB_DIM "
+                f"{EMB_DIM}; retune similarity.EMB_DIM (the SQL oracle "
+                "twin derives its per-dimension terms from it)"
+            )
         init = sample.orderBy("h", "vec_id").limit(k).collect()
         centroids = [[int(x) for x in r.q] for r in init]
         # a sample smaller than k yields fewer lists — same shrink the SQL
@@ -451,26 +492,32 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """
     import json
     import os
-    import tempfile
+
+    from ting_data_etl_spark.operators.dedup import _source_fp, _stage_dir
 
     # cache key + artifact name carry the FULL fit config (k, iters,
-    # sample_mod): a retune of any of the three must miss the cache and
-    # refit, or searches run against a model the config no longer
-    # describes while the SQL oracle refits with the new values.
-    key = (sf_dir, KMEANS_LISTS, KMEANS_ITERS, KMEANS_SAMPLE_MOD)
+    # sample_mod) AND the source (mtime, size) fingerprint: a retune of
+    # any fit param must miss the cache and refit, and a testdata
+    # regeneration must invalidate the IN-MEMORY model too — a long-lived
+    # process previously served stale centroids from _CENTROIDS after the
+    # parquet changed underneath it (the on-disk name was fingerprinted,
+    # the dict key was not).
+    src_fp = _source_fp(sf_dir, "embeddings")
+    key = (sf_dir, src_fp, KMEANS_LISTS, KMEANS_ITERS, KMEANS_SAMPLE_MOD)
     if key not in _CENTROIDS:
-        tag = sf_dir.strip("/").replace("/", "_")
         # v2 = integer-exact md5-seeded fit; the version tag invalidates
-        # durable v1 float-model artifacts left by earlier revisions. The
-        # source (mtime, size) fingerprint invalidates the model on a
-        # testdata regeneration (same rule as dedup.staged_components).
-        src = os.path.join(sf_dir, "embeddings.parquet")
-        src_fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"ting_ivf_model_v2_{tag}_{src_fp}"
-            f"_k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}.json",
-        )
+        # durable v1 float-model artifacts left by earlier revisions.
+        # Path built by dedup's shared _stage_dir (collision-free md5
+        # dataset tag) — the old strip/replace munging aliased distinct
+        # datasets onto one artifact.
+        path = _stage_dir(
+            sf_dir,
+            [
+                "ivf_model_v2",
+                src_fp,
+                f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
+            ],
+        ) + ".json"
         if os.path.exists(path):
             with open(path) as f:
                 _CENTROIDS[key] = json.load(f)
@@ -489,6 +536,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             )
             # atomic publish (tmp + rename): a crash mid-dump must not
             # leave a truncated json that every later process crashes on
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(_CENTROIDS[key], f)
@@ -565,10 +613,7 @@ ivf_probes AS (
 ),
 ivf_pairs AS (
   SELECT p.query_id, c.neighbor_id,
-         CASE WHEN sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv)) <> 0
-              THEN list_dot_product(p.qv, c.cv) /
-                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
-         END AS cosine
+         {sql_cosine_case('p.qv', 'c.cv')} AS cosine
   FROM ivf_probes p JOIN ivf_corpus c
     ON p.list_id = c.list_id AND c.neighbor_id <> p.query_id
 ),
@@ -638,16 +683,7 @@ def similarity_ivf_kmeans(
             "cosine"
         ),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .drop("rn")
-    )
+    return topk_per_query(pairs)
 
 
 # --- SRP-LSH: signed-random-projection bucketed cosine search --------------
@@ -771,10 +807,7 @@ srp_probes AS (
 ),
 srp_pairs AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         CASE WHEN sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
-              THEN list_dot_product(a.q, b.q) /
-                   (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
-         END AS cosine
+         {sql_cosine_case('a.q', 'b.q')} AS cosine
   FROM srp_probes a JOIN srp_bq b
     ON a.t = b.t AND a.probe = b.bucket AND b.vec_id <> a.vec_id
 ),
@@ -869,16 +902,7 @@ def similarity_srp_lsh(
         )
         .distinct()
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .drop("rn")
-    )
+    return topk_per_query(pairs)
 
 
 NEAR_DUP_THRESHOLD = 0.3
@@ -1023,7 +1047,6 @@ def _srp_grouped_pairs(q: DataFrame) -> DataFrame:
     One shuffle (the groupBy), then a distinct over the tiny above-threshold
     output to merge cross-table duplicates.
     """
-    import pandas as pd
 
     threshold = NEAR_DUP_THRESHOLD
 
@@ -1288,8 +1311,6 @@ def _bruteforce_truth_sampled(
     neighbor) — Q*SALT well-sized groups of skinny 24-byte rows — and keeps
     k each; phase 2 ranks the Q*SALT*k survivors.
     """
-    from pyspark.sql import Window
-
     q = _quantized(spark, sf_dir)
     queries = q.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -1313,19 +1334,8 @@ def _bruteforce_truth_sampled(
             "salt"
         ),
     )
-    order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
-    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
-    local = (
-        pairs.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= TOP_K)
-        .drop("rn", "salt")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        local.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= TOP_K)
-        .drop("rn")
-    )
+    local = topk_per_query(pairs, extra_partition=("salt",)).drop("salt")
+    return topk_per_query(local)
 
 
 def _sql_recall_report() -> str:
@@ -1349,10 +1359,7 @@ sample_ids AS (
 {sql_srp_search_ctes(sample_pred)},
 truth_pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         CASE WHEN sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)) <> 0
-              THEN list_dot_product(a.q, b.q) /
-                   (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
-         END AS cosine
+         {sql_cosine_case('a.q', 'b.q')} AS cosine
   FROM q a JOIN q b ON b.vec_id <> a.vec_id
   WHERE a.vec_id IN (SELECT vec_id FROM sample_ids)
 ),
