@@ -225,3 +225,45 @@ class TestGraphStats:
             assert 0.0 <= r.clustering_coeff <= 1.0
         else:
             assert r.clustering_coeff is None
+
+
+class TestNullAndEmptyTextParity:
+    def test_zero_token_docs_match_oracle_semantics(self, spark, tmp_path):
+        """NULL text, empty text, and punctuation-only docs must behave
+        identically in Spark and the DuckDB oracles: NULL signatures/
+        shingles, unpairable in minhash/jaccard (previously Spark hashed
+        them all to the empty string and paired every empty doc)."""
+        import duckdb
+
+        import __spark_entry__ as m
+
+        rows = [
+            (1, None, "a"), (2, None, "a"), (3, "", "a"), (4, "", "a"),
+            (5, "the quick brown fox jumps over the lazy dog", "a"),
+            (6, "the quick brown fox jumps over the lazy dog", "a"),
+            (7, "!!! ???", "a"), (8, "one", "a"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        qs, oracles = m.queries(), m.oracle_sql()
+        for name in (
+            "dedup_minhash_signatures",
+            "dedup_minhash_lsh_pairs",
+            "dedup_ngram_jaccard_pairs",
+            "dedup_incremental_minhash",
+        ):
+            sdf = qs[name](spark, str(tmp_path)).toPandas()
+            odf = con.execute(oracles[name]).df()
+            cols = sorted(sdf.columns)
+            ss = sdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+            oo = odf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+            assert len(ss) == len(oo), name
+            assert ss.equals(oo), name
+        # and the semantic claim itself: only the identical real docs pair
+        pairs = qs["dedup_minhash_lsh_pairs"](spark, str(tmp_path)).collect()
+        assert {(r.doc_a, r.doc_b) for r in pairs} == {(5, 6)}

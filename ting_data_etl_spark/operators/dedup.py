@@ -80,10 +80,6 @@ def _shingle_hash_spark(s):
     return portable_hash31(s if not isinstance(s, str) else F.col(s))
 
 
-def _sql_shingle_hash(s: str) -> str:
-    return sql_shingle_hash(s)
-
-
 # --- exact dedup -----------------------------------------------------------
 _SQL_DEDUP_EXACT = f"""
 WITH n AS (
@@ -162,6 +158,8 @@ def minhash_signature(text_col) -> F.Column:
     explode→aggregate form computes each md5 exactly once inside
     whole-stage codegen.
     """
+    from ting_data_etl_spark.functions.text import tokens
+
     shingles = word_ngrams(text_col, SHINGLE_N)
     hashes = F.transform(shingles, _shingle_hash_spark)
 
@@ -170,13 +168,21 @@ def minhash_signature(text_col) -> F.Column:
             F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
         )
 
-    return F.array(*[perm_min(a, b) for a, b in PERMS])
+    sig = F.array(*[perm_min(a, b) for a, b in PERMS])
+    # zero-token docs sign as 16 NULLs — identical to the dataset form
+    # (whose shingle rows are NULL for such docs) and the SQL oracles
+    null_sig = F.array(
+        *[F.lit(None).cast("long") for _ in range(MINHASH_HASHES)]
+    )
+    return F.when(
+        F.coalesce(F.size(tokens(text_col)), F.lit(0)) <= 0, null_sig
+    ).otherwise(sig)
 
 
 def word_shingles_df(
     docs: DataFrame,
     text_col: str = "text",
-    n: int = SHINGLE_N,
+    n: int | None = None,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id[, extra], s) word n-gram shingle rows — codegen formulation.
@@ -188,13 +194,22 @@ def word_shingles_df(
     tokenize/explode/lead/concat all inside whole-stage codegen, one shuffle
     on doc_id, no per-doc array allocation. Output rows are identical
     (parity pytest-pinned), including the edge cases: documents shorter
-    than *n* tokens yield one partial shingle; empty documents yield the
-    single empty shingle (via ``posexplode_outer``'s null row).
+    than *n* tokens yield one partial shingle; ZERO-TOKEN documents (NULL
+    text, empty text, punctuation-only) yield one NULL shingle via
+    ``posexplode_outer``'s null row — the oracle's semantics exactly
+    (DuckDB's ``array_to_string`` over an empty/NULL slice is NULL), so
+    such documents hash to NULL and are unpairable on BOTH engines,
+    instead of Spark giving them the empty-string hash and pairing every
+    empty doc with every other. ``n`` resolves ``SHINGLE_N`` at CALL time
+    (None sentinel), so a runtime retune moves the Spark side together
+    with the call-time-built oracles (the lsh_bands convention).
     """
     from pyspark.sql import Window
 
     from ting_data_etl_spark.functions.text import tokens
 
+    if n is None:
+        n = SHINGLE_N
     tok = docs.select(
         "doc_id",
         *extra_cols,
@@ -206,9 +221,13 @@ def word_shingles_df(
         "doc_id",
         *extra_cols,
         "pos",
-        F.concat_ws(
-            " ", "t", *[F.lead("t", i).over(wdoc) for i in range(1, n)]
-        ).alias("s"),
+        F.when(F.col("pos").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(
+                " ", "t", *[F.lead("t", i).over(wdoc) for i in range(1, n)]
+            )
+        )
+        .alias("s"),
         F.count("pos").over(cnt).alias("__n_tok"),
     )
     keep = F.col("pos").isNull() | (
@@ -257,9 +276,15 @@ def lsh_bands(sig_col, n_bands: int | None = None) -> F.Column:
             f"{MINHASH_HASHES}; {MINHASH_HASHES % n_bands} signature "
             "positions would be silently uncovered"
         )
+    # a zero-token document's signature is 16 NULLs; its band keys must be
+    # NULL (oracle: array_to_string over an all-NULL slice is NULL) so the
+    # equi-join can never pair empty/NULL docs with each other — concat_ws
+    # alone would give them all the SAME '' band and pair every empty doc
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda j: F.concat_ws(",", F.slice(sig_col, j * r + 1, r)),
+        lambda j: F.when(
+            F.element_at(sig_col, 1).isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat_ws(",", F.slice(sig_col, j * r + 1, r))),
     )
 
 
@@ -298,17 +323,19 @@ sh AS (
 ),
 hx AS (
   SELECT doc_id,
-         list_transform(shingles, s -> {_sql_shingle_hash("s")}) AS hashes
+         list_transform(shingles, s -> {sql_shingle_hash("s")}) AS hashes
   FROM sh
 ),
 sig AS (SELECT doc_id, {_sql_perm_mins()} AS sig FROM hx)
 """
 
 
-def _sql_minhash_pairs_cte() -> str:
+def _sql_banding_ctes(capped_name: str = "capped", corpus_filter: str = "") -> str:
+    """The bands + frequency-capped CTEs — ONE definition shared by the
+    self-join pairs chain and the incremental probe chain (previously two
+    byte-identical copies that a band-encoding change could desync)."""
     r = MINHASH_HASHES // MINHASH_BANDS
     return f"""
-{_minhash_sig_sql()},
 bands AS (
   SELECT doc_id, j,
          array_to_string(list_slice(sig,
@@ -316,11 +343,18 @@ bands AS (
            j * {r} + {r}), ',') AS band
   FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)
 ),
-capped AS (
+{capped_name} AS (
   SELECT doc_id, j, band FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY j, band) AS bucket_n FROM bands
+    SELECT *, COUNT(*) OVER (PARTITION BY j, band) AS bucket_n
+    FROM bands{corpus_filter}
   ) WHERE bucket_n <= {BAND_FREQUENCY_CAP}
-),
+)"""
+
+
+def _sql_minhash_pairs_cte() -> str:
+    return f"""
+{_minhash_sig_sql()},
+{_sql_banding_ctes()},
 mh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b
@@ -398,16 +432,24 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw MinHash signatures (joined to one string for oracle comparison)."""
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures_df(d)
+    # zero-token docs: sig is 16 NULLs -> sig_str NULL, matching DuckDB's
+    # array_to_string (which returns NULL here where concat_ws returns '')
     return sig.select(
         "doc_id",
-        F.concat_ws(
-            ",", F.transform("sig", lambda x: x.cast("string"))
-        ).alias("sig_str"),
+        F.when(F.element_at("sig", 1).isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
+        )
+        .alias("sig_str"),
     )
 
 
 # --- n-gram Jaccard (exact pairwise, blocked by source) --------------------
-_SQL_JACCARD = f"""
+def _sql_jaccard() -> str:
+    """Call-time builder (the module convention): a runtime retune of
+    SHINGLE_FREQUENCY_CAP / SHINGLE_N / the threshold rebuilds the oracle
+    with the Spark side instead of serving an import-time snapshot."""
+    return f"""
 WITH tok AS (
   SELECT doc_id, source,
          {SQL_TOKEN_LIST} AS toks
@@ -470,7 +512,7 @@ def shingle_frequency_cap(sh: DataFrame, cap: int | None = None) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard_pairs", oracle=_SQL_JACCARD)
+@register("dedup_ngram_jaccard_pairs", oracle=_sql_jaccard)
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.1, blocked by ``source``.
 
@@ -679,22 +721,12 @@ INCR_BATCH_MOD = 5
 INCR_BATCH_REM = 1
 
 def _sql_incr_minhash() -> str:
-    r = MINHASH_HASHES // MINHASH_BANDS
     return f"""
 {_minhash_sig_sql()},
-bands AS (
-  SELECT doc_id, j,
-         array_to_string(list_slice(sig,
-           j * {r} + 1,
-           j * {r} + {r}), ',') AS band
-  FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)
-),
-corpus_capped AS (
-  SELECT doc_id, j, band FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY j, band) AS bucket_n
-    FROM bands WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
-  ) WHERE bucket_n <= {BAND_FREQUENCY_CAP}
-),
+{_sql_banding_ctes(
+    "corpus_capped",
+    f" WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}",
+)},
 batch AS (
   SELECT doc_id, j, band FROM bands
   WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
@@ -983,6 +1015,11 @@ def connected_components(
     # lifetime. On success the final label checkpoint must STAY persisted:
     # it backs the returned (lineage-truncated) DataFrame.
     converged = False
+    # every id this loop has persisted and not yet freed — so a failure at
+    # ANY point (even between a checkpoint and the label_ids handoff)
+    # unpersists the mid-round generation too, not just the last handed-off
+    # one. On success it holds exactly the final label generation.
+    pending = set(label_ids)
     try:
         for _ in range(max_iters):
             neighbor_min = (
@@ -1004,10 +1041,12 @@ def connected_components(
                 )
             )
             updated, new_ids = _tracked_checkpoint(updated)
+            pending |= new_ids
             changed = updated.filter(F.col("component") < F.col("old")).count()
             labels = updated.drop("old")
             # free the superseded label generation — only blocks THIS loop made
             _unpersist_ids(spark, label_ids)
+            pending -= label_ids
             label_ids = new_ids
             if changed == 0:
                 break
@@ -1019,7 +1058,7 @@ def connected_components(
     finally:
         _unpersist_ids(spark, edge_ids)
         if not converged:
-            _unpersist_ids(spark, label_ids)
+            _unpersist_ids(spark, pending)
     return labels
 
 
@@ -1134,8 +1173,12 @@ def purge_stages(sf_dir: str) -> None:
     import shutil
 
     shutil.rmtree(os.path.dirname(_stage_dir(sf_dir, ["x"])), ignore_errors=True)
-    _STAGED_PAIRS.pop(sf_dir, None)
-    for k in [k for k in _STAGED_COMPONENTS if k[0] == sf_dir]:
+    # dict keys hold the RAW sf_dir strings callers passed; compare by
+    # abspath so './x' and '/abs/x/' purge the same entries the rmtree hit
+    ap = os.path.abspath(sf_dir)
+    for k in [k for k in _STAGED_PAIRS if os.path.abspath(k) == ap]:
+        del _STAGED_PAIRS[k]
+    for k in [k for k in _STAGED_COMPONENTS if os.path.abspath(k[0]) == ap]:
         del _STAGED_COMPONENTS[k]
 
 
@@ -1175,14 +1218,17 @@ def staged_components(
     """
     import os
 
-    ck = (sf_dir, key)
-    if ck not in _STAGED_COMPONENTS:
-        out = component_stage_path(sf_dir, key)
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            labels = connected_components_jump(nodes, pairs)
-            _publish_stage(labels, out)
-        _STAGED_COMPONENTS[ck] = out
-    return spark.read.parquet(_STAGED_COMPONENTS[ck])
+    # the fingerprinted path is RECOMPUTED on every call (it is cheap: a
+    # stat per source table): an in-process testdata regeneration rotates
+    # the fingerprint and lands on a fresh stage, instead of the dict
+    # serving the pre-regeneration labels forever. The dict records the
+    # last-known path for observers (ensemble's warm probe, tests).
+    out = component_stage_path(sf_dir, key)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        labels = connected_components_jump(nodes, pairs)
+        _publish_stage(labels, out)
+    _STAGED_COMPONENTS[(sf_dir, key)] = out
+    return spark.read.parquet(out)
 
 
 _STAGED_PAIRS: dict[str, str] = {}
@@ -1202,15 +1248,15 @@ def staged_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    if sf_dir not in _STAGED_PAIRS:
-        out = _stage_dir(
-            sf_dir,
-            ["minhash_pairs", _stage_version_token(), _source_fp(sf_dir, "documents")],
-        )
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            _publish_stage(dedup_minhash_pairs(spark, sf_dir), out)
-        _STAGED_PAIRS[sf_dir] = out
-    return spark.read.parquet(_STAGED_PAIRS[sf_dir])
+    # path recomputed per call — see staged_components
+    out = _stage_dir(
+        sf_dir,
+        ["minhash_pairs", _stage_version_token(), _source_fp(sf_dir, "documents")],
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _publish_stage(dedup_minhash_pairs(spark, sf_dir), out)
+    _STAGED_PAIRS[sf_dir] = out
+    return spark.read.parquet(out)
 
 
 def staged_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1277,6 +1323,10 @@ def connected_components_jump(
     # concurrently running corpus-scale query for the loop's lifetime.)
     prev_total = None
     converged = False
+    # all persisted-but-not-yet-freed ids — see connected_components: a
+    # failure between a mid-round checkpoint (hop, first jump) and the
+    # label_ids handoff must still free those generations
+    pending = set(label_ids)
     try:
         for _ in range(max_iters):
             nbr = (
@@ -1296,6 +1346,7 @@ def connected_components_jump(
             )
             # jump self-references the hop checkpoint
             hopped, round_ids = _tracked_checkpoint(hopped)
+            pending |= round_ids
             jumped = hopped
             for _jump in range(2):  # two jumps: path length ~quarters/round
                 ptr = jumped.select(
@@ -1315,6 +1366,7 @@ def connected_components_jump(
                     )
                 )
                 jumped, jump_ids = _tracked_checkpoint(jumped)
+                pending |= jump_ids
                 round_ids |= jump_ids
             # labels only ever decrease, so an unchanged total sum on the
             # materialized checkpoint IS the fixpoint — one tiny agg, no join
@@ -1322,7 +1374,9 @@ def connected_components_jump(
             labels = jumped
             # free superseded generations (old labels, hop, first jump) —
             # only ids this loop created; keep this round's final checkpoint
-            _unpersist_ids(spark, label_ids | (round_ids - jump_ids))
+            freed = label_ids | (round_ids - jump_ids)
+            _unpersist_ids(spark, freed)
+            pending -= freed
             label_ids = jump_ids
             if prev_total is not None and total == prev_total:
                 break
@@ -1333,11 +1387,11 @@ def connected_components_jump(
             )
         converged = True
     finally:
-        # see connected_components: edges always; labels only on failure
-        # (the final generation backs the returned DataFrame)
+        # see connected_components: edges always; every pending generation
+        # on failure (the final one backs the returned DataFrame on success)
         _unpersist_ids(spark, edge_ids)
         if not converged:
-            _unpersist_ids(spark, label_ids)
+            _unpersist_ids(spark, pending)
     return labels
 
 
