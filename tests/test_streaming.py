@@ -284,8 +284,15 @@ class TestForeachBatchUpsert:
         new_runs = after - before
         assert len(new_runs) == 1
         run_dir = os.path.join(fb_base, new_runs.pop())
-        gens = [d for d in os.listdir(run_dir) if d.startswith("gen_")]
-        assert len(gens) == N_STAGE_FILES  # one merge per staged micro-batch
+        gens = sorted(d for d in os.listdir(run_dir) if d.startswith("gen_"))
+        # the final generation proves one merge ran per staged micro-batch;
+        # earlier generations are PRUNED as they are superseded (only
+        # gen_{i-1} is ever read again, so exactly the last two survive —
+        # the bounded-footprint contract, not a leak-every-generation one)
+        assert gens == [
+            f"gen_{N_STAGE_FILES - 2}",
+            f"gen_{N_STAGE_FILES - 1}",
+        ]
 
 
 class TestParquetSinkRestart:

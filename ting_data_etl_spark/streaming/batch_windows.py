@@ -95,7 +95,13 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- sessionization (gap-based) -------------------------------------------
-_SQL_SESSIONS = f"""
+def sql_session_ctes() -> str:
+    """The lag/gap/cumsum sessionization chain ending in ``sessions`` —
+    ONE definition shared by the batch oracle here and BOTH streaming
+    sessionize oracles (native session_window and the custom stateful
+    operator), so a gap-semantics or tiebreak change moves all three
+    together instead of silently splitting the families."""
+    return f"""
 WITH seq AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -109,11 +115,18 @@ marked AS (
 ),
 sessions AS (
   SELECT *, CAST(SUM(is_new) OVER (
+           -- event_id tiebreak: with ROWS framing a non-unique ORDER BY
+           -- would make same-microsecond rows' session assignment depend
+           -- on sort luck (latent until a skewed corpus plants ts ties)
            PARTITION BY user_id ORDER BY us, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS BIGINT) AS session_no
   FROM marked
-)
+)"""
+
+
+_SQL_SESSIONS = f"""
+{sql_session_ctes()}
 SELECT user_id, session_no,
        COUNT(*) AS n_events,
        MIN(us) AS session_start_us,

@@ -240,11 +240,10 @@ def streaming_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # --- foreachBatch incremental merge (the production sink API) --------------
-_SQL_FB_UPSERT = """
+_SQL_FB_UPSERT = f"""
 SELECT user_id,
        COUNT(*) AS n_purchases,
-       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
-         AS total_value
+       {sql_sum_exact("value", 6)} AS total_value
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id
 """
@@ -270,18 +269,31 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     staged = stage_events_time_split(spark, sf_dir)
-    schema = (
-        "event_id long, ts timestamp, user_id long, value double, "
-        "event_type string"
-    )
+    # schema DERIVED from the staged files, not a hand-maintained string
+    # that must track stage_events_time_split's column list by eye
+    schema = spark.read.parquet(staged).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )
-    base = os.path.join(
-        tempfile.gettempdir(), "ting_fb_upsert", uuid.uuid4().hex
-    )
+    root = os.path.join(tempfile.gettempdir(), "ting_fb_upsert")
+    # best-effort prune of past invocations' generation dirs: every run
+    # minted a fresh uuid dir with 4 aggregate generations and nothing
+    # ever deleted them — a long-lived box accumulates them forever
+    import shutil as _shutil
+    import time as _time
+
+    if os.path.isdir(root):
+        cutoff = _time.time() - 3600
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    base = os.path.join(root, uuid.uuid4().hex)
     os.makedirs(base, exist_ok=True)
     last_gen: dict[str, int] = {"id": -1}
 
@@ -328,6 +340,13 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         out = os.path.join(base, f"gen_{batch_id}")
         merged.coalesce(4).write.mode("overwrite").parquet(out)
         last_gen["id"] = max(last_gen["id"], batch_id)
+        # only gen_{batch_id-1} is ever read again; a retry of THIS batch
+        # re-reads it, so the safe-to-drop generation is batch_id-2
+        stale = os.path.join(base, f"gen_{batch_id - 2}")
+        if batch_id >= 2:
+            import shutil as _sh
+
+            _sh.rmtree(stale, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(merge)

@@ -36,8 +36,6 @@ across batch boundaries, shuffle orders, and engines.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -74,44 +72,37 @@ def stage_events_time_split(spark: SparkSession, sf_dir: str) -> str:
     time) replays them in event-time order — the shape of a real
     file-arrival stream, one shuffle to stage.
     """
+    from ting_data_etl_spark.streaming.windows import (
+        _staged_events_path,
+        publish_staged_dir,
+    )
+
     if sf_dir not in _STAGED_SPLIT:
-        # path keyed by the SOURCE file's (mtime, size) fingerprint, like
-        # stage_events_stream: a testdata regeneration lands at a fresh
-        # path instead of being masked by a stale committed stage (the
-        # round-4 failure class)
-        src = os.path.join(sf_dir, "events.parquet")
-        fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "ting_stream_stage_split",
-            f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
-        )
-        # durable: a committed stage keeps its part filenames AND its
-        # ascending mtimes, so re-use is free and checkpointed consumers
-        # never see re-minted input files. Publish is ATOMIC (tmp dir +
-        # rename): a second process either sees the finished stage or
-        # loses the rename race and reuses the winner's — never a stage
-        # whose mtimes are still being set.
+        # fingerprinted path + atomic publish via the SHARED helpers (one
+        # staging ritual for both streaming stages — the copies had
+        # already drifted once). A committed stage keeps its part
+        # filenames AND its ascending mtimes, so re-use is free and
+        # checkpointed consumers never see re-minted input files; the
+        # mtimes are set INSIDE the tmp dir, before publication.
+        out = _staged_events_path(sf_dir, "ting_stream_stage_split")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            tmp = f"{out}.tmp.{os.getpid()}"
-            ev = load_table(spark, sf_dir, "events").select(
-                "event_id", "ts", "user_id", "value", "event_type"
-            )
-            ev.repartitionByRange(N_STAGE_FILES, "ts", "event_id").write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            parts = sorted(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            base = int(os.path.getmtime(os.path.join(tmp, parts[-1])))
-            for i, name in enumerate(parts):
-                p = os.path.join(tmp, name)
-                os.utime(p, (base + i, base + i))
-            os.makedirs(os.path.dirname(out), exist_ok=True)
-            try:
-                os.rename(tmp, out)
-            except OSError:  # lost the publish race: reuse the winner's
-                shutil.rmtree(tmp, ignore_errors=True)
+
+            def _write(tmp: str) -> None:
+                ev = load_table(spark, sf_dir, "events").select(
+                    "event_id", "ts", "user_id", "value", "event_type"
+                )
+                ev.repartitionByRange(
+                    N_STAGE_FILES, "ts", "event_id"
+                ).write.mode("overwrite").parquet(tmp)
+                parts = sorted(
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                )
+                base = int(os.path.getmtime(os.path.join(tmp, parts[-1])))
+                for i, name in enumerate(parts):
+                    p = os.path.join(tmp, name)
+                    os.utime(p, (base + i, base + i))
+
+            publish_staged_dir(out, _write)
         _STAGED_SPLIT[sf_dir] = out
     return _STAGED_SPLIT[sf_dir]
 
@@ -132,10 +123,15 @@ def _sessionize_group(
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["us", "event_id"])
     us = rows["us"].to_numpy(dtype=np.int64)
-    # half-up at scale 6 (positive domain), the sum_exact/ROUND contract
-    vs = np.floor(rows["value"].to_numpy(dtype=np.float64) * _VAL_SCALE + 0.5).astype(
-        np.int64
-    )
+    # half-up at scale 6 (positive domain), the sum_exact/ROUND contract.
+    # NULL values contribute 0 to the sum but still count as events —
+    # SUM's null-skip, COUNT(*)'s count-all, exactly like the batch twin
+    # and the oracle (np.floor(NaN).astype(int64) would otherwise
+    # silently inject INT64_MIN)
+    raw_v = rows["value"].to_numpy(dtype=np.float64)
+    vs = np.where(
+        np.isnan(raw_v), 0, np.floor(raw_v * _VAL_SCALE + 0.5)
+    ).astype(np.int64)
     cur: list[int] | None = list(state.get) if state.exists else None
     out: list[list[int]] = []
     for t, v in zip(us, vs):
@@ -164,8 +160,15 @@ def _sessionize_group(
 
 def stateful_session_stream(events: DataFrame) -> DataFrame:
     """The streaming plan: watermark → groupBy user → custom pandas state."""
-    prepared = events.withWatermark("ts", "10 minutes").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    # NULL ts is unplaceable on a session timeline (and np.int64 cannot
+    # represent it — it would silently become INT64_MIN garbage); drop
+    # such rows before the stateful operator
+    prepared = (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+        )
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,

@@ -57,6 +57,45 @@ _RECENT_SINKS: list[str] = []
 _SINK_KEEP = 4
 
 
+def _staged_events_path(sf_dir: str, kind: str) -> str:
+    """ONE fingerprint + path scheme for the durable streaming stages."""
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+    return os.path.join(
+        tempfile.gettempdir(),
+        kind,
+        f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
+    )
+
+
+def publish_staged_dir(out: str, write_to_tmp) -> None:
+    """ONE atomic-publish ritual for the streaming stages.
+
+    ``write_to_tmp(tmp_path)`` materializes the stage into a tmp dir
+    (including any post-write mutation like the time-split's ascending
+    mtimes); the rename then makes publication all-or-nothing. An OSError
+    from the rename is only benign when it means "lost the race" — i.e. a
+    winner's committed stage exists; any other cause (EACCES on a foreign
+    /tmp dir, EIO) re-raises instead of silently leaving the caller
+    pointing at a path that was never published (fail-loud policy).
+    """
+    tmp = f"{out}.tmp.{os.getpid()}"
+    write_to_tmp(tmp)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            raise
+
+
+#: schema of the committed stage, cached beside the path — re-deriving it
+#: through load_table costs a footer read + the nanos-normalization probe
+#: on EVERY streaming query invocation
+_STAGED_SCHEMA: dict[str, "object"] = {}
+
+
 def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage ``events`` as a parquet dir and open it as a file-source stream.
 
@@ -64,34 +103,23 @@ def stage_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch schema, so the streaming plans below are the batch plans run
     incrementally.
     """
-    batch = load_table(spark, sf_dir, "events")
     if sf_dir not in _STAGED:
         # stage path keyed by the SOURCE file's (mtime, size) fingerprint: a
         # testdata regeneration lands at a fresh path instead of being
         # masked by a stale committed stage (the round-4 failure class)
-        src = os.path.join(sf_dir, "events.parquet")
-        fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "ting_stream_stage",
-            f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
-        )
+        out = _staged_events_path(sf_dir, "ting_stream_stage")
         # durable staging: only write if a committed stage isn't already on
         # disk. Re-staging per process would mint new part filenames, which
         # a checkpointed file-source consumer (the parquet-sink round-trip)
         # would treat as NEW input and reprocess — duplicating its output.
-        # Publish is ATOMIC (tmp + rename) so a concurrent process either
-        # sees the finished stage or loses the race and reuses the winner's.
+        batch = load_table(spark, sf_dir, "events")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            tmp = f"{out}.tmp.{os.getpid()}"
-            batch.write.mode("overwrite").parquet(tmp)
-            os.makedirs(os.path.dirname(out), exist_ok=True)
-            try:
-                os.rename(tmp, out)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
+            publish_staged_dir(
+                out, lambda tmp: batch.write.mode("overwrite").parquet(tmp)
+            )
         _STAGED[sf_dir] = out
-    return spark.readStream.schema(batch.schema).parquet(_STAGED[sf_dir])
+        _STAGED_SCHEMA[sf_dir] = batch.schema
+    return spark.readStream.schema(_STAGED_SCHEMA[sf_dir]).parquet(_STAGED[sf_dir])
 
 
 def staged_events_generation(sf_dir: str) -> str:
@@ -222,28 +250,11 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator cannot know "this is the user's 3rd session ever" without
 # unbounded state; the session identity here is its start time, which the
 # batch oracle reproduces exactly).
-_SQL_SESSION_WINDOWS = f"""
-WITH seq AS (
-  SELECT user_id, event_id, value, epoch_us(ts) AS us,
-         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_us
-  FROM events
-),
-marked AS (
-  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
-                 THEN 1 ELSE 0 END AS is_new
-  FROM seq
-),
-sessions AS (
-  SELECT *, SUM(is_new) OVER (
-           -- event_id tiebreak: with ROWS framing a non-unique ORDER BY
-           -- would make same-microsecond rows' session assignment depend
-           -- on sort luck (latent until a skewed corpus plants ts ties)
-           PARTITION BY user_id ORDER BY us, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_no
-  FROM marked
-)
+def _sql_session_windows() -> str:
+    from ting_data_etl_spark.streaming.batch_windows import sql_session_ctes
+
+    return f"""
+{sql_session_ctes()}
 SELECT user_id,
        MIN(us) AS session_start_us,
        MAX(us) AS session_end_us,
@@ -252,6 +263,9 @@ SELECT user_id,
 FROM sessions
 GROUP BY user_id, session_no
 """
+
+
+_SQL_SESSION_WINDOWS = _sql_session_windows
 
 
 def session_stream(events: DataFrame) -> DataFrame:
