@@ -56,8 +56,13 @@ GOPHER_MAX_SYMBOL_RATIO = 0.1
 GOPHER_MIN_ALPHA_FRAC = 0.6
 
 # CTE chain ending in `gop` — composable (standalone below and in the e2e
-# status oracle). Requires `ctok` in scope.
-_SQL_GOPHER_CTES = f"""
+# status oracle). Requires `ctok` in scope. A zero-arg BUILDER, not an
+# import-time f-string: the Spark side reads the GOPHER_* globals at call
+# time, so the oracle must too — a runtime retune (monkeypatch, harness
+# config) would otherwise leave the oracle checking the old thresholds
+# (the def-time-default trap this repo fixed for lsh_bands/KMEANS_LISTS).
+def _sql_gopher_ctes() -> str:
+    return f"""
 m AS (
   SELECT doc_id,
          len(toks) AS n_words,
@@ -86,16 +91,18 @@ gop AS (
   FROM m
 )"""
 
-_SQL_GOPHER = f"""
+
+def _sql_gopher() -> str:
+    return f"""
 WITH {_SQL_TOKS},
-{_SQL_GOPHER_CTES}
+{_sql_gopher_ctes()}
 SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
        passes_gopher
 FROM gop
 """
 
 
-@register("text_gopher_quality_rules", oracle=_SQL_GOPHER)
+@register("text_gopher_quality_rules", oracle=_sql_gopher)
 def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule metrics + combined gate, one codegen scan.
 
@@ -237,11 +244,13 @@ CONTAM_FLAG_FRAC = 0.1
 
 from ting_data_etl_spark.plans.oracles import sql_shingle_hash as _sql_sh31
 
-_sql_h31 = _sql_sh31("g")
-
 # CTE chain ending in `contam` — composable (used standalone below and by
-# the e2e status oracle). Requires `ctok` in scope.
-_SQL_CONTAM_CTES = f"""
+# the e2e status oracle). Requires `ctok` in scope. Call-time builder for
+# the same reason as _sql_gopher_ctes: the Spark side reads BENCHMARK_MOD /
+# CONTAM_FLAG_FRAC / CONTAM_NGRAM at call time, so the oracle must too.
+def _sql_contam_ctes() -> str:
+    _sql_h31 = _sql_sh31("g")
+    return f"""
 grams AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(toks) - {CONTAM_NGRAM - 1}, 1) + 1),
@@ -265,14 +274,16 @@ contam AS (
   GROUP BY c.doc_id
 )"""
 
-_SQL_CONTAMINATION = f"""
+
+def _sql_contamination() -> str:
+    return f"""
 WITH {_SQL_TOKS},
-{_SQL_CONTAM_CTES}
+{_sql_contam_ctes()}
 SELECT doc_id, n_grams, n_contaminated, contamination_frac, flagged FROM contam
 """
 
 
-@register("dedup_contamination_check", oracle=_SQL_CONTAMINATION)
+@register("dedup_contamination_check", oracle=_sql_contamination)
 def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-8-gram benchmark-contamination sweep, broadcast-join shaped.
 
@@ -318,34 +329,22 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- canonical-keeper dedup output -----------------------------------------
-# Transitive-closure CTE chain over the MinHash candidate pairs: shared by
-# the keep-canonical and e2e-status oracles so a labeling fix cannot be
-# applied to one and silently missed in the other.
-_SQL_CLOSURE_CTES = """und AS (
-  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM mh_pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
-labeled AS (
-  SELECT d.doc_id,
-         LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
-  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-)"""
+# The transitive-closure CTE chain lives in dedup._sql_closure_ctes — ONE
+# copy shared by the dedup-cc, keep-canonical, e2e-status, and ensemble
+# oracles, so a labeling fix cannot be applied to one and silently missed
+# in the others.
 
 
 def _sql_keep_canonical() -> str:
     """Recursive-CTE twin: MinHash-LSH pairs → closure → keeper + size."""
-    from ting_data_etl_spark.operators.dedup import _sql_minhash_pairs_cte
+    from ting_data_etl_spark.operators.dedup import (
+        _sql_closure_ctes,
+        _sql_minhash_pairs_cte,
+    )
 
     return f"""
-{_sql_minhash_pairs_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)},
-{_SQL_CLOSURE_CTES}
+{_sql_minhash_pairs_cte(recursive=True)},
+{_sql_closure_ctes()}
 SELECT component AS keeper_doc_id,
        CAST(COUNT(*) AS BIGINT) AS cluster_size,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
@@ -378,14 +377,17 @@ def _sql_e2e_status() -> str:
     """Composite oracle: gopher gate + contamination + dedup closure, one
     statement. The MinHash CTE chain defines its own ``tok``; this module's
     fragments use ``ctok``, so the chains compose without collision."""
-    from ting_data_etl_spark.operators.dedup import _sql_minhash_pairs_cte
+    from ting_data_etl_spark.operators.dedup import (
+        _sql_closure_ctes,
+        _sql_minhash_pairs_cte,
+    )
 
     return f"""
-{_sql_minhash_pairs_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)},
-{_SQL_CLOSURE_CTES},
+{_sql_minhash_pairs_cte(recursive=True)},
+{_sql_closure_ctes()},
 {_SQL_TOKS},
-{_SQL_GOPHER_CTES},
-{_SQL_CONTAM_CTES}
+{_sql_gopher_ctes()},
+{_sql_contam_ctes()}
 SELECT d.doc_id,
        CASE WHEN d.doc_id % {BENCHMARK_MOD} = 0 THEN 'benchmark'
             WHEN g.passes_gopher = 0 THEN 'low_quality'

@@ -351,14 +351,52 @@ bands AS (
 )"""
 
 
-def _sql_minhash_pairs_cte() -> str:
-    return f"""
+def _sql_minhash_pairs_cte(recursive: bool = False) -> str:
+    """MinHash candidate-pair CTE chain (ends in ``mh_pairs``).
+
+    ``recursive=True`` emits ``WITH RECURSIVE`` so a downstream closure CTE
+    (:func:`_sql_closure_ctes`) can compose — the flag replaces the fragile
+    ``.replace("WITH tok", "WITH RECURSIVE tok", 1)`` surgery that used to
+    be copy-pasted at every recursive call site (dedup cc, keep-canonical,
+    e2e status, ensemble cc).
+    """
+    cte = f"""
 {_minhash_sig_sql()},
 {_sql_banding_ctes()},
 mh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b
     ON a.band = b.band AND a.j = b.j AND a.doc_id < b.doc_id
+)"""
+    if recursive:
+        cte = cte.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    return cte
+
+
+def _sql_closure_ctes(pairs_rel: str = "mh_pairs") -> str:
+    """Transitive-closure CTE chain over an (doc_a, doc_b) pair relation.
+
+    Ends in ``labeled(doc_id, component)`` — every doc joined to the
+    min-reachable label, singletons labeled by themselves. ONE copy shared
+    by the dedup cc, keep-canonical, e2e-status, and ensemble oracles (the
+    enclosing WITH must be RECURSIVE; see ``_sql_minhash_pairs_cte``), so a
+    labeling fix cannot land in one twin and silently miss the others.
+    """
+    return f"""und AS (
+  SELECT doc_a AS a, doc_b AS b FROM {pairs_rel}
+  UNION ALL
+  SELECT doc_b, doc_a FROM {pairs_rel}
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+labeled AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 )"""
 
 
@@ -898,23 +936,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 25
 
 def _sql_cc() -> str:
-    cte = _sql_minhash_pairs_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)
     return f"""
-{cte},
-und AS (
-  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM mh_pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
-SELECT d.doc_id,
-       LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+{_sql_minhash_pairs_cte(recursive=True)},
+{_sql_closure_ctes()}
+SELECT doc_id, component FROM labeled
 """
 
 

@@ -39,31 +39,22 @@ from ting_data_etl_spark.sources.tables import load_table
 
 def _sql_ensemble_cc() -> str:
     """Recursive-CTE oracle: identical pair union + transitive closure."""
-    from ting_data_etl_spark.operators.dedup import _sql_minhash_pairs_cte
+    from ting_data_etl_spark.operators.dedup import (
+        _sql_closure_ctes,
+        _sql_minhash_pairs_cte,
+    )
     from ting_data_etl_spark.operators.similarity import sql_srp_pair_ctes
 
     return f"""
-{_sql_minhash_pairs_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)},
+{_sql_minhash_pairs_cte(recursive=True)},
 {sql_srp_pair_ctes()},
 all_pairs AS (
   SELECT doc_a, doc_b FROM mh_pairs
   UNION
   SELECT vec_a AS doc_a, vec_b AS doc_b FROM cos_pairs
 ),
-und AS (
-  SELECT doc_a AS a, doc_b AS b FROM all_pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM all_pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
-SELECT d.doc_id,
-       LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+{_sql_closure_ctes("all_pairs")}
+SELECT doc_id, component FROM labeled
 """
 
 
@@ -81,7 +72,6 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ting_data_etl_spark.operators.dedup import (
-        _STAGED_COMPONENTS,
         component_stage_path,
         staged_components,
         staged_minhash_pairs,
@@ -92,13 +82,15 @@ def dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm_on_disk = os.path.exists(
         os.path.join(component_stage_path(sf_dir, "ensemble"), "_SUCCESS")
     )
-    if (sf_dir, "ensemble") in _STAGED_COMPONENTS or warm_on_disk:
+    if warm_on_disk:
         # materialized-view fast path: the union + Arrow candidate stages
-        # only need to exist for the build. The DISK check matters as much
-        # as the dict: a fresh process with a warm stage would otherwise
-        # regenerate the full candidate union and then have
-        # staged_components ignore it (work minutes long at scale,
-        # discarded)
+        # only need to exist for the build, so a warm on-disk stage skips
+        # regenerating the full candidate union (work minutes long at
+        # scale, discarded). The probe is the CURRENT fingerprinted path —
+        # the in-process dict is deliberately NOT consulted: a stale entry
+        # (source regenerated, or /tmp reaped under a long-lived process)
+        # would route (None, None) into a rebuild and crash instead of
+        # rebuilding from fresh candidates.
         return staged_components(spark, sf_dir, "ensemble", None, None)
     lexical = staged_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     semantic = srp_candidate_pairs(spark, sf_dir, use_arrow=True).select(

@@ -147,40 +147,41 @@ def staged_daily_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's (mtime, size), so a testdata regeneration rebuilds.
     """
     import os
-    import tempfile
 
-    if sf_dir not in _DAILY_ROLLUP:
-        src = os.path.join(sf_dir, "lineitem.parquet")
-        fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
-        tag = sf_dir.strip("/").replace("/", "_")
-        # _ROLLUP_VERSION folds the rollup's CODE identity into the path:
-        # the (mtime, size) fingerprint only sees DATA changes, so without
-        # it an edit to the grain/rounding/schema would keep serving the
-        # old-code artifact (same guard as dedup._stage_version_token).
-        # Bump when the rollup semantics change.
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"ting_rollup_daily_{_ROLLUP_VERSION}_{tag}_{fp}.parquet",
+    from ting_data_etl_spark.operators.dedup import (
+        _publish_stage,
+        _source_fp,
+        _stage_dir,
+    )
+
+    # fingerprinted path RECOMPUTED per call (dedup.staged_components'
+    # rule: an in-process regeneration must land on a fresh stage, not the
+    # memo dict's pre-regeneration artifact) via the SHARED _stage_dir
+    # scheme (collision-free tag; also inside purge_stages' sweep) and
+    # published atomically (_publish_stage — the check-then-overwrite race
+    # corrupted write-once artifacts under concurrent cold-starts).
+    # _ROLLUP_VERSION folds the rollup's CODE identity into the path: the
+    # (mtime, size) fingerprint only sees DATA changes. Bump it when the
+    # rollup semantics change.
+    path = _stage_dir(
+        sf_dir,
+        [f"rollup_daily_{_ROLLUP_VERSION}", _source_fp(sf_dir, "lineitem")],
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        _publish_stage(
+            li.groupBy(
+                F.to_date("l_shipdate").alias("day"),
+                F.col("l_returnflag").alias("flag"),
+            ).agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.round(rev * 100).cast("long")).alias("rev_units"),
+            ),
+            path,
         )
-        # gate reuse on _SUCCESS, not the directory: a crashed partial
-        # write must rebuild, never get served (matches the other stages)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            li = load_table(spark, sf_dir, "lineitem")
-            rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            (
-                li.groupBy(
-                    F.to_date("l_shipdate").alias("day"),
-                    F.col("l_returnflag").alias("flag"),
-                )
-                .agg(
-                    F.count("*").alias("n_items"),
-                    F.sum(F.round(rev * 100).cast("long")).alias("rev_units"),
-                )
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-        _DAILY_ROLLUP[sf_dir] = path
-    return spark.read.parquet(_DAILY_ROLLUP[sf_dir])
+    _DAILY_ROLLUP[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 _SQL_ROLLUP_REUSE = f"""

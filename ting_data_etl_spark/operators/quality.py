@@ -170,11 +170,16 @@ binned AS (
   -- hi = lo (constant column) guard: width 0 would make DuckDB compute
   -- 0.0/0.0 = NaN and ERROR on the integer cast, while Spark NULL-skips
   -- into the last bin — put the degenerate case in bin 0 on both sides
+  -- value IS NOT NULL: both engines' LEAST() skips NULL args, so a NULL
+  -- value would otherwise silently land in the last bin (inflated top
+  -- bin = wrong drift signal) instead of being excluded from the
+  -- histogram
   SELECT CASE WHEN hi = lo THEN 0
               ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_BINS}))
                               AS INTEGER),
                          {HIST_BINS - 1}) END AS bin
   FROM events, b
+  WHERE value IS NOT NULL
 )
 SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin
 """
@@ -191,7 +196,10 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hi = lo) degenerates to bin 0 on both sides — without the guard DuckDB
     raises on CAST(NaN AS INTEGER) where Spark NULL-skips.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are EXCLUDED, not binned: least() skips NULL args in both
+    # engines, so without the filter every NULL row would silently count in
+    # the last bin and inflate the tail of the drift signal
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     bounds = F.broadcast(ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
     width = (F.col("hi") - F.col("lo")) / HIST_BINS
     binned = ev.crossJoin(bounds).select(

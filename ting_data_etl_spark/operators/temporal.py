@@ -163,7 +163,10 @@ WITH x AS (
          CASE WHEN json_valid(props)
                 AND json_type(json_extract(props, '$.k'))
                     IN ('BIGINT', 'UBIGINT')
-              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+              -- TRY_CAST, not CAST: json_type 'UBIGINT' admits values in
+              -- (2^63, 2^64) that CAST aborts on (ConversionException)
+              -- where Spark's PERMISSIVE from_json yields NULL
+              THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,
@@ -325,12 +328,12 @@ GROUP BY 1, 2
 
 @register("events_hour_cohort_retention", defer=True, oracle=_SQL_COHORT)
 def events_hour_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Hourly cohort retention: users active N hours after their first hour.
+    """Hourly cohort retention: users active N hours after their first hour.
 
     The cohort matrix behind every retention chart: cohort = each user's
     first active hour (integer floor-division of epoch micros, exact in both
     engines), cells = distinct users from that cohort active at offset
-    0..{COHORT_MAX_OFFSET_HR}. The (user, hour) relation is pre-distincted,
+    0..COHORT_MAX_OFFSET_HR. The (user, hour) relation is pre-distincted,
     so the final COUNT(*) is a distinct-user count without an expensive
     count-distinct; plan is two hash aggregations and one equi-join on
     ``user_id``.
