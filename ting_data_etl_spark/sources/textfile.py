@@ -14,7 +14,6 @@ layout) or uses a splittable codec; the shard count here plays that role.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,8 +22,6 @@ from ting_data_etl_spark.registry import register
 from ting_data_etl_spark.sources.jsonl import _content_hash
 from ting_data_etl_spark.sources.tables import load_table
 from ting_data_etl_spark.plans.oracles import sql_content_hash as _sql_ch
-
-_STAGED_TXT: dict[str, str] = {}
 
 TXT_SHARDS = 8
 
@@ -116,17 +113,29 @@ def read_text_shards(spark: SparkSession, path: str) -> DataFrame:
 
 
 def stage_documents_text(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _STAGED_TXT:
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "ting_txt_stage",
-            sf_dir.strip("/").replace("/", "_"),
+    """Stage ``documents`` as gzip text shards, write-once per corpus.
+
+    Uses the repo's ONE staging ritual — :func:`dedup._stage_dir`'s
+    collision-free fingerprinted path (recomputed per call, so a testdata
+    regeneration lands on a fresh stage; also inside ``purge_stages``'s
+    sweep) plus :func:`streaming.windows.publish_staged_dir`'s
+    tmp-dir-then-rename publish — instead of a private lossy-munged /tmp
+    path with a racy ``mode('overwrite')`` write (two drivers sharing /tmp
+    could interleave part files or delete each other's dir mid-read).
+    """
+    from ting_data_etl_spark.operators.dedup import _source_fp, _stage_dir
+    from ting_data_etl_spark.streaming.windows import publish_staged_dir
+
+    out = _stage_dir(sf_dir, ["txt_shards", _source_fp(sf_dir, "documents")])
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        publish_staged_dir(
+            out,
+            lambda tmp: write_text_shards(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+                tmp,
+            ),
         )
-        write_text_shards(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text"), out
-        )
-        _STAGED_TXT[sf_dir] = out
-    return _STAGED_TXT[sf_dir]
+    return out
 
 
 _SQL_TXT_PROFILE = f"""
