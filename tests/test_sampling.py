@@ -267,3 +267,56 @@ class TestTemperatureMixture:
         # accept pcts: big floor(200/sqrt(20000)) = 1%, small floor(200/sqrt(200)) = 14%
         ratio = got["big"] / got["small"]
         assert 3 < ratio < 25  # ~7x expected; raw size ratio is 100x
+
+
+class TestBandNullKeys:
+    """NULL keys must band to a placed sentinel, never a NULL band that the
+    offsets equi-join silently drops (or that crashes _band_offsets)."""
+
+    def test_desc_null_keys_band_last_and_survive(self, spark):
+        from ting_data_etl_spark.operators.sampling import (
+            _band_offsets,
+            _quantile_bands,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i) for i in range(20)]
+            + [(100, None), (101, None)],
+            "doc_id long, n_toks long",
+        )
+        band = _quantile_bands(df, "n_toks", 4, desc=True)
+        banded = df.withColumn("__band", band.cast("int"))
+        nulls = banded.filter(F.col("n_toks").isNull())
+        null_bands = {r["__band"] for r in nulls.collect()}
+        max_real = max(
+            r["__band"]
+            for r in banded.filter(F.col("n_toks").isNotNull()).collect()
+        )
+        # DESC window order puts nulls last -> sentinel band after all real
+        assert len(null_bands) == 1
+        assert next(iter(null_bands)) > max_real
+        # _band_offsets must not crash on the all-NULL band_total ...
+        offsets = _band_offsets(banded, "n_toks")
+        # ... and the equi-join must retain the NULL-key rows
+        assert banded.join(offsets, "__band").count() == 22
+
+    def test_asc_null_keys_band_first(self, spark):
+        from ting_data_etl_spark.operators.sampling import (
+            _band_offsets,
+            _quantile_bands,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i) for i in range(20)] + [(100, None)],
+            "doc_id long, v long",
+        )
+        band = _quantile_bands(df, "v", 4, desc=False)
+        banded = df.withColumn("__band", band.cast("int"))
+        null_bands = {
+            r["__band"]
+            for r in banded.filter(F.col("v").isNull()).collect()
+        }
+        # ASC window order puts nulls first -> sentinel band before 0
+        assert null_bands == {-1}
+        offsets = _band_offsets(banded, "v")
+        assert banded.join(offsets, "__band").count() == 21

@@ -112,3 +112,43 @@ class TestAtomicPublish:
         assert sorted(
             d for d in os.listdir(out) if d.startswith("p=")
         ) == ["p=0", "p=1"]
+
+    def test_stale_partial_self_heals(self, spark, tmp_path):
+        """A partial dir without _SUCCESS occupying `out` (a crashed
+        pre-rename-era writer) must be swept and replaced, not wedge every
+        subsequent publish with ENOTEMPTY forever."""
+        import os
+
+        from ting_data_etl_spark.operators.dedup import _publish_stage
+
+        out = str(tmp_path / "wedged_stage")
+        os.makedirs(out)
+        with open(os.path.join(out, "part-00000.parquet"), "w") as f:
+            f.write("torn")  # no _SUCCESS: a crashed mid-write leftover
+
+        df = spark.range(7).withColumnRenamed("id", "v")
+        _publish_stage(df, out)
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        assert spark.read.parquet(out).count() == 7
+
+
+class TestPurgeStages:
+    def test_purge_evicts_warm_centroids(self, tmp_path):
+        """purge_stages claims disk AND process dicts; the in-memory IVF
+        model cache is a process dict — a post-purge cold-build must not
+        silently serve the warm model."""
+        from ting_data_etl_spark.operators import similarity as S
+
+        sf = str(tmp_path / "corpus")
+        os.makedirs(sf)
+        key = (sf, "fp", 1, 2, 3)
+        other = (str(tmp_path / "other"), "fp", 1, 2, 3)
+        S._CENTROIDS[key] = [[1]]
+        S._CENTROIDS[other] = [[2]]
+        try:
+            dd.purge_stages(sf)
+            assert key not in S._CENTROIDS
+            assert other in S._CENTROIDS  # other datasets untouched
+        finally:
+            S._CENTROIDS.pop(key, None)
+            S._CENTROIDS.pop(other, None)

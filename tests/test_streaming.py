@@ -475,3 +475,47 @@ class TestStateStoreProviders:
         assert all(total <= n_events for _, total, _ in rows), rows
         # watermark eviction must actually fire across the multi-batch replay
         assert sum(removed for _, _, removed in rows) > 0, rows
+
+
+class TestUpsertTmpGc:
+    def test_gc_warns_on_oserror(self, tmp_path, monkeypatch):
+        """Best-effort GC stays best-effort but must be LOUD on failure."""
+        import os
+        import warnings
+
+        from ting_data_etl_spark.streaming.joins import _gc_stale_tmp_dirs
+
+        root = tmp_path / "gcroot"
+        root.mkdir()
+        (root / "gen").mkdir()
+
+        real_getmtime = os.path.getmtime
+
+        def boom(p):
+            if str(p).endswith("gen"):
+                raise OSError("EACCES: simulated")
+            return real_getmtime(p)
+
+        monkeypatch.setattr(os.path, "getmtime", boom)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            _gc_stale_tmp_dirs(str(root))
+        assert any("tmp GC skipped" in str(x.message) for x in w)
+
+    def test_gc_removes_stale_keeps_fresh(self, tmp_path):
+        import os
+        import time
+
+        from ting_data_etl_spark.streaming.joins import _gc_stale_tmp_dirs
+
+        root = tmp_path / "gcroot2"
+        root.mkdir()
+        stale = root / "old"
+        fresh = root / "new"
+        stale.mkdir()
+        fresh.mkdir()
+        old = time.time() - 7200
+        os.utime(stale, (old, old))
+        _gc_stale_tmp_dirs(str(root))
+        assert not stale.exists()
+        assert fresh.exists()

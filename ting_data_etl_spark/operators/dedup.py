@@ -1180,9 +1180,22 @@ def _publish_stage(
     try:
         os.rename(tmp, out)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            raise
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            # A concurrent publisher won the race with a complete artifact.
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        # `out` exists but carries no _SUCCESS: a stale partial left by a
+        # crashed writer (e.g. a pre-rename-era mode('overwrite') dying
+        # mid-write). Without this sweep every later publish would fail
+        # the rename (ENOTEMPTY), see no _SUCCESS, and re-raise forever —
+        # a permanent wedge the old direct-overwrite write self-healed.
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                raise
 
 
 def purge_stages(sf_dir: str) -> None:
@@ -1205,6 +1218,15 @@ def purge_stages(sf_dir: str) -> None:
         del _STAGED_PAIRS[k]
     for k in [k for k in _STAGED_COMPONENTS if os.path.abspath(k[0]) == ap]:
         del _STAGED_COMPONENTS[k]
+    # The IVF model json lives under the same stage tree (swept above), but
+    # similarity keeps a warm in-memory copy keyed by (sf_dir, fp, params);
+    # leaving it would make a post-purge "cold build" silently serve the
+    # warm model — the exact dishonest-timing mode this function exists to
+    # prevent.
+    from ting_data_etl_spark.operators import similarity as _sim
+
+    for k in [k for k in _sim._CENTROIDS if os.path.abspath(k[0]) == ap]:
+        del _sim._CENTROIDS[k]
 
 
 def component_stage_path(sf_dir: str, key: str) -> str:

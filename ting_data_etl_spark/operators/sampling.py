@@ -80,7 +80,7 @@ WHERE {_sql_bucket("doc_id", "sample")} < {SAMPLE_PCT}
 
 @register("sample_hash_mod", defer=True, oracle=_SQL_SAMPLE)
 def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Reproducible {SAMPLE_PCT}% subsample — a pure pushed-down filter.
+    """Reproducible 20% (= SAMPLE_PCT) subsample — a pure pushed-down filter.
 
     The plan is a parquet scan with one predicate: no shuffle, no RNG state,
     and the sampled set is stable under any repartitioning — unlike
@@ -312,8 +312,18 @@ def _quantile_bands(df: DataFrame, col: str, n_bands: int, desc: bool = False):
     if not cuts:
         return F.lit(0)
     if desc:
-        return sum((F.col(col) < F.lit(c)).cast("int") for c in cuts)
-    return sum((F.col(col) > F.lit(c)).cast("int") for c in cuts)
+        band = sum((F.col(col) < F.lit(c)).cast("int") for c in cuts)
+        # A NULL key compares to NULL -> NULL band, which the offsets
+        # equi-join would silently drop (and _band_offsets would crash on a
+        # NULL band_total). Pin NULLs to a sentinel band placed where
+        # Spark's window order puts them (DESC -> nulls last), mirroring
+        # skew.banded_running_sum's NULL-band handling.
+        return F.when(F.col(col).isNull(), F.lit(len(cuts) + 1)).otherwise(
+            band
+        )
+    band = sum((F.col(col) > F.lit(c)).cast("int") for c in cuts)
+    # ASC -> nulls first in Spark's window order, so NULLs band before 0.
+    return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(band)
 
 
 def _band_offsets(df: DataFrame, value_col: str) -> DataFrame:
@@ -337,7 +347,9 @@ def _band_offsets(df: DataFrame, value_col: str) -> DataFrame:
     for r in per_band:
         offsets.append((r["__band"], row_off, tot_off))
         row_off += r["band_rows"]
-        tot_off += r["band_total"]
+        # An all-NULL-value band (e.g. the NULL-key sentinel band) sums to
+        # NULL; it still occupies rank positions but contributes 0 total.
+        tot_off += r["band_total"] or 0
     spark = df.sparkSession
     return F.broadcast(
         spark.createDataFrame(

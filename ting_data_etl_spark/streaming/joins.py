@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -240,6 +241,32 @@ def streaming_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # --- foreachBatch incremental merge (the production sink API) --------------
+def _gc_stale_tmp_dirs(root: str, max_age_s: int = 3600) -> None:
+    """Best-effort prune of past invocations' generation dirs.
+
+    Every upsert run mints a fresh uuid dir with 4 aggregate generations
+    and nothing else ever deletes them — a long-lived box accumulates them
+    forever. Best-effort, but loud per the repo's fail-loud policy: a
+    persistent EACCES/EIO means tmp dirs accumulate forever and someone
+    should know, so a skipped entry warns instead of silently passing.
+    """
+    import shutil as _shutil
+    import time as _time
+
+    if not os.path.isdir(root):
+        return
+    cutoff = _time.time() - max_age_s
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                _shutil.rmtree(p, ignore_errors=True)
+        except OSError as exc:
+            warnings.warn(
+                f"upsert-sink tmp GC skipped {p}: {exc}", stacklevel=2
+            )
+
+
 _SQL_FB_UPSERT = f"""
 SELECT user_id,
        COUNT(*) AS n_purchases,
@@ -278,21 +305,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(staged)
     )
     root = os.path.join(tempfile.gettempdir(), "ting_fb_upsert")
-    # best-effort prune of past invocations' generation dirs: every run
-    # minted a fresh uuid dir with 4 aggregate generations and nothing
-    # ever deleted them — a long-lived box accumulates them forever
-    import shutil as _shutil
-    import time as _time
-
-    if os.path.isdir(root):
-        cutoff = _time.time() - 3600
-        for d in os.listdir(root):
-            p = os.path.join(root, d)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    _shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+    _gc_stale_tmp_dirs(root)
     base = os.path.join(root, uuid.uuid4().hex)
     os.makedirs(base, exist_ok=True)
     last_gen: dict[str, int] = {"id": -1}

@@ -58,14 +58,20 @@ _SINK_KEEP = 4
 
 
 def _staged_events_path(sf_dir: str, kind: str) -> str:
-    """ONE fingerprint + path scheme for the durable streaming stages."""
+    """ONE fingerprint + path scheme for the durable streaming stages.
+
+    The dataset tag is ``basename + md5(abspath)[:8]`` — the same scheme as
+    ``dedup._stage_dir``; the old ``strip('/').replace('/','_')`` munging
+    aliased ``/a/b_c`` with ``/a/b/c``, so two distinct sf_dirs with the
+    same events fingerprint shape could serve each other's staged events.
+    """
+    import hashlib
+
     src = os.path.join(sf_dir, "events.parquet")
     fp = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
-    return os.path.join(
-        tempfile.gettempdir(),
-        kind,
-        f"{sf_dir.strip('/').replace('/', '_')}_{fp}",
-    )
+    ap = os.path.abspath(sf_dir)
+    tag = f"{os.path.basename(ap)}_{hashlib.md5(ap.encode()).hexdigest()[:8]}"
+    return os.path.join(tempfile.gettempdir(), kind, f"{tag}_{fp}")
 
 
 def publish_staged_dir(out: str, write_to_tmp) -> None:
