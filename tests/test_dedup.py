@@ -267,3 +267,73 @@ class TestNullAndEmptyTextParity:
         # and the semantic claim itself: only the identical real docs pair
         pairs = qs["dedup_minhash_lsh_pairs"](spark, str(tmp_path)).collect()
         assert {(r.doc_a, r.doc_b) for r in pairs} == {(5, 6)}
+
+
+class TestUrlCanonical:
+    CASES = [
+        # (raw, canonical)
+        ("https://Example.COM/Path/X", "https://example.com/Path/X"),
+        ("HTTPS://EXAMPLE.COM:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/a?utm_source=x&id=1&utm_campaign=y",
+         "https://example.com/a?id=1"),
+        ("https://example.com/a?fbclid=z", "https://example.com/a"),
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?b=2&a=1"),
+        ("https://example.com/a?ref=tw#x", "https://example.com/a"),
+    ]
+
+    def test_spark_canonicalization(self, spark):
+        from pyspark.sql import functions as F
+
+        from ting_data_etl_spark.functions.url import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)],
+            "i int, url string",
+        )
+        got = {
+            r.i: r.c
+            for r in df.select("i", canonical_url("url").alias("c")).collect()
+        }
+        for i, (raw, want) in enumerate(self.CASES):
+            assert got[i] == want, f"{raw!r} -> {got[i]!r}, want {want!r}"
+
+    def test_duckdb_twin_parity(self):
+        """The SQL twin must canonicalize every adversarial case to the
+        same string as the Spark form (asserted against the same expected
+        values, so a shared bug cannot hide)."""
+        import duckdb
+
+        from ting_data_etl_spark.functions.url import sql_canonical_url
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE urls(i INT, raw VARCHAR)")
+        con.executemany(
+            "INSERT INTO urls VALUES (?, ?)",
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)],
+        )
+        got = dict(
+            con.execute(
+                f"SELECT i, {sql_canonical_url('raw')} FROM urls"
+            ).fetchall()
+        )
+        for i, (raw, want) in enumerate(self.CASES):
+            assert got[i] == want, f"{raw!r} -> {got[i]!r}, want {want!r}"
+
+    def test_registered_groups_collapse(self, spark, sf_dir):
+        """Decoration variants of one page collapse; the query-bearing
+        variants form their own group (canonicalization never merges
+        genuinely different resources)."""
+        from ting_data_etl_spark.operators.dedup import dedup_url_canonical
+
+        rows = dedup_url_canonical(spark, sf_dir).collect()
+        by_url = {r.canonical_url: r for r in rows}
+        # group 0 = doc_ids 0..6; variants 0,1,2,4 (ids 0,1,2,4) plus
+        # variant-0 id 6 share the bare-path canonical; keeper is min id
+        bare = by_url["https://site0.example.com/docs/0"]
+        assert bare.n_docs == 5 and bare.keeper == 0
+        q = by_url["https://site0.example.com/docs/0?id=0"]
+        assert q.n_docs == 2 and q.keeper == 3

@@ -66,3 +66,47 @@ class TestSketchAccuracy:
         for r in rows.values():
             assert r.rel_error <= 0.05, (r.metric, r.rel_error)
             assert r.exact > 0 and r.approx > 0
+
+    def test_duckdb_referee_same_truth(self, spark, sf_dir):
+        """Second-engine referee for the sanctioned rows-only query: DuckDB's
+        own sketches (approx_count_distinct / approx_quantile) must land
+        within the SAME 5% bound of the SAME exact truth Spark's sketches
+        are pinned to. The sketch internals differ by design (HLL++ vs
+        HLL, KLL/GK variants), so value-hash parity is impossible — but
+        two independent implementations agreeing with one exact truth is
+        the external cross-check the oracle cannot provide.
+        """
+        import os
+
+        import duckdb
+
+        from ting_data_etl_spark.operators.quality import (
+            SKETCH_PCTS,
+            stats_sketch_accuracy,
+        )
+
+        rows = {
+            r.metric: r for r in stats_sketch_accuracy(spark, sf_dir).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, 'events.parquet')}'"
+        )
+        (dd_users,) = con.execute(
+            "SELECT approx_count_distinct(user_id) FROM events"
+        ).fetchone()
+        dd_q = con.execute(
+            "SELECT "
+            + ", ".join(
+                f"approx_quantile(value, {p})" for p in SKETCH_PCTS
+            )
+            + " FROM events WHERE value IS NOT NULL"
+        ).fetchone()
+        # same exact truth (from the Spark report), DuckDB's approximation
+        assert abs(dd_users - rows["distinct_users"].exact) <= (
+            0.05 * rows["distinct_users"].exact
+        )
+        for p, approx in zip(SKETCH_PCTS, dd_q):
+            exact = rows[f"value_p{int(p * 100)}"].exact
+            assert abs(approx - exact) <= 0.05 * abs(exact), (p, approx, exact)

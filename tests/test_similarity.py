@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
 from ting_data_etl_spark.operators.similarity import (
     KMEANS_LISTS,
     ivf_centroids,
@@ -332,3 +334,58 @@ SELECT query_id, neighbor_id, cosine FROM srp_topk
         self._assert_match(sdf, odf)
         # the regenerated planes genuinely are 8 wide per table
         assert all(len(table) == 8 for table in S.SRP_SIGNS)
+
+
+class TestIncrementalIvf:
+    def test_drift_tv_pure(self, spark):
+        from ting_data_etl_spark.operators.similarity import (
+            incremental_drift_tv,
+        )
+
+        mk = lambda rows: spark.createDataFrame(rows, "list_id int")
+        same = incremental_drift_tv(
+            mk([(0,), (0,), (1,), (1,)]), mk([(0,), (1,)])
+        )
+        assert abs(same) < 1e-12
+        disjoint = incremental_drift_tv(mk([(0,), (0,)]), mk([(1,), (1,)]))
+        assert abs(disjoint - 1.0) < 1e-12
+        half = incremental_drift_tv(
+            mk([(0,), (1,)]), mk([(0,), (0,), (0,), (1,)])
+        )
+        assert abs(half - 0.25) < 1e-12
+
+    def test_drift_guard_warns(self, spark, sf_dir, monkeypatch):
+        """A threshold below the corpus's natural TV must trip the loud
+        refit warning; the normal threshold must not."""
+        import warnings as w
+
+        from ting_data_etl_spark.operators import similarity as S
+
+        monkeypatch.setattr(S, "INCR_REFIT_TV", -1.0)  # anything trips
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            S.similarity_incremental_ivf(spark, sf_dir)
+        assert any("rebuild the index" in str(x.message) for x in rec)
+
+    def test_batch_queries_only_and_standing_fit(self, spark, sf_dir):
+        """Every query id is a batch member, and the standing-subset model
+        is cached apart from the full-corpus model."""
+        from ting_data_etl_spark.operators import similarity as S
+
+        out = S.similarity_incremental_ivf(spark, sf_dir)
+        bad = out.filter(
+            F.col("query_id") % S.INCR_BATCH_MOD != S.INCR_BATCH_REM
+        ).count()
+        assert bad == 0
+        full = S.ivf_centroids(spark, sf_dir)
+        standing = S.ivf_centroids(
+            spark,
+            sf_dir,
+            fit_pred=~S._incr_batch_pred(),
+            subset_tag="standing",
+        )
+        # different fit inputs -> (almost surely) different models; at
+        # minimum the cache must hold them under distinct keys
+        keys = [k for k in S._CENTROIDS if k[0] == sf_dir]
+        assert len({k[1] for k in keys}) >= 2
+        assert full is not standing

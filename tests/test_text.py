@@ -338,3 +338,91 @@ class TestChunkBoilerplate:
         ).collect()
         h = {r.doc_id: r.h for r in first}
         assert h[1] == h[2] != h[3]
+
+
+class TestRepeatedSubstrings:
+    """Planted-span fixture for the substring-granular dedup pass."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_unaligned_shared_span_found_maximal(self, spark):
+        """A 20-token span shared at DIFFERENT offsets (the case
+        fixed-stride chunking misses) comes back as one maximal span per
+        doc with exact boundaries."""
+        from ting_data_etl_spark.operators.text_queries import (
+            REPEAT_L,
+            repeated_substring_spans,
+        )
+
+        span = " ".join(f"shared{i}" for i in range(20))
+        a_prefix = " ".join(f"apre{i}" for i in range(5))
+        b_suffix = " ".join(f"bsuf{i}" for i in range(9))
+        docs = self._docs(
+            spark,
+            [
+                (1, f"{a_prefix} {span}"),          # span at offset 5
+                (2, f"{span} {b_suffix}"),          # span at offset 0
+                (3, "totally unrelated words only here"),
+            ],
+        )
+        got = {
+            r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+            for r in repeated_substring_spans(docs).collect()
+        }
+        assert got == {1: (5, 25, 20), 2: (0, 20, 20)}
+        assert REPEAT_L <= 20  # fixture assumes span >= window
+
+    def test_within_doc_repeat_not_reported(self, spark):
+        """Cross-document contract: a span repeated twice inside ONE doc
+        has n_distinct_docs = 1 and is excluded."""
+        from ting_data_etl_spark.operators.text_queries import (
+            repeated_substring_spans,
+        )
+
+        span = " ".join(f"dup{i}" for i in range(10))
+        docs = self._docs(
+            spark,
+            [
+                (1, f"{span} middle filler words {span}"),
+                (2, "entirely different content with no overlap at all"),
+            ],
+        )
+        assert repeated_substring_spans(docs).count() == 0
+
+    def test_short_docs_yield_no_windows(self, spark):
+        from ting_data_etl_spark.operators.text_queries import (
+            REPEAT_L,
+            repeated_substring_spans,
+        )
+
+        short = " ".join(f"w{i}" for i in range(REPEAT_L - 1))
+        docs = self._docs(spark, [(1, short), (2, short), (3, None)])
+        # identical docs, but both shorter than the anchor window: no
+        # anchors exist, so no spans (substring dedup's floor — exact
+        # dedup catches these)
+        assert repeated_substring_spans(docs).count() == 0
+
+    def test_two_separated_spans_stay_separate(self, spark):
+        """Two shared spans with a non-shared gap must NOT merge."""
+        from ting_data_etl_spark.operators.text_queries import (
+            repeated_substring_spans,
+        )
+
+        s1 = " ".join(f"one{i}" for i in range(10))
+        s2 = " ".join(f"two{i}" for i in range(10))
+        docs = self._docs(
+            spark,
+            [
+                (1, f"{s1} gapa gapb gapc {s2}"),
+                (2, f"{s2} xfill yfill zfill {s1}"),
+            ],
+        )
+        rows = repeated_substring_spans(docs).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end, r.span_tokens)
+            )
+        assert sorted(by_doc[1]) == [(0, 10, 10), (13, 23, 10)]
+        assert sorted(by_doc[2]) == [(0, 10, 10), (13, 23, 10)]

@@ -1528,3 +1528,124 @@ def graph_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clustering_coeff"),
     )
     return out
+
+
+# --- URL-canonicalization dedup (web-corpus pre-pass) -----------------------
+#: documents.parquet carries no url column, so the registered query DERIVES
+#: an adversarial one deterministically from (doc_id, source): every
+#: URL_GROUP_SIZE consecutive doc_ids share one logical page, decorated per
+#: doc with the variations canonicalization must collapse (scheme/host
+#: case, default port, fragment, tracking params). The derivation is
+#: fixture plumbing expressed identically on both engines; the OPERATOR is
+#: ``functions.url.canonical_url``, which runs unchanged on a real url
+#: column at corpus scale.
+URL_GROUP_SIZE = 7
+
+
+def _adversarial_url_spark() -> F.Column:
+    grp = ((F.col("doc_id") - F.col("doc_id") % URL_GROUP_SIZE) / URL_GROUP_SIZE).cast(
+        "long"
+    )
+    host = F.concat(F.lit("site"), (grp % 37).cast("string"), F.lit(".example.com"))
+    path = F.concat(F.lit("/docs/"), grp.cast("string"))
+    v = F.col("doc_id") % 6
+    return (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host), path))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://"),
+                host,
+                path,
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("&id="),
+                grp.cast("string"),
+            ),
+        )
+        .when(
+            v == 4,
+            F.concat(
+                F.lit("https://"),
+                host,
+                path,
+                F.lit("#sec-"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.upper(host),
+                path,
+                F.lit("?id="),
+                grp.cast("string"),
+                F.lit("&fbclid=x"),
+                (F.col("doc_id") % 4).cast("string"),
+            )
+        )
+    )
+
+
+def _sql_adversarial_url() -> str:
+    g = URL_GROUP_SIZE
+    grp = f"CAST((doc_id - doc_id % {g}) / {g} AS BIGINT)"
+    host = f"'site' || CAST({grp} % 37 AS VARCHAR) || '.example.com'"
+    path = f"'/docs/' || CAST({grp} AS VARCHAR)"
+    return f"""CASE doc_id % 6
+      WHEN 0 THEN 'https://' || {host} || {path}
+      WHEN 1 THEN 'HTTPS://' || upper({host}) || {path}
+      WHEN 2 THEN 'https://' || {host} || ':443' || {path}
+      WHEN 3 THEN 'https://' || {host} || {path}
+                  || '?utm_source=feed&utm_campaign=c'
+                  || CAST(doc_id % 3 AS VARCHAR) || '&id=' || CAST({grp} AS VARCHAR)
+      WHEN 4 THEN 'https://' || {host} || {path}
+                  || '#sec-' || CAST(doc_id % 5 AS VARCHAR)
+      ELSE 'https://' || upper({host}) || {path}
+           || '?id=' || CAST({grp} AS VARCHAR)
+           || '&fbclid=x' || CAST(doc_id % 4 AS VARCHAR)
+    END"""
+
+
+def _sql_url_canonical() -> str:
+    from ting_data_etl_spark.functions.url import sql_canonical_url
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, {sql_canonical_url(_sql_adversarial_url())} AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper
+FROM u GROUP BY canonical_url
+"""
+
+
+@register("dedup_url_canonical", oracle=_sql_url_canonical)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup groups: (canonical_url, n_docs, keeper).
+
+    The CCNet/RefinedWeb pre-pass: collapse crawl-variant URLs (case,
+    default ports, fragments, tracking params) to one canonical key and
+    keep the lowest doc_id per page. Note the variants with a query that
+    survives canonicalization (``?id=...``) canonicalize apart from the
+    bare-path variants — canonicalization collapses DECORATION, it never
+    merges genuinely different resources.
+
+    Plan shape: one codegen scan computing the canonical key (pure string
+    expressions, no UDF) + ONE shuffle on the key for the group-by — at
+    100 TB this is the cheapest dedup pass in the family, which is exactly
+    why web pipelines run it first.
+    """
+    from ting_data_etl_spark.functions.url import canonical_url
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id", canonical_url(_adversarial_url_spark()).alias("canonical_url")
+    )
+    return u.groupBy("canonical_url").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper")
+    )

@@ -230,7 +230,12 @@ def stats_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured number rather than a doc claim (pytest pins rel_error ≤ 5%).
     Rows-only check by necessity: DuckDB cannot reproduce Spark's sketch
     internals, and the exact legs are already oracle-covered elsewhere
-    (`prim_distinct_count`, `text_length_quantiles`).
+    (`prim_distinct_count`, `text_length_quantiles`). External referee
+    (r8): the pytest twin also runs DuckDB's OWN sketches
+    (``approx_count_distinct`` / ``approx_quantile``) against the same
+    exact truth and pins both engines' errors ≤ 5% — two independent
+    sketch implementations agreeing with one exact answer is the
+    cross-engine check value-hash parity cannot provide here.
     """
     ev = load_table(spark, sf_dir, "events")
     aggs = ev.agg(

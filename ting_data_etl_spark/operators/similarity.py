@@ -481,14 +481,22 @@ def kmeans_fit(
         sample.unpersist()
 
 
-def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    fit_pred: "F.Column | None" = None,
+    subset_tag: str = "",
+) -> list[list[float]]:
     """Fit (or reuse) the IVF coarse quantizer for one dataset.
 
     Index-build vs search separation, as in any production ANN system: the
     fit is a one-time indexing job whose model artifact (k × d centroids,
     deterministic for a given dataset/config) is persisted and reloaded;
     queries pay only the search. The artifact is keyed by dataset + fit
-    config so a config change refits.
+    config so a config change refits. *fit_pred*/*subset_tag* restrict the
+    fit input (the incremental index fits on the standing corpus only) —
+    the tag distinguishes the subset model's cache key and artifact from
+    the full-corpus model's.
     """
     import json
     import os
@@ -503,7 +511,13 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     # parquet changed underneath it (the on-disk name was fingerprinted,
     # the dict key was not).
     src_fp = _source_fp(sf_dir, "embeddings")
-    key = (sf_dir, src_fp, KMEANS_LISTS, KMEANS_ITERS, KMEANS_SAMPLE_MOD)
+    key = (
+        sf_dir,
+        f"{src_fp}{subset_tag and f'_{subset_tag}'}",
+        KMEANS_LISTS,
+        KMEANS_ITERS,
+        KMEANS_SAMPLE_MOD,
+    )
     if key not in _CENTROIDS:
         # v2 = integer-exact md5-seeded fit; the version tag invalidates
         # durable v1 float-model artifacts left by earlier revisions.
@@ -513,7 +527,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         path = _stage_dir(
             sf_dir,
             [
-                "ivf_model_v2",
+                f"ivf_model_v2{subset_tag and f'_{subset_tag}'}",
                 src_fp,
                 f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
             ],
@@ -528,8 +542,11 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             # cache key and artifact name claim the retuned ones (caught by
             # the SCALE_r06 run: a "447-list" 200k-vector index was an
             # 8-list fit and searches scanned 25k-vector lists).
+            fit_input = _quantized(spark, sf_dir)
+            if fit_pred is not None:
+                fit_input = fit_input.filter(fit_pred)
             _CENTROIDS[key] = kmeans_fit(
-                _quantized(spark, sf_dir),
+                fit_input,
                 k=KMEANS_LISTS,
                 iters=KMEANS_ITERS,
                 sample_mod=KMEANS_SAMPLE_MOD,
@@ -576,7 +593,7 @@ c{i} AS (
 )"""
 
 
-def sql_kmeans_search_ctes(query_pred: str) -> str:
+def sql_kmeans_search_ctes(query_pred: str, fit_pred: str = "TRUE") -> str:
     """CTE chain re-deriving the ENTIRE IVF pipeline in SQL: fit + search.
 
     Expects a ``q`` CTE (quantized vectors) in scope; ends in ``ivf_topk``
@@ -584,13 +601,15 @@ def sql_kmeans_search_ctes(query_pred: str) -> str:
     from the Spark side — the oracle refits it from scratch (md5-seeded
     sample, k smallest-hash init, {KMEANS_ITERS} unrolled integer Lloyd
     iterations), so a drift anywhere in the fit shows up as a value
-    mismatch, not just a search mismatch.
+    mismatch, not just a search mismatch. *fit_pred* restricts the fit
+    sample (the incremental variant fits on the standing corpus only);
+    assignment and search always cover all of ``q``.
     """
     iters = "\n,".join(_sql_lloyd_iter(i + 1) for i in range(KMEANS_ITERS))
     return f"""
 samp AS (
   SELECT vec_id, q, {_SQL_VEC_HASH} AS h
-  FROM q WHERE {_SQL_VEC_HASH} % {KMEANS_SAMPLE_MOD} = 0
+  FROM q WHERE ({fit_pred}) AND {_SQL_VEC_HASH} % {KMEANS_SAMPLE_MOD} = 0
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, q AS c
@@ -1435,3 +1454,162 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.col("n_truth")).alias("recall_at_5"),
         )
     )
+
+
+# --- incremental IVF: staged standing index + batch append ------------------
+#: Which vectors form the "new batch" in the incremental scenario: the
+#: standing corpus (90%) was indexed before the batch (10%) arrived. REM 7
+#: is disjoint from the QUERY_MOD==0 sample other ANN variants use.
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7
+#: Refit trigger: total-variation distance between the batch's and the
+#: standing corpus's list-occupancy distributions. 0 = identically
+#: distributed; 1 = disjoint. Past this the coarse quantizer no longer
+#: describes the incoming data and the index build should re-run.
+INCR_REFIT_TV = 0.5
+
+
+def _incr_batch_pred() -> F.Column:
+    return F.col("vec_id") % INCR_BATCH_MOD == INCR_BATCH_REM
+
+
+def _staged_incr_index(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]]
+) -> DataFrame:
+    """The standing-corpus IVF index as a durable staged artifact.
+
+    One-time index build (assignment pass over the standing 90%), published
+    write-once via the shared atomic ritual and fingerprinted by source +
+    fit config — the incremental query then reads the parquet back, so its
+    per-call cost is O(batch) assignment + the list-join search, NOT a
+    corpus re-assignment. The same separation ``dedup_incremental_minhash``
+    stages for the band index.
+    """
+    import os
+
+    from ting_data_etl_spark.operators.dedup import (
+        _publish_stage,
+        _source_fp,
+        _stage_dir,
+    )
+
+    src_fp = _source_fp(sf_dir, "embeddings")
+    out = _stage_dir(
+        sf_dir,
+        [
+            "ivf_incr_index_v1",
+            src_fp,
+            f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
+            f"b{INCR_BATCH_MOD}r{INCR_BATCH_REM}",
+        ],
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        q = _quantized(spark, sf_dir).filter(~_incr_batch_pred())
+        assign1 = nearest_lists_udf(centroids, 1)
+        standing = q.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cv"),
+            F.col("norm").alias("cn"),
+            F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+        )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        _publish_stage(standing, out)
+    return spark.read.parquet(out)
+
+
+def incremental_drift_tv(standing_idx: DataFrame, batch_idx: DataFrame) -> float:
+    """Total-variation distance between list-occupancy distributions.
+
+    The drift guard: both inputs are (.., list_id) relations; each
+    aggregates to at most k rows (k = number of lists), so the collect is
+    a bounded-scalar model read, never data. TV = ½·Σ|p_i − q_i|.
+    """
+    def shares(df: DataFrame) -> dict[int, float]:
+        rows = df.groupBy("list_id").count().collect()
+        total = sum(r["count"] for r in rows) or 1
+        return {r["list_id"]: r["count"] / total for r in rows}
+
+    p, q = shares(standing_idx), shares(batch_idx)
+    return 0.5 * sum(
+        abs(p.get(i, 0.0) - q.get(i, 0.0)) for i in set(p) | set(q)
+    )
+
+
+def _sql_incremental_ivf() -> str:
+    batch = f"vec_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}"
+    standing = f"vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    return f"""
+WITH {_SQL_QUANT},
+{sql_kmeans_search_ctes(batch, fit_pred=standing)}
+SELECT query_id, neighbor_id, cosine FROM ivf_topk
+"""
+
+
+@register("similarity_incremental_ivf", oracle=_sql_incremental_ivf)
+def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance: assign a new batch into a standing IVF.
+
+    The round-7 verdict's gap: ``dedup_incremental_minhash`` proved the
+    incremental pattern for the lexical family while the ANN indexes
+    refit from scratch on any corpus change. Here the coarse quantizer is
+    fitted on the STANDING corpus only (the index predates the batch), the
+    standing assignment is a staged write-once artifact, and a batch
+    arrival costs one O(batch) Arrow assignment pass — appended to the
+    index by union, no refit, no corpus re-scan. Every batch vector then
+    queries the MERGED corpus through the normal multi-probe list join.
+
+    Drift guard: before searching, the batch's list-occupancy distribution
+    is compared to the standing index's (total-variation distance, bounded
+    k-row collects); past ``INCR_REFIT_TV`` a loud warning tells the
+    operator the quantizer no longer fits the incoming data and a refit
+    (the full index build) is due — the standard IVF maintenance contract.
+
+    FULL oracle: the SQL twin refits the standing-only model from scratch
+    (md5-seeded integer Lloyd's via :func:`sql_kmeans_search_ctes` with
+    ``fit_pred``), assigns everything, and searches the batch — so fit
+    drift, assignment drift, and search drift all surface as value
+    mismatches.
+    """
+    import warnings
+
+    centroids = ivf_centroids(
+        spark, sf_dir, fit_pred=~_incr_batch_pred(), subset_tag="standing"
+    )
+    standing = _staged_incr_index(spark, sf_dir, centroids)
+    batch = _quantized(spark, sf_dir).filter(_incr_batch_pred())
+    assign1 = nearest_lists_udf(centroids, 1)
+    assign_probe = nearest_lists_udf(centroids, NPROBE)
+    batch_idx = batch.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+    )
+    tv = incremental_drift_tv(standing, batch_idx)
+    if tv > INCR_REFIT_TV:
+        warnings.warn(
+            f"similarity_incremental_ivf: batch/list occupancy drifted "
+            f"TV={tv:.3f} > {INCR_REFIT_TV} from the standing index — the "
+            "coarse quantizer no longer describes the incoming data; "
+            "rebuild the index (purge_stages + refit)",
+            stacklevel=2,
+        )
+    corpus = standing.unionByName(batch_idx)
+    queries = batch.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(assign_probe(F.col("q"))).alias("probe_list"),
+    )
+    pairs = queries.join(
+        corpus,
+        (F.col("probe_list") == F.col("list_id"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_udf()(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    return topk_per_query(pairs)
