@@ -67,6 +67,13 @@ PINNED = [
     # boilerplate detection adds exactly ONE hash-keyed shuffle on top
     "text_chunk_windows",
     "dedup_chunk_boilerplate",
+    # round-8 additions: substring dedup must keep its two fixed-width-key
+    # shuffles + the no-fan-out semi-join; url dedup is one codegen scan +
+    # one exchange; incremental IVF appends the batch by union (Arrow
+    # assignment UDFs sanctioned, no extra corpus shuffle)
+    "dedup_repeated_substrings",
+    "dedup_url_canonical",
+    "similarity_incremental_ivf",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -106,6 +106,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", type=int, default=100_000)
     ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument(
+        "--legs",
+        default="",
+        help="comma list of leg names to run (default all); results merge "
+        "into the existing FANOUT_WRITE_COST_r08.json",
+    )
     args = ap.parse_args()
 
     from ting_data_etl_spark.session import get_spark
@@ -114,26 +120,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(OUT_ROOT, ignore_errors=True)
 
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_json = os.path.join(here, "FANOUT_WRITE_COST_r08.json")
     df = gen_rows(spark, args.rows, args.keys)
-    report: dict = {
-        "n_rows": args.rows,
-        "n_keys_requested": args.keys,
-        "n_keys_actual": df.select("store_id").distinct().count(),
-    }
+    report: dict = {}
+    if args.legs and os.path.exists(out_json):
+        with open(out_json) as f:
+            report = json.load(f)
+    report.update(
+        {
+            "n_rows": args.rows,
+            "n_keys_requested": args.keys,
+            "n_keys_actual": df.select("store_id").distinct().count(),
+        }
+    )
     legs = [
         ("hash_sort", dict(cluster="hash", committer_v2=False, planned_write=False)),
         ("hash_sort_committer_v2", dict(cluster="hash", committer_v2=True, planned_write=False)),
         ("range_planned", dict(cluster="range", committer_v2=False, planned_write=True)),
         ("range_planned_committer_v2", dict(cluster="range", committer_v2=True, planned_write=True)),
     ]
+    wanted = set(args.legs.split(",")) if args.legs else None
     for name, kw in legs:
+        if wanted is not None and name not in wanted:
+            continue
         out = os.path.join(OUT_ROOT, name)
         report[name] = run_leg(spark, df, out, **kw)
         print(name, report[name], flush=True)
         shutil.rmtree(out, ignore_errors=True)  # bound disk across legs
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "FANOUT_WRITE_COST_r08.json"), "w") as f:
+    with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v["sec"] for k, v in report.items() if isinstance(v, dict) and "sec" in v}))
 
