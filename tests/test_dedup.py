@@ -337,3 +337,59 @@ class TestUrlCanonical:
         assert bare.n_docs == 5 and bare.keeper == 0
         q = by_url["https://site0.example.com/docs/0?id=0"]
         assert q.n_docs == 2 and q.keeper == 3
+
+
+def _write_mini_docs(spark, tmp_path, rows):
+    """Planted documents table as a real sf_dir (load_table-compatible)."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t or "")) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+class TestShingleContainment:
+    def test_embedded_doc_full_containment(self, spark, tmp_path):
+        """A short doc fully embedded in a long one: containment 1.0 even
+        though Jaccard is far below any dedup threshold."""
+        from ting_data_etl_spark.operators.dedup import (
+            dedup_shingle_containment,
+        )
+
+        inner = " ".join(f"core{i}" for i in range(12))
+        outer = (
+            " ".join(f"pre{i}" for i in range(15))
+            + f" {inner} "
+            + " ".join(f"post{i}" for i in range(15))
+        )
+        sf = _write_mini_docs(
+            spark,
+            tmp_path,
+            [
+                (1, inner, "s1"),
+                (2, outer, "s1"),
+                (3, "completely unrelated filler text here", "s1"),
+            ],
+        )
+        rows = dedup_shingle_containment(spark, sf).collect()
+        got = {(r.doc_a, r.doc_b): r.containment for r in rows}
+        assert got == {(1, 2): 1.0}
+
+    def test_cross_source_blocked(self, spark, tmp_path):
+        """The source block bounds the self-join: identical docs in
+        different sources are NOT candidates (same contract as Jaccard)."""
+        from ting_data_etl_spark.operators.dedup import (
+            dedup_shingle_containment,
+        )
+
+        text = " ".join(f"w{i}" for i in range(12))
+        sf = _write_mini_docs(
+            spark, tmp_path, [(1, text, "s1"), (2, text, "s2")]
+        )
+        assert dedup_shingle_containment(spark, sf).count() == 0

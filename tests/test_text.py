@@ -426,3 +426,31 @@ class TestRepeatedSubstrings:
             )
         assert sorted(by_doc[1]) == [(0, 10, 10), (13, 23, 10)]
         assert sorted(by_doc[2]) == [(0, 10, 10), (13, 23, 10)]
+
+
+class TestNgramNovelty:
+    def test_copy_has_zero_novelty(self, spark, tmp_path):
+        from tests.test_dedup import _write_mini_docs
+        from ting_data_etl_spark.operators.text_queries import (
+            text_ngram_novelty,
+        )
+
+        fresh = " ".join(f"new{i}" for i in range(12))
+        mixed_new = " ".join(f"half{i}" for i in range(12))
+        sf = _write_mini_docs(
+            spark,
+            tmp_path,
+            [
+                (1, fresh, "s1"),
+                (2, fresh, "s1"),          # verbatim copy -> novelty 0
+                (3, f"{fresh} {mixed_new}", "s1"),  # part old, part new
+                (4, None, "s1"),           # zero-token -> absent
+            ],
+        )
+        got = {r.doc_id: r for r in text_ngram_novelty(spark, sf).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1].novelty == 1.0
+        assert got[2].novelty == 0.0
+        assert 0.0 < got[3].novelty < 1.0
+        # every shingle of doc 3 is either doc-1 content or new
+        assert got[3].n_novel < got[3].n_shingles

@@ -1649,3 +1649,84 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("canonical_url").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper")
     )
+
+
+# --- shingle containment (asymmetric near-supersets) ------------------------
+#: Emit pairs whose smaller document is at least this contained in the
+#: larger one. Containment C = |A∩B| / min(|A|,|B|) catches quote/subset
+#: duplication that symmetric Jaccard under-scores: a 50-shingle doc fully
+#: embedded in a 500-shingle doc has J = 0.1 but C = 1.0 (Broder's
+#: resemblance-vs-containment distinction, the RETSim/CCNet subset case).
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def _sql_containment() -> str:
+    """Shares the capped-shingle CTE chain with :func:`_sql_jaccard`
+    verbatim (call-time builder, same retune contract)."""
+    base = _sql_jaccard().rsplit("SELECT s.doc_a", 1)[0]
+    return f"""{base}
+SELECT s.doc_a, s.doc_b,
+       CAST(s.common AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
+WHERE CAST(s.common AS DOUBLE) / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_shingle_containment", oracle=_sql_containment)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs ≥ CONTAINMENT_THRESHOLD, source-blocked.
+
+    Same candidate plan as :func:`dedup_jaccard` — shared-shingle
+    self-join over the capped 60-bit shingle relation (one shuffle on the
+    8-byte shingle id, boilerplate buckets dropped by the cap on BOTH
+    engines) — but scored as ``common / min(|A|,|B|)``: the containment
+    coefficient that flags a document largely EMBEDDED in another even
+    when the size mismatch keeps Jaccard low. At 100 TB this is the same
+    plan as the Jaccard pass and the two scores can share one shared-join
+    execution; they are registered separately so each has an exact oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        word_shingles_df(d, extra_cols=("source",))
+        .select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+            .try_cast("long")
+            .alias("shingle"),
+        )
+        .distinct()
+    )
+    sh = shingle_frequency_cap(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / F.least(F.col("sa.n"), F.col("sb.n"))
+            ).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)

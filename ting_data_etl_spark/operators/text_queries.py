@@ -693,3 +693,73 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of :func:`repeated_substring_spans` over ``documents``."""
     d = load_table(spark, sf_dir, "documents")
     return repeated_substring_spans(d)
+
+
+# --- n-gram novelty (train-set freshness metric) ----------------------------
+def _sql_ngram_novelty() -> str:
+    """Call-time builder; shares the tokenizer CTE and the shingle-hash
+    fragment with the dedup family."""
+    from ting_data_etl_spark.operators.dedup import SHINGLE_N
+
+    return f"""
+WITH {_SQL_TOKS},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(0, greatest(len(toks) - {SHINGLE_N - 1}, 1)),
+           i -> {_sql_sh(f"array_to_string(list_slice(toks, i + 1, i + {SHINGLE_N}), ' ')")}
+         ))) AS shingle
+  FROM tok
+),
+nn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM nn GROUP BY shingle)
+SELECT n.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM nn n JOIN firsts f ON n.shingle = f.shingle
+GROUP BY n.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_sql_ngram_novelty)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novel-shingle fraction against the corpus-order prefix.
+
+    A document's novelty = the fraction of its distinct n-gram shingles
+    whose FIRST corpus occurrence (min doc_id — ingestion order) is the
+    document itself. The data-curriculum freshness signal: near-1 docs
+    introduce new content, near-0 docs restate what earlier documents
+    already said (the streaming-dedup intuition as a batch metric).
+
+    Plan shape: the distinct (doc, shingle) relation feeds ONE aggregation
+    keyed by the 31-bit shingle hash for the per-shingle ``min(doc_id)``,
+    joined back on the same hash (fixed-width keys, text never shuffles),
+    then one doc-keyed aggregation. Zero-token documents have no non-NULL
+    shingles and drop out of the result on both engines.
+    """
+    from ting_data_etl_spark.functions.text import portable_hash31
+    from ting_data_etl_spark.operators.dedup import word_shingles_df
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        word_shingles_df(d)
+        .select("doc_id", portable_hash31(F.col("s")).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firsts, "shingle")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+            "n_novel"
+        ),
+        (
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("novelty"),
+    )

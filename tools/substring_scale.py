@@ -48,7 +48,14 @@ def main() -> None:
     spark = get_spark(app_name="substring-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_json = os.path.join(here, "SUBSTRING_SCALE_r08.json")
     report: dict = {"repeat_l": REPEAT_L, "scales": {}}
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            prev = json.load(f)
+        if prev.get("repeat_l") == REPEAT_L:
+            report["scales"].update(prev.get("scales", {}))
     for s in args.scales.split(","):
         path = os.path.join(CORPUS_ROOT, f"x{s}", "documents.parquet")
         if not os.path.exists(path):
@@ -100,8 +107,7 @@ def main() -> None:
         report["scales"][f"x{s}"] = row
         print(f"x{s}:", row, flush=True)
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SUBSTRING_SCALE_r08.json"), "w") as f:
+    with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
 
