@@ -74,6 +74,12 @@ PINNED = [
     "dedup_repeated_substrings",
     "dedup_url_canonical",
     "similarity_incremental_ivf",
+    # round-8 second wave: containment shares the Jaccard candidate shape
+    # (shingle-keyed self-join, no cartesian); novelty is two hash-keyed
+    # aggregations over the fixed-width shingle relation — text never
+    # shuffles in either
+    "dedup_shingle_containment",
+    "text_ngram_novelty",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The
