@@ -763,3 +763,106 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("novelty"),
     )
+
+
+# --- unigram surprisal: perplexity-proxy quality scoring --------------------
+#: Fixed-point units for the per-token surprisal weight (3 decimals). The
+#: weight itself is ONE IEEE divide over exact integers; scaling to BIGINT
+#: before the per-document sum makes the document mean order-independent
+#: (same discipline as cleaning.sum_exact). Headroom: the per-doc
+#: accumulator is SUM(tf·q) with q ≈ (T+V)·1000/(c+1) ≤ (T+V)·500 (c ≥ 1),
+#: so int64 holds corpora to T ≈ 1e11 tokens per 100-token doc; past that,
+#: drop the scale or switch the accumulator to decimal(38,0) — same plan.
+SURPRISAL_SCALE = 1000
+
+_SQL_SURPRISAL = f"""
+WITH {_SQL_TOKS},
+tf AS (
+  SELECT doc_id, t AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  GROUP BY 1, 2
+),
+cnt AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_total, CAST(COUNT(*) AS BIGINT) AS v
+  FROM cnt
+),
+q AS (
+  SELECT token, c,
+         CAST(ROUND((tot.t_total + tot.v) / (c + 1) * {SURPRISAL_SCALE})
+              AS BIGINT) AS q
+  FROM cnt CROSS JOIN tot
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN q.c = 1 THEN tf.tf ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(tf.tf * q.q) AS DOUBLE) / SUM(tf.tf) / {SURPRISAL_SCALE}.0
+         AS mean_surprisal
+FROM tf JOIN q USING (token)
+GROUP BY tf.doc_id
+"""
+
+
+@register("text_unigram_surprisal", oracle=_SQL_SURPRISAL)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal — the perplexity-proxy filter.
+
+    CCNet/RedPajama rank documents by language-model perplexity and drop
+    the weird tail; the distributed cheap form is a corpus-trained UNIGRAM
+    model: a document's score is the token-frequency-weighted mean of
+    ``(T + V) / (c(token) + 1)`` — the add-one-smoothed inverse probability
+    (linear-space surprisal; monotone in -log p, and rational on purpose:
+    an ``ln``-based score would differ between libm and DuckDB in the last
+    ULP, the same reason text_tfidf_top_terms uses a rational idf). High
+    mean = rare-token-heavy (gibberish, boilerplate codes, OCR noise);
+    ``n_hapax`` (corpus-hapax token occurrences) is the companion signal.
+
+    Determinism: the weight is one IEEE divide over exact integers, then
+    fixed-point-scaled to BIGINT so the per-document sum is exact under any
+    partition/merge order; the mean is two IEEE divides in a pinned order.
+
+    Plan shape: one (doc, token) aggregation, one |vocab|-sized count
+    aggregation over rows ALREADY shuffled by token, a broadcast 1-row
+    totals join, and the weight join back on the token key — at 100 TB the
+    second shuffle carries |vocab| rows (Zipf: millions, not trillions) and
+    AQE broadcasts the weight table when it fits. Zero-token documents have
+    no tf rows and drop out on both engines.
+    """
+    from ting_data_etl_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tot = F.broadcast(
+        cnt.agg(F.sum("c").alias("t_total"), F.count("*").alias("v"))
+    )
+    q = cnt.crossJoin(tot).select(
+        "token",
+        "c",
+        F.round(
+            (F.col("t_total") + F.col("v"))
+            / (F.col("c") + 1)
+            * SURPRISAL_SCALE
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        tf.join(q, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, F.col("tf")).otherwise(0)).alias(
+                "n_hapax"
+            ),
+            (
+                F.sum(F.col("tf") * F.col("q")).cast("double")
+                / F.sum("tf")
+                / F.lit(float(SURPRISAL_SCALE))
+            ).alias("mean_surprisal"),
+        )
+    )
