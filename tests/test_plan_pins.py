@@ -80,6 +80,9 @@ PINNED = [
     # shuffles in either
     "dedup_shingle_containment",
     "text_ngram_novelty",
+    # round-9: surprisal (added post-regeneration in r8, VERDICT r8 #2) —
+    # pin the broadcast totals join + the vocab-sized second shuffle
+    "text_unigram_surprisal",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The
