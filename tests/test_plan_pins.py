@@ -83,6 +83,10 @@ PINNED = [
     # round-9: surprisal (added post-regeneration in r8, VERDICT r8 #2) —
     # pin the broadcast totals join + the vocab-sized second shuffle
     "text_unigram_surprisal",
+    # round-9: tombstone maintenance — pin the broadcast anti-join over
+    # the staged index + the Arrow-only edit-batch assignment (no standing
+    # corpus shuffle may ever reappear in this plan)
+    "similarity_incremental_ivf_delete",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

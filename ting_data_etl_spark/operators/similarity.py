@@ -593,7 +593,12 @@ c{i} AS (
 )"""
 
 
-def sql_kmeans_search_ctes(query_pred: str, fit_pred: str = "TRUE") -> str:
+def sql_kmeans_search_ctes(
+    query_pred: str,
+    fit_pred: str = "TRUE",
+    corpus_pred: str = "TRUE",
+    vec_relation: str = "q",
+) -> str:
     """CTE chain re-deriving the ENTIRE IVF pipeline in SQL: fit + search.
 
     Expects a ``q`` CTE (quantized vectors) in scope; ends in ``ivf_topk``
@@ -602,8 +607,14 @@ def sql_kmeans_search_ctes(query_pred: str, fit_pred: str = "TRUE") -> str:
     sample, k smallest-hash init, {KMEANS_ITERS} unrolled integer Lloyd
     iterations), so a drift anywhere in the fit shows up as a value
     mismatch, not just a search mismatch. *fit_pred* restricts the fit
-    sample (the incremental variant fits on the standing corpus only);
-    assignment and search always cover all of ``q``.
+    sample (the incremental variant fits on the standing corpus only).
+    *corpus_pred* filters the SEARCHED corpus after assignment (the
+    delete variant tombstones ids out without touching the fit — the fit
+    predates the deletion, exactly like the staged Spark index).
+    *vec_relation* names the (vec_id, q) relation assignment and search
+    read vectors from — the delete/re-add variant points it at a ``q2``
+    that carries re-embedded vectors, while the fit sample always reads
+    the original ``q`` (the model was fitted before the updates).
     """
     iters = "\n,".join(_sql_lloyd_iter(i + 1) for i in range(KMEANS_ITERS))
     return f"""
@@ -621,10 +632,11 @@ assign AS (
          row_number() OVER (PARTITION BY v.vec_id ORDER BY
            -2 * list_dot_product(v.q, c.c) + list_dot_product(c.c, c.c),
            c.list_id) AS rn
-  FROM q v CROSS JOIN c{KMEANS_ITERS} c
+  FROM {vec_relation} v CROSS JOIN c{KMEANS_ITERS} c
 ),
 ivf_corpus AS (
-  SELECT vec_id AS neighbor_id, q AS cv, list_id FROM assign WHERE rn = 1
+  SELECT vec_id AS neighbor_id, q AS cv, list_id FROM assign
+  WHERE rn = 1 AND ({corpus_pred})
 ),
 ivf_probes AS (
   SELECT vec_id AS query_id, q AS qv, list_id
@@ -1595,6 +1607,137 @@ def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             stacklevel=2,
         )
     corpus = standing.unionByName(batch_idx)
+    queries = batch.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(assign_probe(F.col("q"))).alias("probe_list"),
+    )
+    pairs = queries.join(
+        corpus,
+        (F.col("probe_list") == F.col("list_id"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_udf()(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    return topk_per_query(pairs)
+
+
+# --- incremental IVF with deletes / re-embeds (tombstone maintenance) --------
+#: Deterministic maintenance scenario on top of the incremental split:
+#: of the STANDING corpus (vec_id % 10 != 7), every vec_id % 20 == 4 row is
+#: DELETED; half of those (vec_id % 40 == 4) are RE-EMBEDDED (modeled as the
+#: sign-flipped quantized vector — exact in both engines, norm-preserving)
+#: and re-inserted through the same O(batch) append path new vectors use.
+INCR_DELETE_MOD, INCR_DELETE_REM = 20, 4
+INCR_READD_MOD, INCR_READD_REM = 40, 4
+
+
+def _incr_delete_pred() -> F.Column:
+    return F.col("vec_id") % INCR_DELETE_MOD == INCR_DELETE_REM
+
+
+def _incr_readd_pred() -> F.Column:
+    return F.col("vec_id") % INCR_READD_MOD == INCR_READD_REM
+
+
+def _sql_incremental_ivf_delete() -> str:
+    batch = f"vec_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}"
+    standing = f"vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    deleted = f"vec_id % {INCR_DELETE_MOD} = {INCR_DELETE_REM}"
+    readded = f"vec_id % {INCR_READD_MOD} = {INCR_READD_REM}"
+    # searched corpus = everything except tombstoned-and-not-re-added;
+    # fit sample = original standing vectors (the model predates the edits)
+    alive = f"NOT (({deleted}) AND NOT ({readded}))"
+    return f"""
+WITH {_SQL_QUANT},
+q2 AS (
+  SELECT vec_id,
+         CASE WHEN {readded} THEN list_transform(q, x -> -x) ELSE q END AS q
+  FROM q
+),
+{sql_kmeans_search_ctes(batch, fit_pred=standing, corpus_pred=alive, vec_relation="q2")}
+SELECT query_id, neighbor_id, cosine FROM ivf_topk
+"""
+
+
+@register("similarity_incremental_ivf_delete", oracle=_sql_incremental_ivf_delete)
+def similarity_incremental_ivf_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental IVF maintenance with tombstones and re-embeds.
+
+    Round-8 verdict gap: :func:`similarity_incremental_ivf` handles
+    appends, but a deleted or re-embedded standing vector stayed in the
+    staged index until a full purge+refit. This variant completes the
+    maintenance contract with the three index mutations a real vector
+    store sees, all WITHOUT refitting or re-scanning the standing corpus:
+
+    - **delete**: a tombstone id-set is LEFT-ANTI-JOINED against the
+      staged standing index — O(|index| + |tombstones|) with the small
+      tombstone side broadcast, no assignment work, no fit work;
+    - **update (re-embed)**: an updated vector is delete + re-insert —
+      its new embedding goes through the same O(batch) Arrow assignment
+      pass that new arrivals use, then unions into the searched corpus;
+    - **append**: the regular new batch, exactly as the base query.
+
+    The coarse quantizer is untouched by all three (it was fitted on the
+    pre-edit standing corpus); drift accumulating from many edit cycles
+    is what the TV-distance refit guard on the base query watches.
+
+    FULL oracle: the SQL twin refits the standing-only model from scratch,
+    assigns over a ``q2`` relation carrying the re-embedded vectors, and
+    filters the searched corpus by the alive-predicate — so tombstone
+    leaks (a deleted id surfacing as a neighbor), missed re-adds, and
+    stale-vector matches all surface as value mismatches. The re-embed
+    transform is the sign-flipped quantized vector: exact integers in
+    both engines, norm-preserving, and guaranteed to change every cosine
+    involving the vector (so a stale index is CAUGHT, not coincidentally
+    equal).
+
+    100 TB shape: one broadcast anti-join over the staged index + one
+    O(edit-batch) assignment + the standard multi-probe list join. No
+    step scans or shuffles the standing corpus itself; the staged index
+    parquet is read once, already list-partitioned.
+    """
+    centroids = ivf_centroids(
+        spark, sf_dir, fit_pred=~_incr_batch_pred(), subset_tag="standing"
+    )
+    standing = _staged_incr_index(spark, sf_dir, centroids)
+    quant = _quantized(spark, sf_dir)
+
+    # tombstones: an id relation, anti-joined (broadcast) — the pattern
+    # works for an arbitrary external deletions feed, not just a predicate
+    tombstones = quant.filter(_incr_delete_pred()).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    alive = standing.join(F.broadcast(tombstones), "neighbor_id", "left_anti")
+
+    assign1 = nearest_lists_udf(centroids, 1)
+    assign_probe = nearest_lists_udf(centroids, NPROBE)
+
+    # re-embedded vectors re-enter through the append path with NEW vectors
+    readd_idx = (
+        quant.filter(_incr_readd_pred())
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform(F.col("q"), lambda x: -x).alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+        .withColumn("list_id", F.element_at(assign1(F.col("cv")), 1))
+    )
+    batch = quant.filter(_incr_batch_pred())
+    batch_idx = batch.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+    )
+    corpus = alive.unionByName(readd_idx).unionByName(batch_idx)
     queries = batch.select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
