@@ -162,3 +162,74 @@ class TestE2EStatus:
                 assert comp[doc] != doc
             if s == "kept":
                 assert comp[doc] == doc and gop[doc] == 1
+
+
+class TestSpanStatus:
+    def test_precedence_and_trim_accounting(self, spark, sf_dir):
+        """Span accounting only on kept docs; kept_trimmed iff spans removed;
+        fractions consistent with the span finder's own rollup."""
+        from ting_data_etl_spark.operators.curation import (
+            curation_e2e_status,
+            curation_span_status,
+        )
+        from ting_data_etl_spark.operators.text_queries import (
+            dedup_repeated_substrings,
+        )
+
+        out = curation_span_status(spark, sf_dir).cache()
+        # non-kept statuses carry zero span accounting
+        bad = out.filter(
+            (~F.col("status").isin("kept", "kept_trimmed"))
+            & (
+                (F.col("span_tokens_removed") != 0)
+                | (F.col("token_fraction_removed") != 0.0)
+            )
+        ).count()
+        assert bad == 0
+        # kept_trimmed <=> kept-with-removal
+        assert (
+            out.filter(
+                (F.col("status") == "kept_trimmed")
+                & (F.col("span_tokens_removed") <= 0)
+            ).count()
+            == 0
+        )
+        assert (
+            out.filter(
+                (F.col("status") == "kept")
+                & (F.col("span_tokens_removed") != 0)
+            ).count()
+            == 0
+        )
+        # document-level verdicts unchanged by the composition
+        base = curation_e2e_status(spark, sf_dir).withColumnRenamed(
+            "status", "base_status"
+        )
+        drift = (
+            out.join(base, "doc_id")
+            .filter(
+                (
+                    F.when(
+                        F.col("status") == "kept_trimmed", F.lit("kept")
+                    ).otherwise(F.col("status"))
+                )
+                != F.col("base_status")
+            )
+            .count()
+        )
+        assert drift == 0
+        # removed counts match the span finder's rollup on kept docs
+        spans = (
+            dedup_repeated_substrings(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.sum("span_tokens").alias("removed"))
+        )
+        mism = (
+            out.filter(F.col("status") == "kept_trimmed")
+            .join(spans, "doc_id")
+            .filter(F.col("span_tokens_removed") != F.col("removed"))
+            .count()
+        )
+        assert mism == 0
+        assert out.filter(F.col("status") == "kept_trimmed").count() > 0
+        out.unpersist()

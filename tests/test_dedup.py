@@ -283,6 +283,25 @@ class TestUrlCanonical:
         ("https://example.com/a?fbclid=z", "https://example.com/a"),
         ("https://example.com/a?b=2&a=1", "https://example.com/a?b=2&a=1"),
         ("https://example.com/a?ref=tw#x", "https://example.com/a"),
+        # r9 hardening: userinfo off (host starts after the LAST @)
+        ("https://user:pw@example.com/a", "https://example.com/a"),
+        ("https://u@example.com:443/a", "https://example.com/a"),
+        ("ftp://a@b@example.com/x", "ftp://example.com/x"),
+        # r9 hardening: FQDN trailing dot (bare and before a port)
+        ("https://example.com./a", "https://example.com/a"),
+        ("http://example.com.:8080/a", "http://example.com:8080/a"),
+        ("https://EXAMPLE.com.:443/a", "https://example.com/a"),
+        # r9 hardening: %-encoding normalization (RFC 3986 6.2.2) —
+        # unreserved escapes decode, reserved escapes uppercase, invalid
+        # escapes and bare trailing % pass through verbatim
+        ("https://example.com/d%6fcs/1", "https://example.com/docs/1"),
+        ("https://example.com/a%2fb", "https://example.com/a%2Fb"),
+        ("https://example.com/%7Euser", "https://example.com/~user"),
+        ("https://example.com/a?x=%41%2c", "https://example.com/a?x=A%2C"),
+        ("https://example.com/100%", "https://example.com/100%"),
+        ("https://example.com/a%zz", "https://example.com/a%zz"),
+        # a %-encoded tracking-param NAME decodes first, then filters
+        ("https://example.com/%75tm?%75tm_source=x", "https://example.com/utm"),
     ]
 
     def test_spark_canonicalization(self, spark):
@@ -337,6 +356,36 @@ class TestUrlCanonical:
         assert bare.n_docs == 5 and bare.keeper == 0
         q = by_url["https://site0.example.com/docs/0?id=0"]
         assert q.n_docs == 2 and q.keeper == 3
+        # r9 variants: group 1 (ids 7..13) includes v7 (id 7: trailing dot
+        # + %6F path) and v8 (id 8: upper host, dot, :443, %6f path) — both
+        # must collapse into group 1's bare canonical alongside v0 (id 9),
+        # v1 (id 10), v2 (id 11), v4 (id 13); only v3 (id 12) keeps a query
+        bare1 = by_url["https://site1.example.com/docs/1"]
+        assert bare1.n_docs == 6 and bare1.keeper == 7
+        assert "https://site1.example.com./d%6Fcs/1" not in by_url
+
+    def test_idna_host_udf(self, spark):
+        """Full IDNA punycode encoding (the non-regex step) over Arrow."""
+        from ting_data_etl_spark.functions.url import idna_host_udf
+
+        df = spark.createDataFrame(
+            [
+                ("bücher.example",),
+                ("example.com",),
+                ("xn--bcher-kva.example",),
+                (None,),
+                ("",),  # codec rejects empty -> passes through
+            ],
+            "host string",
+        )
+        got = [
+            r.e for r in df.select(idna_host_udf()(F.col("host")).alias("e")).collect()
+        ]
+        assert got[0] == "xn--bcher-kva.example"
+        assert got[1] == "example.com"
+        assert got[2] == "xn--bcher-kva.example"
+        assert got[3] is None
+        assert got[4] == ""
 
 
 def _write_mini_docs(spark, tmp_path, rows):

@@ -112,3 +112,112 @@ class TestResize:
         assert rows[1].resized_bytes == RESIZE_CHARS
         assert rows[1].orig_bytes == RESIZE_CHARS * 3
         assert rows[2].resized_bytes == 10
+
+
+class TestRealPpmCodec:
+    """The r9 dependency-free PPM (P6) decode path — real, un-mocked."""
+
+    @staticmethod
+    def _gradient_ppm(w=96, h=40):
+        import numpy as np
+
+        x = np.arange(w, dtype=np.uint8)
+        y = np.arange(h, dtype=np.uint8)
+        arr = np.stack(
+            [
+                np.tile(x, (h, 1)),
+                np.tile(y[:, None], (1, w)),
+                np.full((h, w), 7, dtype=np.uint8),
+            ],
+            axis=-1,
+        ).astype("uint8")
+        return arr
+
+    def test_roundtrip_and_header_comments(self):
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        arr = self._gradient_ppm()
+        assert (decode_ppm(encode_ppm(arr)) == arr).all()
+        # netpbm comment + multi-whitespace header forms decode too
+        raw = b"P6 # comment\n# another\n 96\t40\n255\n" + arr.tobytes()
+        assert (decode_ppm(raw) == arr).all()
+        with pytest.raises(ValueError, match="truncated"):
+            decode_ppm(b"P6\n96 40\n255\n" + arr.tobytes()[:-1])
+        with pytest.raises(ValueError, match="not a P6"):
+            decode_ppm(b"P5\n1 1\n255\n\x00")
+
+    def test_downscale_nearest_neighbor_exact(self):
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import (
+            RESIZE_MAX_DIM,
+            ppm_downscale,
+        )
+
+        arr = self._gradient_ppm(w=200, h=100)
+        out = ppm_downscale(arr)
+        assert out.shape == (32, 64, 3)  # 200x100 -> cap 64 keeps aspect
+        rows = (np.arange(32) * 100) // 32
+        cols = (np.arange(64) * 200) // 64
+        assert (out == arr[rows][:, cols]).all()
+        small = self._gradient_ppm(w=10, h=10)
+        assert ppm_downscale(small) is small  # no-op under the cap
+
+    def test_real_resizer_through_map_in_pandas(self, spark):
+        """A real PPM fixture round-trips the resize_media plumbing with
+        the PRODUCTION hook — no fake injected anywhere."""
+        from ting_data_etl_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+            ppm_downscale,
+            real_resizer,
+            resize_media,
+        )
+
+        big = encode_ppm(self._gradient_ppm(w=200, h=100))
+        small = encode_ppm(self._gradient_ppm(w=8, h=8))
+        df = spark.createDataFrame(
+            [(1, big), (2, small)], "media_id long, payload binary"
+        ).select(
+            "media_id",
+            "payload",
+            F.lit("image/ppm").alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        rows = {r.media_id: r for r in resize_media(df, real_resizer).collect()}
+        want = encode_ppm(ppm_downscale(decode_ppm(big)))
+        assert rows[1].resized_bytes == len(want)
+        import hashlib
+
+        assert rows[1].resized_md5 == hashlib.md5(want).hexdigest()
+        # under-cap image is byte-identical after the pass
+        assert rows[2].resized_bytes == len(small)
+        assert rows[2].resized_md5 == hashlib.md5(small).hexdigest()
+
+    def test_real_decoder_features_on_ppm(self, spark):
+        from ting_data_etl_spark.operators.multimodal import (
+            encode_ppm,
+            extract_features,
+            real_decoder,
+        )
+
+        pay = encode_ppm(self._gradient_ppm(w=96, h=40))
+        df = spark.createDataFrame(
+            [(1, pay)], "media_id long, payload binary"
+        ).select(
+            "media_id",
+            "payload",
+            F.lit("image/ppm").alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        r = extract_features(df, decoder=real_decoder).collect()[0]
+        assert r.feature_dim == 8
+        # width/height land in the first two features via feature_norm
+        feats = real_decoder(pay, "image/ppm")
+        assert feats[0] == 96 and feats[1] == 40
+        assert r.feature_norm == sum(x * x for x in feats)

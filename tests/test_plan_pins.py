@@ -87,6 +87,12 @@ PINNED = [
     # the staged index + the Arrow-only edit-batch assignment (no standing
     # corpus shuffle may ever reappear in this plan)
     "similarity_incremental_ivf_delete",
+    # round-9: the surprisal-band gate must stay a doc-keyed join of the
+    # two-shuffle surprisal relation onto the one-scan quality relation
+    # (no extra text shuffle); span status composes three doc-keyed joins
+    # on top of the e2e + span plans
+    "sample_surprisal_gated",
+    "curation_span_status",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -320,3 +320,97 @@ class TestBandNullKeys:
         assert null_bands == {-1}
         offsets = _band_offsets(banded, "v")
         assert banded.join(offsets, "__band").count() == 21
+
+
+class TestSurprisalGate:
+    """The r9 surprisal-band quality gate (VERDICT r8 #6): acceptance
+    bands pinned across surprisal bands."""
+
+    def test_acceptance_pinned_per_band(self, spark, sf_dir):
+        """Every kept row's accept_pct equals n_checks * band rate, and the
+        tail band NEVER survives (its rate is 0)."""
+        from ting_data_etl_spark.functions.text import quality_checks
+        from ting_data_etl_spark.operators.sampling import (
+            SURPRISAL_BAND_PCT,
+            sample_surprisal_gated,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        out = sample_surprisal_gated(spark, sf_dir).cache()
+        assert out.filter(F.col("band") == "tail").count() == 0
+        checks = load_table(spark, sf_dir, "documents").select(
+            "doc_id", quality_checks(F.col("text")).alias("n_checks")
+        )
+        joined = out.join(checks, "doc_id")
+        for band, pct in SURPRISAL_BAND_PCT.items():
+            bad = joined.filter(
+                (F.col("band") == band)
+                & (F.col("accept_pct") != F.col("n_checks") * pct)
+            ).count()
+            assert bad == 0, f"accept_pct drifted from pin in band {band}"
+        # acceptance implies the salted coin passed: accept_pct > bucket
+        from ting_data_etl_spark.operators.sampling import _bucket
+
+        leak = out.filter(
+            _bucket(F.col("doc_id"), "qsurp") >= F.col("accept_pct")
+        ).count()
+        assert leak == 0
+        out.unpersist()
+
+    def test_band_test_is_exact_integer_arithmetic(self, spark, sf_dir):
+        """The band assignment from the fixed-point accumulator must agree
+        with banding the float mean — on this corpus no doc sits close
+        enough to a bound for float error, so disagreement = logic bug."""
+        from ting_data_etl_spark.operators.sampling import (
+            SURPRISAL_HEAD_MAX,
+            SURPRISAL_TAIL_MIN,
+            sample_surprisal_gated,
+        )
+        from ting_data_etl_spark.operators.text_queries import (
+            text_unigram_surprisal,
+        )
+
+        means = text_unigram_surprisal(spark, sf_dir).select(
+            "doc_id", "mean_surprisal"
+        )
+        got = sample_surprisal_gated(spark, sf_dir).join(means, "doc_id")
+        mism = got.filter(
+            (
+                (F.col("mean_surprisal") < SURPRISAL_HEAD_MAX)
+                & (F.col("band") != "head")
+            )
+            | (
+                (F.col("mean_surprisal") >= SURPRISAL_TAIL_MIN)
+                & (F.col("band") != "tail")
+            )
+            | (
+                (F.col("mean_surprisal") >= SURPRISAL_HEAD_MAX)
+                & (F.col("mean_surprisal") < SURPRISAL_TAIL_MIN)
+                & (F.col("band") != "middle")
+            )
+        ).count()
+        assert mism == 0
+
+    def test_all_bands_populated_prefilter(self, spark, sf_dir):
+        """The fixture corpus must exercise all three bands BEFORE the
+        coin flip (tail is dropped by rate, so check the banded relation
+        via the surprisal means)."""
+        from ting_data_etl_spark.operators.sampling import (
+            SURPRISAL_HEAD_MAX,
+            SURPRISAL_TAIL_MIN,
+        )
+        from ting_data_etl_spark.operators.text_queries import (
+            text_unigram_surprisal,
+        )
+
+        m = text_unigram_surprisal(spark, sf_dir).cache()
+        assert m.filter(F.col("mean_surprisal") < SURPRISAL_HEAD_MAX).count() > 0
+        assert m.filter(F.col("mean_surprisal") >= SURPRISAL_TAIL_MIN).count() > 0
+        assert (
+            m.filter(
+                (F.col("mean_surprisal") >= SURPRISAL_HEAD_MAX)
+                & (F.col("mean_surprisal") < SURPRISAL_TAIL_MIN)
+            ).count()
+            > 0
+        )
+        m.unpersist()

@@ -10,14 +10,31 @@ fragments (shared RE2/Java-safe subset, the pii-module convention).
 Canonicalization steps (order matters):
 
 1. trim; drop the fragment (``#...``);
-2. lowercase the scheme and the host[:port] (path/query case preserved —
-   paths are case-sensitive per RFC 3986);
+2. drop userinfo (``user:pass@`` — host starts after the LAST ``@`` in the
+   authority, the WHATWG parse rule); lowercase the scheme and the
+   host[:port] (path/query case preserved — paths are case-sensitive per
+   RFC 3986); strip the FQDN trailing dot (``example.com.`` ==
+   ``example.com``);
 3. strip the scheme's default port (``:80`` http, ``:443`` https);
-4. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``, ``ref``),
+4. percent-encoding normalization over path+query (RFC 3986 §6.2.2):
+   uppercase the hex digits of every valid escape (``%2f`` → ``%2F``) and
+   DECODE escapes of unreserved characters (``%6F`` → ``o``, ``%7E`` →
+   ``~``); reserved escapes stay encoded, invalid escapes pass through
+   verbatim. Safe to apply before query splitting: no unreserved decode
+   can produce ``?`` ``&`` ``=`` ``#`` (all reserved);
+5. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``, ``ref``),
    preserving the relative order of the surviving parameters (order is
    semantic for some endpoints; sorting is a lossier variant some
    pipelines choose — documented, not done);
-5. empty path → ``/``; empty surviving query → no ``?``.
+6. empty path → ``/``; empty surviving query → no ``?``.
+
+IDN hosts: the expressible-in-both-engines subset is Unicode lowercasing +
+trailing-dot stripping (done here). FULL IDNA (Unicode host → ``xn--``
+punycode) is an algorithm, not a regex — :func:`idna_host_udf` provides it
+as an Arrow-batched Pandas UDF over Python's stdlib ``idna`` codec for
+ingestion-time use; the registered hash-matched dedup query stays on the
+pure-expression form (RE2 has no IDNA, so a UDF step would demote the
+oracle to rows-only).
 
 The reference engine (ting-data-etl) has no URL handling; this extends the
 LLM-pipeline dedup family per the round-7 verdict.
@@ -25,13 +42,56 @@ LLM-pipeline dedup family per the round-7 verdict.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: scheme prefix matcher (RFC 3986 scheme chars) — shared subset, no \s
 _SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
-#: tracking parameters dropped by step 4
+#: tracking parameters dropped by step 5
 TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)="
+#: two uppercase hex digits — a valid percent-escape body
+_HEX2_RE = "^[0-9A-F]{2}$"
+
+
+def _pct_fix_segment(p: Column) -> Column:
+    """Normalize ONE post-``%`` split segment (step 4 worker).
+
+    The segment's first two chars are the escape's hex body when valid:
+    unreserved code points decode, valid escapes re-emit with uppercase
+    hex, invalid escapes re-emit verbatim (with their ``%``).
+    """
+    hex2 = F.upper(F.substring(p, 1, 2))
+    valid = hex2.rlike(_HEX2_RE)
+    code = F.conv(hex2, 16, 10).cast("int")
+    unreserved = (
+        ((code >= 48) & (code <= 57))  # 0-9
+        | ((code >= 65) & (code <= 90))  # A-Z
+        | ((code >= 97) & (code <= 122))  # a-z
+        | code.isin(45, 46, 95, 126)  # - . _ ~
+    )
+    rest = F.substring(p, 3, 2147483647)
+    return (
+        F.when(valid & unreserved, F.concat(F.char(code), rest))
+        .when(valid, F.concat(F.lit("%"), hex2, rest))
+        .otherwise(F.concat(F.lit("%"), p))
+    )
+
+
+def pct_normalize(col: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization (Column form).
+
+    Split on ``%`` (lossless — the join restores it), fix each escape
+    segment, reassemble. Strings without ``%`` pass through untouched;
+    a trailing bare ``%`` survives as itself (invalid escape, empty tail).
+    """
+    parts = F.split(col, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.concat(
+        head, F.array_join(F.transform(tail, _pct_fix_segment), "")
+    )
 
 
 def canonical_url(col: Column | str) -> Column:
@@ -40,7 +100,13 @@ def canonical_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, "#.*", "")  # fragment off first
     scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    hostport = F.lower(
+        # userinfo off: host starts after the LAST @ (greedy .*)
+        F.regexp_replace(F.regexp_extract(rest, "^([^/?]+)", 1), "^.*@", "")
+    )
+    # FQDN trailing dot: before the port ("example.com.:8080") and bare
+    hostport = F.regexp_replace(hostport, r"\.(:[0-9]+)$", "$1")
+    hostport = F.regexp_replace(hostport, r"\.$", "")
     host = (
         F.when(
             scheme == "https", F.regexp_replace(hostport, ":443$", "")
@@ -48,7 +114,7 @@ def canonical_url(col: Column | str) -> Column:
         .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
         .otherwise(hostport)
     )
-    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    pathq = pct_normalize(F.regexp_replace(rest, "^[^/?]*", ""))
     path = F.regexp_extract(pathq, "^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
@@ -66,6 +132,27 @@ def canonical_url(col: Column | str) -> Column:
     )
 
 
+def sql_pct_normalize(expr: str) -> str:
+    """DuckDB twin of :func:`pct_normalize` — same split/fix/join shape."""
+    parts = f"str_split({expr}, '%')"
+    fix = (
+        "CASE WHEN regexp_matches(upper(substr(p, 1, 2)), '{hex2}') THEN "
+        "  CASE WHEN ("
+        "    (CAST('0x' || upper(substr(p, 1, 2)) AS INTEGER) BETWEEN 48 AND 57) OR "
+        "    (CAST('0x' || upper(substr(p, 1, 2)) AS INTEGER) BETWEEN 65 AND 90) OR "
+        "    (CAST('0x' || upper(substr(p, 1, 2)) AS INTEGER) BETWEEN 97 AND 122) OR "
+        "    CAST('0x' || upper(substr(p, 1, 2)) AS INTEGER) IN (45, 46, 95, 126)) "
+        "  THEN chr(CAST('0x' || upper(substr(p, 1, 2)) AS INTEGER)) || substr(p, 3) "
+        "  ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3) END "
+        "ELSE '%' || p END"
+    ).format(hex2=_HEX2_RE)
+    # COALESCE: DuckDB's array_to_string([]) is NULL, not '' (probed)
+    return (
+        f"({parts}[1] || COALESCE(array_to_string("
+        f"list_transform({parts}[2:], p -> {fix}), ''), ''))"
+    )
+
+
 def sql_canonical_url(expr: str) -> str:
     """DuckDB twin of :func:`canonical_url` — same steps, same regexes.
 
@@ -77,7 +164,12 @@ def sql_canonical_url(expr: str) -> str:
     u = f"regexp_replace(trim({expr}), '#.*', '')"
     scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
     rest = f"regexp_replace({u}, '{_SCHEME_RE}', '')"
-    hostport = f"lower(regexp_extract({rest}, '^([^/?]+)', 1))"
+    hostport = (
+        f"lower(regexp_replace(regexp_extract({rest}, '^([^/?]+)', 1), "
+        "'^.*@', ''))"
+    )
+    hostport = f"regexp_replace({hostport}, '\\.(:[0-9]+)$', '\\1')"
+    hostport = f"regexp_replace({hostport}, '\\.$', '')"
     host = (
         f"CASE WHEN {scheme} = 'https' "
         f"THEN regexp_replace({hostport}, ':443$', '') "
@@ -85,7 +177,7 @@ def sql_canonical_url(expr: str) -> str:
         f"THEN regexp_replace({hostport}, ':80$', '') "
         f"ELSE {hostport} END"
     )
-    pathq = f"regexp_replace({rest}, '^[^/?]*', '')"
+    pathq = sql_pct_normalize(f"regexp_replace({rest}, '^[^/?]*', '')")
     path_raw = f"regexp_extract({pathq}, '^([^?]*)', 1)"
     path = f"CASE WHEN {path_raw} = '' THEN '/' ELSE {path_raw} END"
     query = f"regexp_extract({pathq}, '\\?(.*)$', 1)"
@@ -97,3 +189,31 @@ def sql_canonical_url(expr: str) -> str:
         f"({scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {qjoin} <> '' THEN '?' || {qjoin} ELSE '' END)"
     )
+
+
+def idna_host_udf():
+    """Arrow-batched IDNA host encoder: Unicode host → ``xn--`` punycode.
+
+    Full IDNA is an algorithm (RFC 3490 via Python's stdlib ``idna``
+    codec), not a regex — so it lives OUTSIDE the hash-matched dedup query
+    (DuckDB cannot twin it) as an ingestion-time normalizer a crawl
+    pipeline maps over its url column before :func:`canonical_url`.
+    Already-ASCII hosts pass through unchanged; hosts the codec rejects
+    (empty labels, length violations) pass through unchanged rather than
+    dropping the row — canonicalization must never lose a document.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _encode(hosts: pd.Series) -> pd.Series:
+        def enc(h):
+            if h is None:
+                return None
+            try:
+                return h.encode("idna").decode("ascii")
+            except (UnicodeError, UnicodeDecodeError):
+                return h
+
+        return hosts.map(enc)
+
+    return _encode

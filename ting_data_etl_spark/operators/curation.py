@@ -437,3 +437,113 @@ def curation_e2e_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labeled, "doc_id")
         .select("doc_id", status.alias("status"))
     )
+
+
+# --- span-level curation status (Lee et al. 2022 pipeline shape) -------------
+def _sql_span_status() -> str:
+    """Composite oracle: the e2e document verdicts + the gaps-and-islands
+    repeated-span chain, one statement. The span CTEs are ``span``-prefixed
+    (text_queries.sql_span_ctes) and read this module's ``ctok``, so the
+    three chains compose without collision."""
+    from ting_data_etl_spark.operators.dedup import (
+        _sql_closure_ctes,
+        _sql_minhash_pairs_cte,
+    )
+    from ting_data_etl_spark.operators.text_queries import sql_span_ctes
+
+    return f"""
+{_sql_minhash_pairs_cte(recursive=True)},
+{_sql_closure_ctes()},
+{_SQL_TOKS},
+{_sql_gopher_ctes()},
+{_sql_contam_ctes()},
+{sql_span_ctes("ctok")},
+span_removed AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS removed
+  FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, len(t.toks) AS n_toks,
+         CASE WHEN d.doc_id % {BENCHMARK_MOD} = 0 THEN 'benchmark'
+              WHEN g.passes_gopher = 0 THEN 'low_quality'
+              WHEN COALESCE(ct.flagged, 0) = 1 THEN 'contaminated'
+              WHEN l.component <> d.doc_id THEN 'duplicate'
+              ELSE 'kept' END AS status
+  FROM documents d
+  JOIN ctok t ON d.doc_id = t.doc_id
+  JOIN gop g ON d.doc_id = g.doc_id
+  LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+  JOIN labeled l ON d.doc_id = l.doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN b.status = 'kept' AND COALESCE(sr.removed, 0) > 0
+            THEN 'kept_trimmed' ELSE b.status END AS status,
+       CAST(CASE WHEN b.status = 'kept' THEN COALESCE(sr.removed, 0)
+                 ELSE 0 END AS BIGINT) AS span_tokens_removed,
+       CASE WHEN b.status = 'kept' AND b.n_toks > 0
+            THEN CAST(COALESCE(sr.removed, 0) AS DOUBLE) / b.n_toks
+            ELSE 0.0 END AS token_fraction_removed
+FROM base b LEFT JOIN span_removed sr ON b.doc_id = sr.doc_id
+"""
+
+
+@register("curation_span_status", oracle=_sql_span_status)
+def curation_span_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document verdicts + span-granular trim accounting, one relation.
+
+    The full Lee et al. 2022 pipeline shape (VERDICT r8 #5): document-level
+    dedup drops whole near-duplicates, then SUBSTRING-level dedup trims the
+    repeated spans that survive inside kept documents. Precedence is fixed
+    and document-verdicts-first: ``benchmark`` / ``low_quality`` /
+    ``contaminated`` / ``duplicate`` documents are dropped whole, so their
+    span accounting is zero BY DEFINITION (removing spans from a dropped
+    document is meaningless); only ``kept`` documents are trimmed, and a
+    kept document that loses at least one span reports as ``kept_trimmed``
+    with its removed-token count and fraction (maximal spans from the
+    gaps-and-islands merge are disjoint per document, so the sum IS the
+    removed-token count — no overlap correction needed).
+
+    Plan: the e2e status plan (codegen gate + broadcast contamination +
+    iterative CC) joined on ``doc_id`` to the span finder's per-doc rollup
+    and the token counts — three doc-keyed joins on top of two already-
+    verified pipelines; nothing new shuffles text. The oracle rebuilds all
+    three CTE chains (recursive closure, gopher/contam, span islands) in
+    one DuckDB statement and hash-checks status, counts, and fractions.
+    """
+    from ting_data_etl_spark.functions.text import tokens
+    from ting_data_etl_spark.operators.text_queries import (
+        dedup_repeated_substrings,
+    )
+
+    base = curation_e2e_status(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    ntok = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+    removed = (
+        dedup_repeated_substrings(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("long").alias("removed"))
+    )
+    kept = F.col("status") == "kept"
+    removed0 = F.coalesce(F.col("removed"), F.lit(0))
+    return (
+        base.join(ntok, "doc_id")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(kept & (removed0 > 0), F.lit("kept_trimmed"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+            F.when(kept, removed0)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("span_tokens_removed"),
+            F.when(
+                kept & (F.col("n_toks") > 0),
+                removed0.cast("double") / F.col("n_toks"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("token_fraction_removed"),
+        )
+    )

@@ -1535,7 +1535,8 @@ def graph_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: an adversarial one deterministically from (doc_id, source): every
 #: URL_GROUP_SIZE consecutive doc_ids share one logical page, decorated per
 #: doc with the variations canonicalization must collapse (scheme/host
-#: case, default port, fragment, tracking params). The derivation is
+#: case, default port, fragment, tracking params; r9: userinfo, FQDN
+#: trailing dot, %-encoding case + unreserved escapes). The derivation is
 #: fixture plumbing expressed identically on both engines; the OPERATOR is
 #: ``functions.url.canonical_url``, which runs unchanged on a real url
 #: column at corpus scale.
@@ -1548,7 +1549,10 @@ def _adversarial_url_spark() -> F.Column:
     )
     host = F.concat(F.lit("site"), (grp % 37).cast("string"), F.lit(".example.com"))
     path = F.concat(F.lit("/docs/"), grp.cast("string"))
-    v = F.col("doc_id") % 6
+    # r9: /d%6Fcs/ decodes to /docs/ (unreserved %-escape, upper+lower hex)
+    enc_path = F.concat(F.lit("/d%6Fcs/"), grp.cast("string"))
+    enc_path_lower = F.concat(F.lit("/d%6fcs/"), grp.cast("string"))
+    v = F.col("doc_id") % 9
     return (
         F.when(v == 0, F.concat(F.lit("https://"), host, path))
         .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host), path))
@@ -1575,7 +1579,8 @@ def _adversarial_url_spark() -> F.Column:
                 (F.col("doc_id") % 5).cast("string"),
             ),
         )
-        .otherwise(
+        .when(
+            v == 5,
             F.concat(
                 F.lit("https://"),
                 F.upper(host),
@@ -1584,6 +1589,20 @@ def _adversarial_url_spark() -> F.Column:
                 grp.cast("string"),
                 F.lit("&fbclid=x"),
                 (F.col("doc_id") % 4).cast("string"),
+            ),
+        )
+        # r9 hardening variants (userinfo / FQDN dot / %-encoding)
+        .when(
+            v == 6,
+            F.concat(F.lit("https://crawler:tok@"), host, path),
+        )
+        .when(
+            v == 7,
+            F.concat(F.lit("https://"), host, F.lit("."), enc_path),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://"), F.upper(host), F.lit(".:443"), enc_path_lower
             )
         )
     )
@@ -1594,7 +1613,9 @@ def _sql_adversarial_url() -> str:
     grp = f"CAST((doc_id - doc_id % {g}) / {g} AS BIGINT)"
     host = f"'site' || CAST({grp} % 37 AS VARCHAR) || '.example.com'"
     path = f"'/docs/' || CAST({grp} AS VARCHAR)"
-    return f"""CASE doc_id % 6
+    enc_path = f"'/d%6Fcs/' || CAST({grp} AS VARCHAR)"
+    enc_path_lower = f"'/d%6fcs/' || CAST({grp} AS VARCHAR)"
+    return f"""CASE doc_id % 9
       WHEN 0 THEN 'https://' || {host} || {path}
       WHEN 1 THEN 'HTTPS://' || upper({host}) || {path}
       WHEN 2 THEN 'https://' || {host} || ':443' || {path}
@@ -1603,9 +1624,12 @@ def _sql_adversarial_url() -> str:
                   || CAST(doc_id % 3 AS VARCHAR) || '&id=' || CAST({grp} AS VARCHAR)
       WHEN 4 THEN 'https://' || {host} || {path}
                   || '#sec-' || CAST(doc_id % 5 AS VARCHAR)
-      ELSE 'https://' || upper({host}) || {path}
+      WHEN 5 THEN 'https://' || upper({host}) || {path}
            || '?id=' || CAST({grp} AS VARCHAR)
            || '&fbclid=x' || CAST(doc_id % 4 AS VARCHAR)
+      WHEN 6 THEN 'https://crawler:tok@' || {host} || {path}
+      WHEN 7 THEN 'https://' || {host} || '.' || {enc_path}
+      ELSE 'HTTPS://' || upper({host}) || '.:443' || {enc_path_lower}
     END"""
 
 

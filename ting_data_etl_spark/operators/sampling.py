@@ -515,12 +515,14 @@ def sample_per_group_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_ACCEPT_PCT_PER_CHECK = 30
 
 
-def _sql_quality_sample() -> str:
+def _sql_quality_ctes() -> str:
+    """Quality-gate CTE chain ending in ``c`` (doc_id, source, n_checks) —
+    shared by the plain quality sampler and the r9 surprisal-band gate.
+    Requires ``tok`` in scope."""
     from ting_data_etl_spark.functions.text import WS_CHARS
-    from ting_data_etl_spark.operators.text_queries import _SQL_TOKS, _sql_hits
+    from ting_data_etl_spark.operators.text_queries import _sql_hits
 
     return f"""
-WITH {_SQL_TOKS},
 m AS (
   SELECT doc_id, source,
          length(text) AS n,
@@ -539,7 +541,15 @@ c AS (
                             ELSE 0.0 END) >= 0.05 THEN 1 ELSE 0 END
          ) AS n_checks
   FROM m
-)
+)"""
+
+
+def _sql_quality_sample() -> str:
+    from ting_data_etl_spark.operators.text_queries import _SQL_TOKS
+
+    return f"""
+WITH {_SQL_TOKS},
+{_sql_quality_ctes()}
 SELECT doc_id, source,
        CAST(n_checks * {QUALITY_ACCEPT_PCT_PER_CHECK} AS INTEGER) AS accept_pct
 FROM c
@@ -643,4 +653,124 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_total").cast("long").alias("n_total"),
         F.max("accept_pct").alias("accept_pct"),
         F.count("*").alias("n_kept"),
+    )
+
+
+# --- surprisal-band quality gate (CCNet/RedPajama shape) ---------------------
+#: Integer band bounds on the per-document mean unigram surprisal (linear
+#: space, see text_queries.SURPRISAL_SCALE). CCNet buckets documents into
+#: head/middle/tail by LM perplexity and keeps the head preferentially; the
+#: distributed proxy is the corpus-unigram surprisal. The band test is pure
+#: integer arithmetic on the fixed-point accumulator — s_fixed < bound *
+#: n_tokens * SCALE — so it is EXACT and engine-identical, never a float
+#: mean comparison (a doc sitting on the boundary cannot flip between
+#: engines). Bounds chosen so all three bands are populated on the
+#: synthetic corpus (head ~40%, middle ~55%, tail ~5%).
+SURPRISAL_HEAD_MAX = 30
+SURPRISAL_TAIL_MIN = 40
+#: Acceptance percentage PER PASSED QUALITY CHECK by band: the head keeps
+#: the plain sampler's 30%/check, the middle is downweighted, the tail —
+#: the gibberish/OCR-noise bucket CCNet drops — is rejected outright
+#: regardless of its other quality gates.
+SURPRISAL_BAND_PCT = {"head": 30, "middle": 20, "tail": 0}
+
+
+def _sql_surprisal_gate() -> str:
+    from ting_data_etl_spark.operators.text_queries import (
+        _SQL_TOKS,
+        SURPRISAL_SCALE,
+        sql_surprisal_ctes,
+    )
+
+    return f"""
+WITH {_SQL_TOKS},
+{_sql_quality_ctes()},
+{sql_surprisal_ctes("tok")},
+banded AS (
+  SELECT c.doc_id, c.source, c.n_checks,
+         CASE WHEN s.s_fixed < {SURPRISAL_HEAD_MAX} * s.n_tokens * {SURPRISAL_SCALE}
+              THEN 'head'
+              WHEN s.s_fixed >= {SURPRISAL_TAIL_MIN} * s.n_tokens * {SURPRISAL_SCALE}
+              THEN 'tail'
+              ELSE 'middle' END AS band
+  FROM c JOIN surp s ON c.doc_id = s.doc_id
+),
+scored AS (
+  SELECT doc_id, source, band,
+         CAST(n_checks * CASE band WHEN 'head' THEN {SURPRISAL_BAND_PCT['head']}
+                                   WHEN 'middle' THEN {SURPRISAL_BAND_PCT['middle']}
+                                   ELSE {SURPRISAL_BAND_PCT['tail']} END
+              AS INTEGER) AS accept_pct
+  FROM banded
+)
+SELECT doc_id, source, band, accept_pct
+FROM scored
+WHERE {_sql_bucket("doc_id", "qsurp")} < accept_pct
+"""
+
+
+@register("sample_surprisal_gated", oracle=_sql_surprisal_gate)
+def sample_surprisal_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality sampling with the perplexity-proxy band gate (VERDICT r8 #6).
+
+    ``sample_quality_weighted`` accepts on gopher-ish gate counts alone;
+    CCNet/RedPajama's actual selection knob is the LM-perplexity band.
+    This gate composes both: a document's acceptance percentage is its
+    passed-gate count times a PER-BAND rate — head documents (low mean
+    unigram surprisal = common, fluent text) keep the full 30%/check,
+    middle 20%/check, tail (rare-token-heavy: gibberish, OCR noise,
+    boilerplate codes) dropped outright. The coin is the salted md5 bucket
+    (salt ``qsurp``), so the decision is reproducible and independent of
+    the plain sampler's.
+
+    Determinism: the band test compares the EXACT decimal(38,0) fixed-point
+    accumulator against ``bound * n_tokens * SCALE`` — integer arithmetic
+    on both engines, no float mean anywhere in the decision path.
+
+    Plan: the surprisal stats (two fixed-width-key shuffles, broadcast
+    totals) join the one-scan quality relation on doc_id; the gate itself
+    is a codegen predicate. Zero-token documents have no surprisal row and
+    drop out (no evidence -> not sampled), matching the oracle's inner
+    join.
+    """
+    from ting_data_etl_spark.functions.text import quality_checks
+    from ting_data_etl_spark.operators.text_queries import (
+        SURPRISAL_SCALE,
+        surprisal_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    checks = d.select(
+        "doc_id", "source", quality_checks(F.col("text")).alias("n_checks")
+    )
+    s = surprisal_stats(spark, sf_dir).select("doc_id", "n_tokens", "s_fixed")
+    scale = F.lit(SURPRISAL_SCALE)
+    band = (
+        F.when(
+            F.col("s_fixed")
+            < F.lit(SURPRISAL_HEAD_MAX) * F.col("n_tokens") * scale,
+            F.lit("head"),
+        )
+        .when(
+            F.col("s_fixed")
+            >= F.lit(SURPRISAL_TAIL_MIN) * F.col("n_tokens") * scale,
+            F.lit("tail"),
+        )
+        .otherwise(F.lit("middle"))
+    )
+    band_pct = (
+        F.when(F.col("band") == "head", F.lit(SURPRISAL_BAND_PCT["head"]))
+        .when(F.col("band") == "middle", F.lit(SURPRISAL_BAND_PCT["middle"]))
+        .otherwise(F.lit(SURPRISAL_BAND_PCT["tail"]))
+    )
+    return (
+        checks.join(s, "doc_id")
+        .withColumn("band", band)
+        .select(
+            "doc_id",
+            "source",
+            "band",
+            (F.col("n_checks") * band_pct).cast("int").alias("accept_pct"),
+        )
+        .filter(_bucket(F.col("doc_id"), "qsurp") < F.col("accept_pct"))
     )

@@ -596,33 +596,47 @@ def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 REPEAT_L = 8
 
 
-def _sql_repeated_substrings() -> str:
-    """Gaps-and-islands twin of the anchor/merge plan (call-time builder —
-    a REPEAT_L retune moves both engines together)."""
+def sql_span_ctes(tok_rel: str = "tok") -> str:
+    """Gaps-and-islands CTE chain for repeated spans, ending in ``spans``
+    (doc_id, span_start, span_end, span_tokens). Composable: *tok_rel*
+    names any in-scope (doc_id, toks) relation, and every CTE is
+    ``span``-prefixed so the chain can sit next to the curation / minhash
+    chains without collision (the r9 span-status oracle does exactly
+    that). Call-time builder — a REPEAT_L retune moves both engines
+    together."""
     return f"""
-WITH {_SQL_TOKS},
-c AS (
-  SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= {REPEAT_L}
+spanc AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM {tok_rel} WHERE len(toks) >= {REPEAT_L}
 ),
-w AS (
+spanw AS (
   SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
          {_sql_sh(f"array_to_string(list_slice(toks, t.i + 1, t.i + {REPEAT_L}), ' ')")} AS h
-  FROM c, UNNEST(range(0, c.n - {REPEAT_L} + 1)) AS t(i)
+  FROM spanc, UNNEST(range(0, spanc.n - {REPEAT_L} + 1)) AS t(i)
 ),
-rep AS (
-  SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+spanrep AS (
+  SELECT h FROM spanw GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
 ),
-isl AS (
-  SELECT w.doc_id, w.pos,
-         w.pos - ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS grp
-  FROM w JOIN rep USING (h)
-)
-SELECT doc_id,
-       CAST(MIN(pos) AS INTEGER) AS span_start,
-       CAST(MAX(pos) + {REPEAT_L} AS INTEGER) AS span_end,
-       CAST(MAX(pos) + {REPEAT_L} - MIN(pos) AS INTEGER) AS span_tokens
-FROM isl
-GROUP BY doc_id, grp
+spanisl AS (
+  SELECT spanw.doc_id, spanw.pos,
+         spanw.pos - ROW_NUMBER() OVER (PARTITION BY spanw.doc_id ORDER BY spanw.pos) AS grp
+  FROM spanw JOIN spanrep USING (h)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS INTEGER) AS span_start,
+         CAST(MAX(pos) + {REPEAT_L} AS INTEGER) AS span_end,
+         CAST(MAX(pos) + {REPEAT_L} - MIN(pos) AS INTEGER) AS span_tokens
+  FROM spanisl
+  GROUP BY doc_id, grp
+)"""
+
+
+def _sql_repeated_substrings() -> str:
+    return f"""
+WITH {_SQL_TOKS},
+{sql_span_ctes("tok")}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
 """
 
 
@@ -769,37 +783,55 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Fixed-point units for the per-token surprisal weight (3 decimals). The
 #: weight itself is ONE IEEE divide over exact integers; scaling to BIGINT
 #: before the per-document sum makes the document mean order-independent
-#: (same discipline as cleaning.sum_exact). Headroom: the per-doc
-#: accumulator is SUM(tf·q) with q ≈ (T+V)·1000/(c+1) ≤ (T+V)·500 (c ≥ 1),
-#: so int64 holds corpora to T ≈ 1e11 tokens per 100-token doc; past that,
-#: drop the scale or switch the accumulator to decimal(38,0) — same plan.
+#: (same discipline as cleaning.sum_exact). Headroom (r9, ADVICE fix): the
+#: per-doc accumulator is SUM(tf·q) with q ≈ (T+V)·1000/(c+1) ≤ (T+V)·500
+#: (c ≥ 1). The Spark side accumulates in decimal(38,0) — exact to 10³⁸,
+#: i.e. corpora far past 10²⁰ tokens — so it can no longer wrap silently
+#: where the DuckDB twin's HUGEINT promotion stays exact; the tf·q PRODUCT
+#: is also computed in decimal so the multiply itself can't wrap either.
 SURPRISAL_SCALE = 1000
+
+def sql_surprisal_ctes(tok_rel: str = "tok") -> str:
+    """Surprisal CTE chain ending in ``surp`` (doc_id, n_tokens, n_hapax,
+    s_fixed) — the fixed-point per-document accumulator relation, exact
+    integers end to end (DuckDB promotes the SUM to HUGEINT). Composable:
+    the r9 surprisal-band sampling gate joins ``surp`` next to the quality
+    CTEs; CTE names are ``s``-prefixed to avoid collisions."""
+    return f"""
+stf AS (
+  SELECT doc_id, t AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM {tok_rel})
+  GROUP BY 1, 2
+),
+scnt AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM stf GROUP BY 1),
+stot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_total, CAST(COUNT(*) AS BIGINT) AS v
+  FROM scnt
+),
+sq AS (
+  SELECT token, c,
+         CAST(ROUND((stot.t_total + stot.v) / (c + 1) * {SURPRISAL_SCALE})
+              AS BIGINT) AS q
+  FROM scnt CROSS JOIN stot
+),
+surp AS (
+  SELECT stf.doc_id,
+         CAST(SUM(stf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN sq.c = 1 THEN stf.tf ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+         SUM(stf.tf * sq.q) AS s_fixed
+  FROM stf JOIN sq USING (token)
+  GROUP BY stf.doc_id
+)"""
+
 
 _SQL_SURPRISAL = f"""
 WITH {_SQL_TOKS},
-tf AS (
-  SELECT doc_id, t AS token, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
-  GROUP BY 1, 2
-),
-cnt AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
-tot AS (
-  SELECT CAST(SUM(c) AS BIGINT) AS t_total, CAST(COUNT(*) AS BIGINT) AS v
-  FROM cnt
-),
-q AS (
-  SELECT token, c,
-         CAST(ROUND((tot.t_total + tot.v) / (c + 1) * {SURPRISAL_SCALE})
-              AS BIGINT) AS q
-  FROM cnt CROSS JOIN tot
-)
-SELECT tf.doc_id,
-       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       CAST(SUM(CASE WHEN q.c = 1 THEN tf.tf ELSE 0 END) AS BIGINT) AS n_hapax,
-       CAST(SUM(tf.tf * q.q) AS DOUBLE) / SUM(tf.tf) / {SURPRISAL_SCALE}.0
+{sql_surprisal_ctes("tok")}
+SELECT doc_id, n_tokens, n_hapax,
+       CAST(s_fixed AS DOUBLE) / n_tokens / {SURPRISAL_SCALE}.0
          AS mean_surprisal
-FROM tf JOIN q USING (token)
-GROUP BY tf.doc_id
+FROM surp
 """
 
 
@@ -827,6 +859,31 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     second shuffle carries |vocab| rows (Zipf: millions, not trillions) and
     AQE broadcasts the weight table when it fits. Zero-token documents have
     no tf rows and drop out on both engines.
+    """
+    s = surprisal_stats(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_hapax",
+        (
+            F.col("s_fixed").cast("double")
+            / F.col("n_tokens")
+            / F.lit(float(SURPRISAL_SCALE))
+        ).alias("mean_surprisal"),
+    )
+
+
+def surprisal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fixed-point surprisal accumulators — the shared core.
+
+    Returns (doc_id, n_tokens, n_hapax, s_fixed) where ``s_fixed`` is the
+    EXACT integer Σ tf·q in decimal(38,0) (ADVICE r8 fix: int64 would wrap
+    silently past ~1e11 corpus tokens while the DuckDB twin's HUGEINT
+    stayed exact; decimal(38,0) matches the twin to 10³⁸ — the tf·q
+    product is computed in decimal too, so the multiply can't wrap
+    either). Both the registered surprisal query and the r9 surprisal-band
+    sampling gate derive from this relation; band thresholds compare
+    ``s_fixed`` against integer bounds, never a float mean.
     """
     from ting_data_etl_spark.functions.text import tokens
 
@@ -859,10 +916,8 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") == 1, F.col("tf")).otherwise(0)).alias(
                 "n_hapax"
             ),
-            (
-                F.sum(F.col("tf") * F.col("q")).cast("double")
-                / F.sum("tf")
-                / F.lit(float(SURPRISAL_SCALE))
-            ).alias("mean_surprisal"),
+            F.sum(F.col("tf").cast("decimal(38,0)") * F.col("q")).alias(
+                "s_fixed"
+            ),
         )
     )

@@ -12,7 +12,8 @@ host conditions hits both heads equally, so a real plan regression shows up
 as a stable per-query ratio across both repetitions while host noise shows
 up as disagreement between them.
 
-Usage: python tools/bench_ab.py <worktree_a> <worktree_b> <label_a> <label_b>
+Usage: python tools/bench_ab.py <worktree_a> <worktree_b> <label_a> <label_b> \
+           [reps] [out_name.json]
 """
 
 from __future__ import annotations
@@ -94,9 +95,10 @@ def main() -> None:
         "flagged_over_1p5x": flagged,
         "ratios": ratios,
     }
+    out_name = sys.argv[6] if len(sys.argv) > 6 else "BENCH_AB.json"
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_AB_r08.json",
+        out_name,
     )
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
