@@ -233,3 +233,57 @@ class TestSpanStatus:
         assert mism == 0
         assert out.filter(F.col("status") == "kept_trimmed").count() > 0
         out.unpersist()
+
+
+class TestTrimmedText:
+    def test_trim_applies_exactly_the_accounted_spans(self, spark, sf_dir):
+        """Row set = kept docs; kept docs are byte-identical to their
+        normalized text; trimmed docs lose exactly span_tokens_removed."""
+        from ting_data_etl_spark.functions.text import tokens
+        from ting_data_etl_spark.operators.curation import (
+            curation_span_status,
+            curation_trimmed_text,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        out = curation_trimmed_text(spark, sf_dir).cache()
+        st = curation_span_status(spark, sf_dir).cache()
+        kept_ids = st.filter(
+            F.col("status").isin("kept", "kept_trimmed")
+        ).select("doc_id")
+        assert out.count() == kept_ids.count()
+        assert out.join(kept_ids, "doc_id", "left_anti").count() == 0
+        # untrimmed kept docs: md5 equals the md5 of the full token join
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.md5(F.array_join(tokens(F.col("text")), " ")).alias("full_md5"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        )
+        plain = out.filter(F.col("status") == "kept").join(d, "doc_id")
+        assert (
+            plain.filter(F.col("trimmed_md5") != F.col("full_md5")).count()
+            == 0
+        )
+        assert (
+            plain.filter(F.col("n_tokens_kept") != F.col("n_toks")).count()
+            == 0
+        )
+        # trimmed docs: kept + removed = total, and content changed
+        tr = (
+            out.filter(F.col("status") == "kept_trimmed")
+            .join(st.select("doc_id", "span_tokens_removed"), "doc_id")
+            .join(d, "doc_id")
+        )
+        assert tr.count() > 0
+        assert (
+            tr.filter(
+                F.col("n_tokens_kept") + F.col("span_tokens_removed")
+                != F.col("n_toks")
+            ).count()
+            == 0
+        )
+        assert (
+            tr.filter(F.col("trimmed_md5") == F.col("full_md5")).count() == 0
+        )
+        out.unpersist()
+        st.unpersist()

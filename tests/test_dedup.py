@@ -442,3 +442,87 @@ class TestShingleContainment:
             spark, tmp_path, [(1, text, "s1"), (2, text, "s2")]
         )
         assert dedup_shingle_containment(spark, sf).count() == 0
+
+
+class TestIncrementalMinhashDelete:
+    """Tombstone + re-edit maintenance on the band index (r9)."""
+
+    def test_no_tombstone_leaks_and_batch_only(self, spark, sf_dir):
+        from ting_data_etl_spark.operators import dedup as D
+
+        out = D.dedup_incremental_minhash_delete(spark, sf_dir).cache()
+        leaks = out.filter(
+            F.col("dup_of").isNotNull()
+            & (F.col("dup_of") % D.INCR_DELETE_MOD == D.INCR_DELETE_REM)
+            & (F.col("dup_of") % D.INCR_READD_MOD != D.INCR_READD_REM)
+        ).count()
+        assert leaks == 0
+        bad = out.filter(
+            F.col("doc_id") % D.INCR_BATCH_MOD != D.INCR_BATCH_REM
+        ).count()
+        assert bad == 0
+        out.unpersist()
+
+    def test_matches_oracle_and_differs_from_stale_index(self, spark, sf_dir):
+        """Full parity with the docs2 twin; and planting an exact batch
+        copy of a DELETED doc proves the tombstone is live (base query
+        finds it, delete variant must not)."""
+        import duckdb
+
+        from ting_data_etl_spark.operators import dedup as D
+
+        sdf = (
+            D.dedup_incremental_minhash_delete(spark, sf_dir)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        odf = (
+            con.execute(
+                D._sql_incr_minhash_delete() + " ORDER BY d.doc_id"
+            ).fetchdf()
+        )
+        assert len(sdf) == len(odf)
+        assert sdf["doc_id"].tolist() == odf["doc_id"].tolist()
+        a = sdf["dup_of"].fillna(-1).astype("int64").tolist()
+        b = odf["dup_of"].fillna(-1).astype("int64").tolist()
+        assert a == b
+
+    def test_planted_delete_and_reedit(self, spark, tmp_path):
+        """Planted fixture: doc 14 is DELETED (14%10==4, 14%20!=4) — an
+        exact batch copy of it (doc 21) finds NO dup against the
+        tombstoned index but DOES against the base (stale) index. Doc 24
+        is deleted AND re-added with edited text — a batch copy of the
+        EDITED text (doc 41) must match it."""
+        from ting_data_etl_spark.operators import dedup as D
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        other = "one two three four five six seven eight nine ten " * 6
+        filler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 6
+        edited24 = other + " edited 24"
+        rows = [
+            (14, base, "s"),       # corpus, deleted, NOT re-added
+            (24, other, "s"),      # corpus, deleted AND re-added (edited)
+            (2, filler, "s"),      # corpus, alive
+            (21, base, "s"),       # batch (21%5==1): exact copy of doc 14
+            (41, edited24, "s"),   # batch: copy of 24's EDITED text
+        ]
+        sf = _write_mini_docs(spark, tmp_path, rows)
+        out = {
+            r.doc_id: r
+            for r in D.dedup_incremental_minhash_delete(spark, sf).collect()
+        }
+        # tombstone is live: the copy of the deleted doc finds nothing
+        assert out[21].dup_of is None and not out[21].is_dup
+        # ... while the STALE index (base query, no tombstones) finds it
+        stale = {
+            r.doc_id: r
+            for r in D.dedup_incremental_minhash(spark, sf).collect()
+        }
+        assert stale[21].dup_of == 14
+        # re-added doc matches through its NEW signature
+        assert out[41].dup_of == 24 and out[41].is_dup

@@ -93,6 +93,11 @@ PINNED = [
     # on top of the e2e + span plans
     "sample_surprisal_gated",
     "curation_span_status",
+    # round-9 second wave: the trim is per-row HOFs (zero token explode,
+    # zero UDF) on top of the span rollup; the lexical tombstone variant
+    # keeps the broadcast anti-join + O(edit-batch) re-sign
+    "curation_trimmed_text",
+    "dedup_incremental_minhash_delete",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -547,3 +547,115 @@ def curation_span_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_fraction_removed"),
         )
     )
+
+
+# --- trimmed-text materialization (the curation pipeline's real output) ------
+def _sql_trimmed_text() -> str:
+    """Outer CTE chain rebuilds ctok + the span islands for the trim; the
+    per-document status relation is the FULL span-status statement nested
+    as a subquery (DuckDB scopes its WITH RECURSIVE locally), so the two
+    queries can never disagree about which documents are kept."""
+    from ting_data_etl_spark.operators.text_queries import sql_span_ctes
+
+    return f"""
+WITH {_SQL_TOKS},
+{sql_span_ctes("ctok")},
+st AS (
+  SELECT doc_id, status FROM ({_sql_span_status()}) s
+  WHERE status IN ('kept', 'kept_trimmed')
+),
+tokpos AS (
+  SELECT c.doc_id, CAST(t.i AS INTEGER) AS pos, c.toks[t.i + 1] AS token
+  FROM ctok c JOIN st ON c.doc_id = st.doc_id,
+       UNNEST(range(0, len(c.toks))) AS t(i)
+),
+keptt AS (
+  SELECT tp.doc_id, tp.pos, tp.token
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id
+      AND tp.pos >= s.span_start AND tp.pos < s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+         md5(COALESCE(string_agg(token, ' ' ORDER BY pos), '')) AS trimmed_md5
+  FROM keptt GROUP BY doc_id
+)
+SELECT st.doc_id, st.status,
+       COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+       COALESCE(a.trimmed_md5, md5('')) AS trimmed_md5
+FROM st LEFT JOIN agg a ON st.doc_id = a.doc_id
+"""
+
+
+@register("curation_trimmed_text", oracle=_sql_trimmed_text)
+def curation_trimmed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the span trim: the post-curation corpus, content-checksummed.
+
+    ``curation_span_status`` accounts for what would be removed; this
+    operator performs the removal — for every kept document, drop the
+    tokens inside repeated spans and emit the surviving token count plus
+    an md5 of the space-rejoined trimmed text (the checksum stands in for
+    writing the corpus out, so the oracle can verify CONTENT, not just
+    counts). Dropped documents don't appear: this relation IS the corpus
+    a training run would read.
+
+    Plan shape — the trim never shuffles text: the token array stays a
+    per-row value from the scan; spans arrive as a doc-keyed rollup
+    (small fixed-width rows) and the removal is a JVM higher-order
+    ``filter(transform(toks, (x, i) -> ...), p -> !exists(spans, ...))``
+    over each row — zero token-level explode, zero UDF. At 100 TB the
+    only new shuffle over the span finder is the O(spans) collect_list
+    rollup.
+    """
+    from ting_data_etl_spark.functions.text import tokens
+    from ting_data_etl_spark.operators.text_queries import (
+        dedup_repeated_substrings,
+    )
+
+    kept = curation_span_status(spark, sf_dir).filter(
+        F.col("status").isin("kept", "kept_trimmed")
+    ).select("doc_id", "status")
+    spans = (
+        dedup_repeated_substrings(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("spans")
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    spans0 = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    indexed = F.transform(
+        F.col("toks"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+    )
+    kept_toks = F.filter(
+        indexed,
+        lambda p: ~F.exists(
+            spans0, lambda sp: (p["i"] >= sp["s"]) & (p["i"] < sp["e"])
+        ),
+    )
+    trimmed = F.array_join(
+        F.transform(kept_toks, lambda p: p["t"]), " "
+    )
+    return (
+        kept.join(d, "doc_id")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "status",
+            F.size(kept_toks).cast("long").alias("n_tokens_kept"),
+            F.md5(trimmed).alias("trimmed_md5"),
+        )
+    )

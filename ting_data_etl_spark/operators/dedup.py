@@ -296,7 +296,7 @@ def _sql_perm_mins() -> str:
     return f"list_value({terms})"
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(doc_relation: str = "documents", prelude: str = "") -> str:
     """Signature CTE, rebuilt at CALL time from the current constants.
 
     The whole minhash oracle family is registered as zero-arg callables
@@ -306,12 +306,16 @@ def _minhash_sig_sql() -> str:
     semantics as the Spark side (whose ``lsh_bands`` /
     ``band_frequency_cap`` already resolve the globals at call time) —
     the pattern the simhash family established.
+
+    *doc_relation* names the (doc_id, text) relation the chain tokenizes
+    (the r9 delete variant points it at an edited-text CTE supplied via
+    *prelude*, which is spliced verbatim after ``WITH``).
     """
     return f"""
-WITH tok AS (
+WITH {prelude}tok AS (
   SELECT doc_id,
          {SQL_TOKEN_LIST} AS toks
-  FROM documents
+  FROM {doc_relation}
 ),
 sh AS (
   SELECT doc_id,
@@ -805,6 +809,118 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_batch = F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_REM
     corpus = band_frequency_cap(bands.filter(~is_batch))
+    batch = bands.filter(is_batch)
+    hits = (
+        batch.alias("b")
+        .join(
+            corpus.alias("c"),
+            (F.col("b.j") == F.col("c.j")) & (F.col("b.band") == F.col("c.band")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("dup_of"))
+    )
+    batch_docs = d.filter(is_batch).select("doc_id")
+    return batch_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+
+
+# --- incremental minhash with deletes / re-edits (tombstone maintenance) -----
+#: Maintenance scenario on the standing band index (VERDICT r8 #4's lexical
+#: twin): of the CORPUS (doc_id % 5 != 1), every doc_id % 10 == 4 row is
+#: DELETED from the index; half of those (doc_id % 20 == 4) are RE-EDITED
+#: (text || ' edited ' || doc_id — deterministic, per-doc-unique, both
+#: engines) and re-signed through the same O(batch) path new arrivals use.
+INCR_DELETE_MOD, INCR_DELETE_REM = 10, 4
+INCR_READD_MOD, INCR_READD_REM = 20, 4
+
+
+def _incr_mh_deleted() -> F.Column:
+    return F.pmod(F.col("doc_id"), F.lit(INCR_DELETE_MOD)) == INCR_DELETE_REM
+
+
+def _incr_mh_readded() -> F.Column:
+    return F.pmod(F.col("doc_id"), F.lit(INCR_READD_MOD)) == INCR_READD_REM
+
+
+def _sql_incr_minhash_delete() -> str:
+    deleted = f"doc_id % {INCR_DELETE_MOD} = {INCR_DELETE_REM}"
+    readded = f"doc_id % {INCR_READD_MOD} = {INCR_READD_REM}"
+    corpus = f"doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    alive = f"NOT (({deleted}) AND NOT ({readded}))"
+    prelude = f"""docs2 AS (
+  SELECT doc_id,
+         CASE WHEN {readded}
+              THEN text || ' edited ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+"""
+    return f"""
+{_minhash_sig_sql(doc_relation="docs2", prelude=prelude)},
+{_sql_banding_ctes("corpus_capped", f" WHERE ({corpus}) AND ({alive})")},
+batch AS (
+  SELECT doc_id, j, band FROM bands
+  WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+),
+hits AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS dup_of
+  FROM batch b JOIN corpus_capped c ON b.j = c.j AND b.band = c.band
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, h.dup_of, h.dup_of IS NOT NULL AS is_dup
+FROM (SELECT DISTINCT doc_id FROM batch) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("dedup_incremental_minhash_delete", oracle=_sql_incr_minhash_delete)
+def dedup_incremental_minhash_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental LSH probe against a tombstoned + re-edited band index.
+
+    The lexical twin of :func:`~ting_data_etl_spark.operators.similarity.
+    similarity_incremental_ivf_delete`, completing the maintenance
+    contract for the standing band index WITHOUT re-signing the corpus:
+
+    - **delete**: tombstone ids LEFT-ANTI-JOINED out of the standing bands
+      (broadcast id set — works for an arbitrary deletions feed);
+    - **update (re-edit)**: an edited document is delete + re-insert — its
+      NEW text is re-signed through the same O(batch) signature pass new
+      arrivals use, then unions into the index;
+    - the batch then probes the post-edit index exactly like the base
+      query (hot-bucket cap applied to the POST-edit corpus on both
+      engines, so a re-edit that lands in a boilerplate bucket is dropped
+      identically).
+
+    The oracle signs a ``docs2`` relation carrying the edited text and
+    filters the banded corpus by the alive-predicate — tombstone leaks
+    (a deleted doc matching as ``dup_of``) and stale-signature matches
+    (an edited doc matching via its PRE-edit bands) hash-mismatch.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_df(d)
+    bands = sig.select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
+    )
+    is_batch = F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_REM
+    standing = bands.filter(~is_batch)
+    tombstones = d.filter(_incr_mh_deleted() & ~is_batch).select("doc_id")
+    alive = standing.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    # re-edited docs re-enter with NEW text through the O(batch) sign path
+    edited = d.filter(_incr_mh_readded() & ~is_batch).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" edited "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    readd_bands = minhash_signatures_df(edited).select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
+    )
+    corpus = band_frequency_cap(alive.unionByName(readd_bands))
     batch = bands.filter(is_batch)
     hits = (
         batch.alias("b")
