@@ -98,6 +98,10 @@ PINNED = [
     # keeps the broadcast anti-join + O(edit-batch) re-sign
     "curation_trimmed_text",
     "dedup_incremental_minhash_delete",
+    # round-9 third wave: IVF-PQ must keep the plain-IVF join shape (one
+    # fixed-width probe shuffle, Arrow assignment/cosine kernels only) —
+    # the PQ reconstruction is per-row JVM expressions, never a UDF
+    "similarity_ivfpq_topk",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -477,3 +477,90 @@ class TestIncrementalIvfDelete:
         assert sdf["neighbor_id"].tolist() == odf["neighbor_id"].tolist()
         for a, b in zip(sdf["cosine"].tolist(), odf["cosine"].tolist()):
             assert (a != a and b != b) or abs(a - b) < 1e-12
+
+
+class TestIvfPq:
+    """IVF-PQ: product-quantized residual search (r9)."""
+
+    def test_codebook_geometry_and_cache_purge(self, spark, sf_dir):
+        from ting_data_etl_spark.operators import similarity as S
+
+        books = S.pq_codebooks(spark, sf_dir)
+        assert len(books) == S.PQ_M
+        for book in books:
+            assert 1 <= len(book) <= S.PQ_K
+            assert all(len(c) == S.PQ_SUB for c in book)
+            assert all(isinstance(x, int) for c in book for x in c)
+        # warm cache key exists; purge_stages must evict it (r7's
+        # _CENTROIDS staleness trap, extended to _PQ_BOOKS)
+        assert any(k[0] == sf_dir for k in S._PQ_BOOKS)
+
+    def test_results_shape_and_probe_discipline(self, spark, sf_dir):
+        from ting_data_etl_spark.operators import similarity as S
+
+        out = S.similarity_ivfpq_topk(spark, sf_dir).cache()
+        per_q = out.groupBy("query_id").count()
+        assert per_q.filter(F.col("count") > S.TOP_K).count() == 0
+        bad_q = out.filter(
+            F.col("query_id") % S.QUERY_MOD != 0
+        ).count()
+        assert bad_q == 0
+        out.unpersist()
+
+    def test_reconstruction_is_close_not_exact(self, spark, sf_dir):
+        """PQ reconstructions must approximate the originals (mean cosine
+        against the true vector well above random) while NOT being exact
+        (otherwise the 'compression' is an identity and the test corpus
+        is degenerate)."""
+        from ting_data_etl_spark.operators import similarity as S
+
+        coarse = S.ivf_centroids(spark, sf_dir)
+        books = S.pq_codebooks(spark, sf_dir)
+        codes = S._pq_residuals(spark, sf_dir)
+        for m, book in enumerate(books):
+            codes = codes.withColumn(
+                f"code{m}",
+                F.element_at(
+                    S.nearest_lists_udf(book, 1)(
+                        F.slice("r", m * S.PQ_SUB + 1, S.PQ_SUB)
+                    ),
+                    1,
+                ),
+            )
+        book_lits = [
+            F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in book])
+            for book in books
+        ]
+        rsub = F.concat(
+            *[
+                F.element_at(book_lits[m], F.col(f"code{m}") + 1)
+                for m in range(S.PQ_M)
+            ]
+        )
+        rv = F.zip_with(
+            F.element_at(S._coarse_lit(coarse), F.col("list_id") + 1),
+            rsub,
+            lambda a, b: a + b,
+        )
+        q = S._quantized(spark, sf_dir).select("vec_id", "q", "norm")
+        recon = codes.select("vec_id", rv.alias("rv")).join(q, "vec_id")
+        from ting_data_etl_spark.functions.vectors import dot_product
+
+        scored = recon.select(
+            S._cosine_pre(
+                F.col("q"),
+                F.col("rv"),
+                F.col("norm"),
+                F.sqrt(dot_product(F.col("rv"), F.col("rv"))),
+            ).alias("fidelity")
+        ).agg(
+            F.avg("fidelity").alias("mean_f"),
+            F.sum((F.col("fidelity") > 0.99999).cast("long")).alias("n_exact"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        # the synthetic corpus is heavy-noise BY DESIGN (sibling cosine
+        # ~0.2, scale_corpus.py) so an 8-centroid/subspace codebook tops
+        # out near 0.45 mean fidelity here; the floor pins "far above
+        # random" (random ≈ 0), not production-recall reconstruction
+        assert scored["mean_f"] > 0.3, scored
+        assert scored["n_exact"] < scored["n"], "PQ degenerated to identity"

@@ -1343,6 +1343,9 @@ def purge_stages(sf_dir: str) -> None:
 
     for k in [k for k in _sim._CENTROIDS if os.path.abspath(k[0]) == ap]:
         del _sim._CENTROIDS[k]
+    # the PQ sub-codebooks share the staleness trap (r9)
+    for k in [k for k in _sim._PQ_BOOKS if os.path.abspath(k[0]) == ap]:
+        del _sim._PQ_BOOKS[k]
 
 
 def component_stage_path(sf_dir: str, key: str) -> str:

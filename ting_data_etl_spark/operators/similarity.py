@@ -374,6 +374,7 @@ def kmeans_fit(
     k: int = KMEANS_LISTS,
     iters: int = KMEANS_ITERS,
     sample_mod: int = KMEANS_SAMPLE_MOD,
+    expected_dim: int = EMB_DIM,
 ) -> list[list[int]]:
     """Deterministic INTEGER Lloyd's k-means over (id, q: array<long>).
 
@@ -444,15 +445,18 @@ def kmeans_fit(
         if row is None:
             raise ValueError("kmeans_fit: no vectors to fit (empty input)")
         d = row.d
-        if d != EMB_DIM:
-            # the SQL oracle's unrolled Lloyd CTEs hardcode EMB_DIM dims
-            # (range(1, EMB_DIM+1)); a corpus of another width would fit a
+        if d != expected_dim:
+            # the SQL oracle's unrolled Lloyd CTEs hardcode the dim count
+            # (range(1, dim+1)); a corpus of another width would fit a
             # DIFFERENT model oracle-side and surface as a baffling value
-            # mismatch — fail here with the actual constraint instead
+            # mismatch — fail here with the actual constraint instead.
+            # expected_dim defaults to EMB_DIM; the PQ sub-fits pass the
+            # subvector width so their slices check against the right dim.
             raise ValueError(
-                f"kmeans_fit: corpus dimensionality {d} != EMB_DIM "
-                f"{EMB_DIM}; retune similarity.EMB_DIM (the SQL oracle "
-                "twin derives its per-dimension terms from it)"
+                f"kmeans_fit: input dimensionality {d} != expected "
+                f"{expected_dim}; retune similarity.EMB_DIM / the PQ "
+                "slice (the SQL oracle twin derives its per-dimension "
+                "terms from it)"
             )
         init = sample.orderBy("h", "vec_id").limit(k).collect()
         centroids = [[int(x) for x in r.q] for r in init]
@@ -561,36 +565,47 @@ def ivf_centroids(
     return _CENTROIDS[key]
 
 
-def _sql_lloyd_iter(i: int) -> str:
-    """One unrolled Lloyd iteration as SQL CTEs: c{i-1} → a{i}, m{i}, c{i}.
+def _sql_lloyd_iter_g(i: int, prefix: str = "", dim: int = EMB_DIM) -> str:
+    """One unrolled Lloyd iteration as SQL CTEs, name-prefixed.
 
+    ``{prefix}c{i-1}`` → ``{prefix}a{i}``, ``{prefix}m{i}``,
+    ``{prefix}c{i}``, reading the fit sample from ``{prefix}samp``.
     Assignment = argmin over the k centroids of the integer-exact
     ``-2·q·c + c·c`` (ties → lower list id); update = per-dimension
     ``FLOOR(SUM/COUNT)`` int means, empty clusters keeping their previous
     centroid — step-for-step the arithmetic of :func:`kmeans_fit`.
+    *prefix*/*dim* parameterize the chain so the PQ sub-quantizer fits
+    (M chains over ``dim = EMB_DIM // PQ_M`` residual slices) reuse ONE
+    definition; the coarse chain is the ``prefix=''`` instance.
     """
-    prev = f"c{i - 1}"
+    p = prefix
+    prev = f"{p}c{i - 1}"
     return f"""
-a{i} AS (
+{p}a{i} AS (
   SELECT s.vec_id, s.q, c.list_id,
          row_number() OVER (PARTITION BY s.vec_id ORDER BY
            -2 * list_dot_product(s.q, c.c) + list_dot_product(c.c, c.c),
            c.list_id) AS rn
-  FROM samp s CROSS JOIN {prev} c
+  FROM {p}samp s CROSS JOIN {prev} c
 ),
-m{i} AS (
+{p}m{i} AS (
   SELECT list_id, dim,
          CAST(FLOOR(CAST(SUM(q[dim]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-  FROM a{i} CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim)
+  FROM {p}a{i} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS dim)
   WHERE rn = 1
   GROUP BY list_id, dim
 ),
-c{i} AS (
+{p}c{i} AS (
   SELECT c.list_id, COALESCE(mm.c, c.c) AS c
   FROM {prev} c LEFT JOIN (
-    SELECT list_id, list(m ORDER BY dim) AS c FROM m{i} GROUP BY list_id
+    SELECT list_id, list(m ORDER BY dim) AS c FROM {p}m{i} GROUP BY list_id
   ) mm ON mm.list_id = c.list_id
 )"""
+
+
+def _sql_lloyd_iter(i: int) -> str:
+    """The coarse-quantizer instance of :func:`_sql_lloyd_iter_g`."""
+    return _sql_lloyd_iter_g(i, "", EMB_DIM)
 
 
 def sql_kmeans_search_ctes(
@@ -1743,6 +1758,291 @@ def similarity_incremental_ivf_delete(
         F.col("q").alias("qv"),
         F.col("norm").alias("qn"),
         F.explode(assign_probe(F.col("q"))).alias("probe_list"),
+    )
+    pairs = queries.join(
+        corpus,
+        (F.col("probe_list") == F.col("list_id"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_udf()(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    return topk_per_query(pairs)
+
+
+# --- IVF-PQ: product-quantized residual search (the 100 TB ANN layout) -------
+#: Product-quantization geometry: EMB_DIM is split into PQ_M contiguous
+#: subspaces of PQ_SUB dims; each subspace gets its own PQ_K-centroid
+#: codebook fitted on the COARSE-QUANTIZER RESIDUALS (the FAISS IVF-PQ
+#: construction). A corpus vector is then stored as (list_id, PQ_M codes) —
+#: ~PQ_M+4 bytes instead of EMB_DIM*8 — and search reconstructs candidates
+#: from the codebooks inside the probed lists only. Everything stays on the
+#: integer grid (residuals are int differences, codebook fits reuse the
+#: md5-seeded integer Lloyd), so the ENTIRE index — coarse fit, residuals,
+#: M sub-fits, codes, reconstruction, scores — has an exact DuckDB twin.
+PQ_M = 4
+PQ_SUB = EMB_DIM // PQ_M
+PQ_K = 8
+
+_PQ_BOOKS: dict[tuple, list[list[list[int]]]] = {}
+
+
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    """Fit (or reuse) the PQ_M residual sub-codebooks for one dataset.
+
+    Same index-build-vs-search separation as :func:`ivf_centroids`: one
+    deterministic fit per (dataset, config), staged as a JSON artifact and
+    cached in-process (``purge_stages`` evicts both). Each sub-fit is the
+    SAME integer Lloyd as the coarse fit, run over a PQ_SUB-dim slice of
+    the residual relation — so the oracle can re-derive all M books with
+    the shared :func:`_sql_lloyd_iter_g` chains.
+    """
+    import json
+    import os
+
+    from ting_data_etl_spark.operators.dedup import _source_fp, _stage_dir
+
+    src_fp = _source_fp(sf_dir, "embeddings")
+    key = (
+        sf_dir,
+        src_fp,
+        PQ_M,
+        PQ_K,
+        KMEANS_LISTS,
+        KMEANS_ITERS,
+        KMEANS_SAMPLE_MOD,
+    )
+    if key not in _PQ_BOOKS:
+        path = _stage_dir(
+            sf_dir,
+            [
+                "pq_books_v1",
+                src_fp,
+                f"m{PQ_M}_pk{PQ_K}_k{KMEANS_LISTS}"
+                f"_i{KMEANS_ITERS}_s{KMEANS_SAMPLE_MOD}",
+            ],
+        ) + ".json"
+        if os.path.exists(path):
+            with open(path) as f:
+                _PQ_BOOKS[key] = json.load(f)
+        else:
+            resid = _pq_residuals(spark, sf_dir)
+            books = []
+            for m in range(PQ_M):
+                sub = resid.select(
+                    "vec_id",
+                    F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("q"),
+                )
+                books.append(
+                    kmeans_fit(
+                        sub,
+                        k=PQ_K,
+                        iters=KMEANS_ITERS,
+                        sample_mod=KMEANS_SAMPLE_MOD,
+                        expected_dim=PQ_SUB,
+                    )
+                )
+            _PQ_BOOKS[key] = books
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(books, f)
+            os.replace(tmp, path)
+    return _PQ_BOOKS[key]
+
+
+def _coarse_lit(coarse: list[list[int]]):
+    return F.array(
+        *[F.array(*[F.lit(int(x)) for x in c]) for c in coarse]
+    )
+
+
+def _pq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, list_id, r) — coarse assignment + integer residuals."""
+    coarse = ivf_centroids(spark, sf_dir)
+    q = _quantized(spark, sf_dir)
+    assign1 = nearest_lists_udf(coarse, 1)
+    lit = _coarse_lit(coarse)
+    return q.select(
+        "vec_id",
+        "q",
+        F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+    ).select(
+        "vec_id",
+        "list_id",
+        F.zip_with(
+            "q",
+            F.element_at(lit, F.col("list_id") + 1),
+            lambda a, b: a - b,
+        ).alias("r"),
+    )
+
+
+def _sql_ivfpq() -> str:
+    """From-scratch DuckDB twin of the WHOLE IVF-PQ pipeline.
+
+    Re-derives the coarse model (shared Lloyd chain), the residuals, all
+    PQ_M sub-codebooks (prefixed Lloyd chains over residual slices), the
+    per-vector codes, the codebook reconstruction, and the probed-list
+    ADC search — so a drift anywhere (fit, slicing, code assignment,
+    reconstruction arithmetic) surfaces as a value mismatch.
+    """
+    coarse_iters = "\n,".join(_sql_lloyd_iter(i + 1) for i in range(KMEANS_ITERS))
+    pq_chains = []
+    code_joins = []
+    recon_cases = []
+    for m in range(PQ_M):
+        p = f"pq{m}_"
+        lo, hi = m * PQ_SUB + 1, m * PQ_SUB + PQ_SUB
+        sub_iters = "\n,".join(
+            _sql_lloyd_iter_g(i + 1, p, PQ_SUB) for i in range(KMEANS_ITERS)
+        )
+        pq_chains.append(f"""
+{p}samp AS (
+  SELECT vec_id, list_slice(r, {lo}, {hi}) AS q, {_SQL_VEC_HASH} AS h
+  FROM resid WHERE {_SQL_VEC_HASH} % {KMEANS_SAMPLE_MOD} = 0
+),
+{p}c0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, q AS c
+  FROM (SELECT h, vec_id, q FROM {p}samp ORDER BY h, vec_id LIMIT {PQ_K})
+),
+{sub_iters},
+{p}cfin AS MATERIALIZED (SELECT list_id, c FROM {p}c{KMEANS_ITERS}),
+{p}code AS MATERIALIZED (
+  SELECT vec_id, list_id AS code FROM (
+    SELECT s.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             -2 * list_dot_product(s.q, c.c) + list_dot_product(c.c, c.c),
+             c.list_id) AS rn
+    FROM (SELECT vec_id, list_slice(r, {lo}, {hi}) AS q FROM resid) s
+    CROSS JOIN {p}cfin c
+  ) WHERE rn = 1
+)""")
+        code_joins.append(
+            f"JOIN {p}code j{m} ON j{m}.vec_id = cs.vec_id "
+            f"JOIN {p}cfin b{m} ON b{m}.list_id = j{m}.code"
+        )
+        lower = m * PQ_SUB
+        recon_cases.append(
+            f"WHEN d <= {hi} THEN cc.c[d] + b{m}.c[d - {lower}]"
+        )
+    return f"""
+WITH {_SQL_QUANT},
+samp AS (
+  SELECT vec_id, q, {_SQL_VEC_HASH} AS h
+  FROM q WHERE {_SQL_VEC_HASH} % {KMEANS_SAMPLE_MOD} = 0
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, q AS c
+  FROM (SELECT h, vec_id, q FROM samp ORDER BY h, vec_id LIMIT {KMEANS_LISTS})
+),
+{coarse_iters},
+cfinal AS MATERIALIZED (SELECT list_id, c FROM c{KMEANS_ITERS}),
+cassign AS MATERIALIZED (
+  SELECT v.vec_id, v.q, c.list_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           -2 * list_dot_product(v.q, c.c) + list_dot_product(c.c, c.c),
+           c.list_id) AS rn
+  FROM q v CROSS JOIN cfinal c
+),
+coarse AS (SELECT vec_id, q, list_id FROM cassign WHERE rn = 1),
+resid AS MATERIALIZED (
+  SELECT cs.vec_id, cs.list_id,
+         list_transform(range(1, {EMB_DIM + 1}), d -> cs.q[d] - cc.c[d]) AS r
+  FROM coarse cs JOIN cfinal cc ON cc.list_id = cs.list_id
+),
+{",".join(pq_chains)},
+recon AS (
+  SELECT cs.vec_id, cs.list_id,
+         list_transform(range(1, {EMB_DIM + 1}),
+           d -> CASE {' '.join(recon_cases)} END) AS rv
+  FROM coarse cs
+  JOIN c{KMEANS_ITERS} cc ON cc.list_id = cs.list_id
+  {' '.join(code_joins)}
+),
+probes AS (
+  SELECT vec_id AS query_id, q AS qv, list_id
+  FROM cassign WHERE rn <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
+),
+pqpairs AS (
+  SELECT p.query_id, r.vec_id AS neighbor_id,
+         {sql_cosine_case('p.qv', 'r.rv')} AS cosine
+  FROM probes p JOIN recon r
+    ON p.list_id = r.list_id AND r.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+         ) AS rn
+  FROM pqpairs
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("similarity_ivfpq_topk", oracle=_sql_ivfpq)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search: probed lists + product-quantized candidates.
+
+    The production 100 TB vector-index layout (the FAISS ``IVFx,PQy``
+    construction, distributed): the coarse quantizer routes every vector
+    to a list; the vector itself is stored as PQ_M one-byte codes into
+    residual codebooks — ~8 bytes/vector of index state instead of 512 —
+    and search scores each probed candidate against its CODEBOOK
+    RECONSTRUCTION (asymmetric distance: original query vs reconstructed
+    corpus), never touching the original corpus vectors. Plan: the codes
+    relation joins the probe lists exactly like the plain IVF search (one
+    fixed-width-key shuffle), reconstruction is a per-row JVM
+    ``zip_with``/``concat`` over broadcast codebook literals, and the
+    cosine is the shared Arrow kernel. No new shuffle class, no UDF
+    beyond the sanctioned assignment/cosine kernels.
+
+    Exactness: residuals are integer differences, sub-fits reuse the
+    md5-seeded integer Lloyd (:func:`kmeans_fit` with ``expected_dim =
+    PQ_SUB``), reconstructions are integer sums — so the full-value
+    DuckDB twin (:func:`_sql_ivfpq`) re-derives the ENTIRE index from
+    scratch and the driver hash-checks the search results.
+    """
+    coarse = ivf_centroids(spark, sf_dir)
+    books = pq_codebooks(spark, sf_dir)
+    q = _quantized(spark, sf_dir)
+    codes = _pq_residuals(spark, sf_dir)
+    for m, book in enumerate(books):
+        sub_assign = nearest_lists_udf(book, 1)
+        codes = codes.withColumn(
+            f"code{m}",
+            F.element_at(
+                sub_assign(F.slice("r", m * PQ_SUB + 1, PQ_SUB)), 1
+            ),
+        )
+    book_lits = [
+        F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in book])
+        for book in books
+    ]
+    rsub = F.concat(
+        *[
+            F.element_at(book_lits[m], F.col(f"code{m}") + 1)
+            for m in range(PQ_M)
+        ]
+    )
+    rv = F.zip_with(
+        F.element_at(_coarse_lit(coarse), F.col("list_id") + 1),
+        rsub,
+        lambda a, b: a + b,
+    )
+    corpus = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "list_id",
+        rv.alias("cv"),
+    ).withColumn("cn", F.sqrt(dot_product(F.col("cv"), F.col("cv"))))
+    assignp = nearest_lists_udf(coarse, NPROBE)
+    queries = q.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(assignp(F.col("q"))).alias("probe_list"),
     )
     pairs = queries.join(
         corpus,
