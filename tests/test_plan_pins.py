@@ -102,6 +102,16 @@ PINNED = [
     # fixed-width probe shuffle, Arrow assignment/cosine kernels only) —
     # the PQ reconstruction is per-row JVM expressions, never a UDF
     "similarity_ivfpq_topk",
+    # round-9 fourth wave: semdedup must keep ONE list_id-keyed pair
+    # shuffle + Arrow-only kernels; DSIR must keep its two hash-keyed
+    # aggregations with the B-row weight table BROADCAST back (a sort-merge
+    # join appearing here means the broadcast was lost); epoch order is the
+    # banded two-phase rank — window + one broadcast offsets join, no
+    # global single-partition exchange
+    "dedup_semdedup_prune",
+    "sample_dsir_importance",
+    "corpus_epoch_order",
+    "corpus_budget_head",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

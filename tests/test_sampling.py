@@ -414,3 +414,172 @@ class TestSurprisalGate:
             > 0
         )
         m.unpersist()
+
+
+class TestDsirImportance:
+    def test_accept_rule_matches_mean_ratio(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import (
+            sample_dsir_importance,
+        )
+
+        rows = sample_dsir_importance(spark, sf_dir).collect()
+        assert rows, "dsir produced no rows"
+        for r in rows:
+            # accepted <=> integer cross-multiply; the float mean_ratio is
+            # derived FROM the same integers, so they must agree away from
+            # the exact boundary (tolerance covers the boundary ULP)
+            if r.accepted:
+                assert r.mean_ratio >= 1.0 - 1e-9, r
+            else:
+                assert r.mean_ratio < 1.0 + 1e-9, r
+            assert r.n_tokens > 0
+
+    def test_target_docs_score_higher_on_average(self, spark, sf_dir):
+        """The importance signal must actually separate target from source:
+        all-gates documents (the exemplar set itself) average a higher
+        mean_ratio than zero-gate documents."""
+        from ting_data_etl_spark.functions.text import quality_checks
+        from ting_data_etl_spark.operators.sampling import (
+            sample_dsir_importance,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        w = sample_dsir_importance(spark, sf_dir)
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", quality_checks(F.col("text")).alias("n_checks")
+        )
+        stats = {
+            r.n_checks: r.m
+            for r in w.join(d, "doc_id")
+            .groupBy("n_checks")
+            .agg(F.avg("mean_ratio").alias("m"))
+            .collect()
+        }
+        if 3 in stats and 0 in stats:
+            assert stats[3] > stats[0], stats
+
+    def test_weight_table_is_bucket_bounded(self, spark, sf_dir):
+        """The whole point of hashing: distinct feature buckets ≤ B."""
+        from ting_data_etl_spark.functions.text import portable_hash31, tokens
+        from ting_data_etl_spark.operators.sampling import DSIR_BUCKETS
+        from ting_data_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        n = (
+            d.select(F.explode(tokens(F.col("text"))).alias("t"))
+            .select((portable_hash31(F.col("t")) % DSIR_BUCKETS).alias("b"))
+            .agg(F.countDistinct("b"))
+            .collect()[0][0]
+        )
+        assert 0 < n <= DSIR_BUCKETS
+
+
+class TestEpochOrder:
+    def test_positions_are_contiguous_per_shard(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import corpus_epoch_order
+
+        rows = corpus_epoch_order(spark, sf_dir).collect()
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert by_shard
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+    def test_banded_rank_matches_single_window(self, spark, sf_dir):
+        """The two-phase banded rank must reproduce the global window
+        EXACTLY (same algebra as shard_assignment's pinned parity)."""
+        from pyspark.sql import Window
+
+        from ting_data_etl_spark.operators.sampling import (
+            EPOCH_SALT,
+            N_SHARDS,
+            _order_key,
+            corpus_epoch_order,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        got = {
+            (r.doc_id): (r.shard, r.pos)
+            for r in corpus_epoch_order(spark, sf_dir).collect()
+        }
+        d = load_table(spark, sf_dir, "documents")
+        k = d.select(
+            "doc_id", _order_key(F.col("doc_id"), EPOCH_SALT).alias("okey")
+        ).withColumn("shard", F.pmod(F.col("okey"), N_SHARDS).cast("int"))
+        w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+        want = {
+            r.doc_id: (r.shard, r.pos)
+            for r in k.withColumn(
+                "pos", F.row_number().over(w).cast("long")
+            ).collect()
+        }
+        assert got == want
+
+    def test_new_epoch_salt_reshuffles(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import _order_key
+        from ting_data_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        both = d.select(
+            "doc_id",
+            _order_key(F.col("doc_id"), "epoch1").alias("k1"),
+            _order_key(F.col("doc_id"), "epoch2").alias("k2"),
+        ).collect()
+        # the two epochs order documents differently (not a shift/identity)
+        order1 = [r.doc_id for r in sorted(both, key=lambda r: (r.k1, r.doc_id))]
+        order2 = [r.doc_id for r in sorted(both, key=lambda r: (r.k2, r.doc_id))]
+        assert order1 != order2
+
+
+class TestBudgetHead:
+    def test_budget_is_respected_and_tight(self, spark, sf_dir):
+        from ting_data_etl_spark.functions.text import token_count
+        from ting_data_etl_spark.operators.sampling import (
+            BUDGET_PCT,
+            corpus_budget_head,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        rows = corpus_budget_head(spark, sf_dir).collect()
+        assert rows
+        total = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.sum(token_count(F.col("text"))))
+            .collect()[0][0]
+        )
+        budget = total * BUDGET_PCT // 100
+        # greedy prefix rule: every selected doc STARTED within budget ...
+        assert all(r.cum_before < budget for r in rows)
+        # ... and the selection is tight: the kept tokens reach the budget
+        # (they may overshoot by at most the last doc)
+        kept = sum(r.n_toks for r in rows)
+        assert kept >= budget, (kept, budget)
+
+    def test_head_prefers_high_quality(self, spark, sf_dir):
+        """Selection must be quality-monotone: if any gate-k doc is
+        excluded, no gate-(k-1) doc may be included."""
+        from ting_data_etl_spark.functions.text import quality_checks
+        from ting_data_etl_spark.operators.sampling import corpus_budget_head
+        from ting_data_etl_spark.sources.tables import load_table
+
+        sel = {r.doc_id for r in corpus_budget_head(spark, sf_dir).collect()}
+        all_rows = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id", quality_checks(F.col("text")).alias("n_checks")
+            )
+            .collect()
+        )
+        excluded_best = max(
+            (r.n_checks for r in all_rows if r.doc_id not in sel), default=-1
+        )
+        included_worst = min(
+            (r.n_checks for r in all_rows if r.doc_id in sel), default=4
+        )
+        # the boundary quality class may straddle the cut (split by doc_id),
+        # but nothing strictly below an excluded class may be included
+        assert included_worst >= excluded_best, (
+            included_worst,
+            excluded_best,
+        )

@@ -564,3 +564,65 @@ class TestIvfPq:
         # random" (random ≈ 0), not production-recall reconstruction
         assert scored["mean_f"] > 0.3, scored
         assert scored["n_exact"] < scored["n"], "PQ degenerated to identity"
+
+
+class TestSemDedup:
+    def test_keeper_precedes_and_shares_cluster(self, spark, sf_dir):
+        import ting_data_etl_spark.operators.similarity as S
+
+        rows = S.dedup_semdedup_prune(spark, sf_dir).collect()
+        assert rows, "semdedup pruned nothing on the fixture corpus"
+        cents = S.ivf_centroids(spark, sf_dir)
+        assign1 = S.nearest_lists_udf(cents, 1)
+        lists = {
+            r.vec_id: r.list_id
+            for r in S._quantized(spark, sf_dir)
+            .select(
+                "vec_id",
+                F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert r.keeper_id < r.vec_id, r
+            assert lists[r.vec_id] == r.list_id, r
+            assert lists[r.keeper_id] == r.list_id, r
+
+    def test_pruned_pairs_are_eps_close(self, spark, sf_dir):
+        import numpy as np
+
+        import ting_data_etl_spark.operators.similarity as S
+
+        rows = S.dedup_semdedup_prune(spark, sf_dir).collect()
+        vecs = {
+            r.vec_id: np.asarray(r.q, dtype=np.float64)
+            for r in S._quantized(spark, sf_dir).collect()
+        }
+        for r in rows[:50]:
+            a, b = vecs[r.keeper_id], vecs[r.vec_id]
+            cos = float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+            assert cos >= S.SEMDEDUP_EPS - 1e-12, (r, cos)
+
+    def test_planted_duplicate_is_pruned(self, spark, sf_dir, tmp_path):
+        """An exact duplicate vector (new, higher id) must be pruned —
+        same cluster by determinism of the assignment, cosine 1.0."""
+        import ting_data_etl_spark.operators.similarity as S
+        from ting_data_etl_spark.sources.tables import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        max_id = e.agg(F.max("vec_id")).collect()[0][0]
+        src = e.limit(40)
+        dup = src.limit(1).select(
+            (F.col("vec_id") + max_id + 1).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        cols = [f.name for f in e.schema.fields]
+        ds = str(tmp_path / "planted")
+        src.select(*cols).unionByName(dup.select(*cols)).coalesce(
+            1
+        ).write.parquet(f"{ds}/embeddings.parquet")
+        out = {r.vec_id: r for r in S.dedup_semdedup_prune(spark, ds).collect()}
+        planted = max_id + 1 + src.limit(1).collect()[0].vec_id
+        assert planted in out, (planted, sorted(out))
+        assert out[planted].keeper_id < planted

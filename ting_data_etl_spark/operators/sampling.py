@@ -774,3 +774,387 @@ def sample_surprisal_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(_bucket(F.col("doc_id"), "qsurp") < F.col("accept_pct"))
     )
+
+
+# --- DSIR: hashed-feature importance selection (Xie et al. 2023) -------------
+#: Hashed n-gram feature space size. DSIR's memory story: BOTH distribution
+#: estimates live in a fixed B-bucket table regardless of corpus vocabulary,
+#: so the weight table is always broadcast-able (B rows, two BIGINT counts)
+#: no matter how many tokens the 100 TB corpus carries.
+DSIR_BUCKETS = 1024
+#: Fixed-point units for the per-token importance ratio (3 decimals) — same
+#: discipline as text_queries.SURPRISAL_SCALE: ONE pinned IEEE expression
+#: rounds to BIGINT per bucket, per-document sums are exact integers.
+DSIR_SCALE = 1000
+
+
+def _sql_dsir() -> str:
+    from ting_data_etl_spark.operators.text_queries import _SQL_TOKS
+    from ting_data_etl_spark.plans.oracles import sql_shingle_hash
+
+    b = DSIR_BUCKETS
+    return f"""
+WITH {_SQL_TOKS},
+{_sql_quality_ctes()},
+dtf AS (
+  SELECT doc_id, {sql_shingle_hash("t")} % {b} AS b, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  GROUP BY 1, 2
+),
+dflag AS (SELECT doc_id, (n_checks = 3) AS is_target FROM c),
+dcnt AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN f.is_target THEN tf ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(tf) AS BIGINT) AS cs
+  FROM dtf JOIN dflag f USING (doc_id)
+  GROUP BY b
+),
+dtot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cs) AS BIGINT) AS ts
+  FROM dcnt
+),
+dr AS (
+  SELECT b,
+         CAST(ROUND(
+           (CAST(ct + 1 AS DOUBLE) * CAST(ts + {b} AS DOUBLE))
+           / (CAST(cs + 1 AS DOUBLE) * CAST(tt + {b} AS DOUBLE))
+           * {DSIR_SCALE}) AS BIGINT) AS r
+  FROM dcnt CROSS JOIN dtot
+),
+dw AS (
+  SELECT dtf.doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         SUM(tf * r) AS w_fixed
+  FROM dtf JOIN dr USING (b)
+  GROUP BY dtf.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(w_fixed AS DOUBLE) / n_tokens / {DSIR_SCALE}.0 AS mean_ratio,
+       (w_fixed >= n_tokens * {DSIR_SCALE}) AS accepted
+FROM dw
+"""
+
+
+@register("sample_dsir_importance", oracle=_sql_dsir)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: data selection by importance resampling over hashed features.
+
+    The RedPajama-2/Pile-CC-era selection verb (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): estimate a
+    TARGET unigram distribution from an exemplar set and the SOURCE
+    distribution from the raw corpus — both over a fixed B-bucket hashed
+    feature space — and keep documents whose tokens look more target-like
+    than source-like. The exemplar set here is the corpus' own
+    all-three-quality-gates documents (the same integer gate core as
+    `sample_quality_weighted`); in production it is Wikipedia/books.
+
+    Determinism (house surprisal discipline, NOT the paper's float
+    log-likelihood ratio): the per-bucket importance ratio
+    ``((ct+1)·(Ts+B)) / ((cs+1)·(Tt+B))`` — add-one-smoothed
+    p_target/p_source in LINEAR space, monotone in the paper's log ratio
+    per token — is ONE pinned chain of exactly-rounded IEEE ops rounded to
+    a fixed-point BIGINT once per bucket; per-document accumulation is an
+    exact decimal(38,0) ``Σ tf·r``, so no float sum ever depends on
+    partition order, and the accept decision is an integer cross-multiply
+    (``w_fixed ≥ n_tokens·SCALE`` — mean ratio ≥ 1), never a float→int
+    cast.
+
+    Plan shape: one (doc, bucket) aggregation over the exploded tokens,
+    one B-row bucket aggregation (B = {DSIR_BUCKETS}: broadcast-able BY
+    CONSTRUCTION — DSIR's whole point), a broadcast 1-row totals join, the
+    B-row weight table broadcast back onto the (doc, bucket) relation, and
+    one doc-keyed aggregation. The target flag rides the first scan
+    (computed once per document, carried through the explode), so the
+    quality gates add ZERO extra scans or shuffles. Text never shuffles.
+    """
+    from ting_data_etl_spark.functions.text import (
+        portable_hash31,
+        quality_checks,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    b = DSIR_BUCKETS
+    tf = (
+        d.select(
+            "doc_id",
+            (quality_checks(F.col("text")) == 3).alias("is_target"),
+            F.explode(tokens(F.col("text"))).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (portable_hash31(F.col("t")) % b).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("tf"), F.max("is_target").alias("is_target"))
+    )
+    cnt = tf.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct"),
+        F.sum("tf").alias("cs"),
+    )
+    # cut the lineage at the B-row estimate: without this, every reader of
+    # cnt (totals, weights) re-tokenizes the corpus — 6 scans instead of
+    # DSIR's natural two passes (estimate, then score)
+    cnt = cnt.localCheckpoint(eager=True)
+    tot = F.broadcast(
+        cnt.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
+    )
+    r = cnt.crossJoin(tot).select(
+        "b",
+        F.round(
+            (
+                (F.col("ct") + 1).cast("double")
+                * (F.col("ts") + b).cast("double")
+            )
+            / (
+                (F.col("cs") + 1).cast("double")
+                * (F.col("tt") + b).cast("double")
+            )
+            * DSIR_SCALE
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    w = (
+        tf.join(F.broadcast(r), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf").cast("decimal(38,0)") * F.col("r")).alias(
+                "w_fixed"
+            ),
+        )
+    )
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("w_fixed").cast("double")
+            / F.col("n_tokens")
+            / F.lit(float(DSIR_SCALE))
+        ).alias("mean_ratio"),
+        (
+            F.col("w_fixed")
+            >= (F.col("n_tokens") * F.lit(DSIR_SCALE)).cast("decimal(38,0)")
+        ).alias("accepted"),
+    )
+
+
+# --- seeded epoch shuffle: deterministic training order ----------------------
+#: Epoch tag salted into the order key. A new epoch = a new salt ("epoch2",
+#: ...): every document gets a fresh pseudo-random position with zero state
+#: carried between epochs — the reproducible global shuffle a training data
+#: loader needs (same order on every re-run, any cluster size, any partition
+#: layout). The registered fixture pins epoch 1.
+EPOCH_SALT = "epoch1"
+
+
+def _order_key(col, salt: str) -> F.Column:
+    """Full-width deterministic order key (md5 first-8-hex as BIGINT).
+
+    The 32-bit keyspace keeps collisions rare; the (okey, doc_id) composite
+    sort is what makes the order total and unique regardless.
+    """
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .try_cast("long")
+    )
+
+
+_SQL_EPOCH = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{EPOCH_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS okey
+  FROM documents
+)
+SELECT doc_id, CAST(okey % {N_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY okey % {N_SHARDS}
+                               ORDER BY okey, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+
+@register("corpus_epoch_order", oracle=_SQL_EPOCH)
+def corpus_epoch_order(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """Seeded epoch shuffle: every doc gets a (shard, position) for training.
+
+    The data-loader contract behind every large-scale training run: an
+    epoch's global order must be pseudo-random, REPRODUCIBLE (lineage
+    audits, elastic restarts, loss-spike forensics all need to replay the
+    exact stream), and readable as N_SHARDS independent sequential shards.
+    Deriving the order from a salted md5 of the doc id — the same portable
+    hash every sampling verb here uses, never ``rand()`` or
+    ``ORDER BY rand()`` — gives all three: reader *r* streams shard *r* in
+    (okey, doc_id) order and the concatenation is the epoch permutation.
+
+    Scale shape: NO global sort. The shard is ``okey % N_SHARDS`` (a pure
+    map expression) and the in-shard position comes from the same
+    two-phase banded rank as `shard_assignment` — band by the order key's
+    quantile cuts, rank locally within (shard, band), convert to exact
+    in-shard positions with per-(shard, band) count offsets prefix-summed
+    on the driver (shards × bands rows, never data). The quantile cuts
+    affect only band boundaries, not the output (pure rank algebra), so
+    the single-window oracle stays the semantic truth.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id", _order_key(F.col("doc_id"), EPOCH_SALT).alias("okey")
+    ).withColumn("shard", F.pmod(F.col("okey"), N_SHARDS).cast("int"))
+    banded = k.withColumn(
+        "__band", _quantile_bands(k, "okey", n_bands)
+    ).persist()
+    try:
+        per = (
+            banded.groupBy("shard", "__band")
+            .agg(F.count("*").alias("n"))
+            .orderBy("shard", "__band")
+            .collect()
+        )  # shards × bands rows — the only driver involvement
+        offsets, acc = [], {}
+        for r in per:
+            off = acc.get(r["shard"], 0)
+            offsets.append((r["shard"], r["__band"], off))
+            acc[r["shard"]] = off + r["n"]
+        odf = F.broadcast(
+            spark.createDataFrame(
+                offsets, "shard int, __band int, row_offset long"
+            )
+        )
+        local = Window.partitionBy("shard", "__band").orderBy(
+            "okey", "doc_id"
+        )
+        out = (
+            banded.withColumn("__lr", F.row_number().over(local))
+            .join(odf, ["shard", "__band"])
+            .select(
+                "doc_id",
+                "shard",
+                (F.col("row_offset") + F.col("__lr"))
+                .cast("long")
+                .alias("pos"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        banded.unpersist()
+
+
+# --- token-budget head: data-constrained best-first selection ----------------
+#: Percent of the corpus' total tokens the selected head may hold.
+BUDGET_PCT = 25
+#: Composite rank key base: okey = (3 − n_checks)·2⁴⁸ + doc_id sorts by
+#: (quality desc, doc_id asc) as ONE monotone BIGINT — bandable by quantile
+#: cuts like any scalar. Headroom: doc ids must stay < 2⁴⁸ (≈ 2.8·10¹⁴ —
+#: far past any corpus row count); the key itself peaks < 2⁵⁰.
+_BUDGET_KEY_BASE = 1 << 48
+
+
+def _sql_budget_head() -> str:
+    from ting_data_etl_spark.operators.text_queries import _SQL_TOKS
+
+    return f"""
+WITH {_SQL_TOKS},
+{_sql_quality_ctes()},
+h AS (
+  SELECT c.doc_id, c.n_checks, m.n_toks,
+         CAST(3 - c.n_checks AS BIGINT) * {_BUDGET_KEY_BASE} + c.doc_id AS okey
+  FROM c JOIN m USING (doc_id)
+),
+tt AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total FROM h),
+cum AS (
+  SELECT doc_id, n_checks, CAST(n_toks AS BIGINT) AS n_toks,
+         CAST(SUM(n_toks) OVER (ORDER BY okey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+              AS BIGINT) AS cum_before
+  FROM h
+)
+SELECT doc_id, n_checks, n_toks, cum_before
+FROM cum CROSS JOIN tt
+WHERE cum_before < total * {BUDGET_PCT} // 100
+"""
+
+
+@register("corpus_budget_head", oracle=_sql_budget_head)
+def corpus_budget_head(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """Best-first selection under a global token budget (the head cut).
+
+    The data-constrained-scaling verb (Muennighoff et al. 2023 regime):
+    given a token budget — here BUDGET_PCT of the corpus' own total — keep
+    the best documents first until the budget is spent. "Best" ranks by
+    the integer quality-gate count (ties broken by doc_id for a total
+    deterministic order); a document is selected iff the tokens BEFORE it
+    in rank order fit the budget — the greedy prefix rule, integer end to
+    end (budget = ``total·PCT DIV 100``, an integer division on both
+    engines; no float threshold anywhere).
+
+    Scale shape: the rank is ONE monotone BIGINT key ((3−n_checks)·2⁴⁸ +
+    doc_id), so the global cumulative sum is the same two-phase banded
+    prefix scan as `pack_sequences` — band by the key's quantile cuts,
+    band-local window sums, per-band offsets prefix-summed on the driver
+    (B rows, never data). The corpus total rides a broadcast 1-row
+    aggregate. No global sort, no single-partition window.
+    """
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.functions.text import quality_checks, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        quality_checks(F.col("text")).alias("n_checks"),
+        token_count(F.col("text")).cast("long").alias("n_toks"),
+    ).withColumn(
+        "okey",
+        (F.lit(3) - F.col("n_checks")).cast("long") * _BUDGET_KEY_BASE
+        + F.col("doc_id"),
+    )
+    banded = h.withColumn(
+        "__band", _quantile_bands(h, "okey", n_bands)
+    ).persist()
+    try:
+        offsets = _band_offsets(banded, "n_toks")
+        tot = F.broadcast(
+            banded.agg(F.sum("n_toks").cast("long").alias("total"))
+        )
+        local = Window.partitionBy("__band").orderBy("okey").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = (
+            banded.withColumn("__lc", F.sum("n_toks").over(local))
+            .join(offsets, "__band")
+            .select(
+                "doc_id",
+                "n_checks",
+                "n_toks",
+                (F.col("total_offset") + F.col("__lc") - F.col("n_toks"))
+                .cast("long")
+                .alias("cum_before"),
+            )
+        )
+        out = (
+            cum.crossJoin(tot)
+            .filter(
+                F.col("cum_before")
+                < F.expr(f"total * {BUDGET_PCT} DIV 100")
+            )
+            .select("doc_id", "n_checks", "n_toks", "cum_before")
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        banded.unpersist()

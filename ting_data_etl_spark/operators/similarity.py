@@ -2056,3 +2056,119 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return topk_per_query(pairs)
+
+
+# --- SemDeDup: cluster-blocked semantic dedup (Abbas et al. 2023) -----------
+#: Within-cluster cosine at/above which two documents are semantic
+#: near-duplicates. SemDeDup's published sweet spot is high (0.95+ on real
+#: text embeddings); the synthetic test corpus has a flatter similarity
+#: distribution, so the registered fixture threshold sits lower to exercise
+#: the keep/drop logic. Retuning moves the Spark filter and the SQL twin
+#: together (both interpolate this constant at call time).
+SEMDEDUP_EPS = 0.3
+#: Loud-warn bound on the largest k-means cluster: the within-cluster
+#: pairwise stage is O(c²) per cluster, so the SCALE CONTRACT is k ∝ N
+#: (constant expected cluster size ~N/k, the SemDeDup paper's own regime —
+#: they size k so clusters stay ~10k docs). A cluster past this bound means
+#: the quantizer under-split the space and the job should refit with larger
+#: KMEANS_LISTS, not silently burn a quadratic straggler.
+SEMDEDUP_MAX_CLUSTER = 100_000
+
+
+def _sql_semdedup() -> str:
+    # keeper rule "drop j iff some i<j in the same cluster is eps-close"
+    # needs no transitive closure: the oracle is ONE self-join + MIN.
+    return f"""
+WITH {_SQL_QUANT},
+{sql_kmeans_search_ctes("FALSE")},
+sem AS MATERIALIZED (SELECT vec_id, q, list_id FROM assign WHERE rn = 1),
+sem_pairs AS (
+  SELECT b.vec_id, CAST(b.list_id AS INTEGER) AS list_id,
+         a.vec_id AS keep_id
+  FROM sem a JOIN sem b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE {sql_cosine_case('a.q', 'b.q')} >= {SEMDEDUP_EPS}
+)
+SELECT vec_id, list_id, MIN(keep_id) AS keeper_id
+FROM sem_pairs GROUP BY vec_id, list_id
+"""
+
+
+@register("dedup_semdedup_prune", oracle=_sql_semdedup)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means clusters as dedup blocks, cosine pruning within.
+
+    The embedding-space dedup that made LAION/LLM-corpus pruning cheap
+    (Abbas et al. 2023, "SemDeDup"): instead of an all-pairs or
+    LSH-candidate search, route every vector through the coarse k-means
+    quantizer the IVF index already maintains, then compare ONLY within
+    each cluster — semantically-close documents land in the same cell, so
+    the quadratic work shrinks from O(N²) to Σ O(c_i²) with c_i ≈ N/k.
+    A document is pruned when an earlier (lower-id) member of its cluster
+    is ε-close; the output names each pruned doc's cluster and its
+    canonical keeper (lowest qualifying id — deterministic, no RNG, same
+    keeper rule as the lexical `dedup_keep_canonical`).
+
+    Plan shape: the cluster assignment is the sanctioned Arrow matmul
+    kernel over broadcast centroid literals (no shuffle), the self-join
+    shuffles BOTH sides once on the fixed-width ``list_id`` key, and the
+    pair cosine is the shared Arrow kernel. Nothing new reaches the
+    driver: the model load reuses :func:`ivf_centroids`' staged artifact.
+    At 100 TB the contract is k ∝ N (constant cluster size): the
+    per-cluster occupancy is checked from the assignment rollup (k rows)
+    and a cluster past SEMDEDUP_MAX_CLUSTER warns loudly instead of
+    silently running a quadratic straggler.
+
+    FULL oracle: the twin refits the coarse model from scratch (shared
+    md5-seeded integer Lloyd chain), re-derives every assignment, and
+    recomputes each within-cluster cosine — a drift in fit, assignment,
+    threshold, or keeper rule all surface as value mismatches.
+    """
+    import warnings
+
+    centroids = ivf_centroids(spark, sf_dir)
+    assign1 = nearest_lists_udf(centroids, 1)
+    q = _quantized(spark, sf_dir).select(
+        "vec_id",
+        "q",
+        "norm",
+        F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+    )
+    occupancy = q.groupBy("list_id").count().collect()  # k rows, bounded
+    worst = max((r["count"] for r in occupancy), default=0)
+    if worst > SEMDEDUP_MAX_CLUSTER:
+        warnings.warn(
+            f"semdedup: largest cluster holds {worst} vectors "
+            f"(> {SEMDEDUP_MAX_CLUSTER}); the within-cluster pair stage is "
+            "O(c^2) — refit with a larger KMEANS_LISTS (contract: k ∝ N)",
+            stacklevel=2,
+        )
+    a = q.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+        "list_id",
+    )
+    b = q.select(
+        "vec_id",
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+        F.col("list_id").alias("list_id_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("list_id") == F.col("list_id_b"))
+        & (F.col("keep_id") < F.col("vec_id")),
+    ).select(
+        "vec_id",
+        "list_id",
+        "keep_id",
+        cosine_udf()(
+            F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+        ).alias("cosine"),
+    )
+    return (
+        pairs.filter(F.col("cosine") >= SEMDEDUP_EPS)
+        .groupBy("vec_id", "list_id")
+        .agg(F.min("keep_id").alias("keeper_id"))
+    )
