@@ -287,3 +287,31 @@ class TestTrimmedText:
         )
         out.unpersist()
         st.unpersist()
+
+
+class TestFunnelReport:
+    def test_funnel_sums_to_corpus_and_matches_statuses(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.curation import (
+            curation_funnel_report,
+            curation_span_status,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        funnel = {
+            r.status: (r.n_docs, r.tokens_trimmed)
+            for r in curation_funnel_report(spark, sf_dir).collect()
+        }
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(n for n, _ in funnel.values()) == n_docs
+        # the funnel must agree with the relation it summarizes
+        per_doc = curation_span_status(spark, sf_dir).collect()
+        want: dict[str, list[int]] = {}
+        for r in per_doc:
+            want.setdefault(r.status, [0, 0])
+            want[r.status][0] += 1
+            want[r.status][1] += r.span_tokens_removed
+        assert funnel == {k: tuple(v) for k, v in want.items()}
+        # only trim-capable fates may carry trimmed tokens
+        for status, (_, trimmed) in funnel.items():
+            if status not in ("kept_trimmed",):
+                assert trimmed == 0, (status, trimmed)

@@ -526,3 +526,24 @@ class TestIncrementalMinhashDelete:
         assert stale[21].dup_of == 14
         # re-added doc matches through its NEW signature
         assert out[41].dup_of == 24 and out[41].is_dup
+
+
+class TestMinhashEstimateError:
+    def test_error_is_sketch_bounded(self, spark, sf_dir):
+        """Mean |err| over candidates must sit inside the sketch's own
+        variance envelope (sigma = sqrt(J(1-J)/16) <= 0.125), and the
+        exact-duplicate candidates must estimate J = 1 exactly."""
+        from ting_data_etl_spark.operators.dedup import (
+            dedup_minhash_estimate_error,
+        )
+
+        rows = dedup_minhash_estimate_error(spark, sf_dir).collect()
+        assert rows, "no candidate pairs to validate"
+        for r in rows:
+            assert 0.0 <= r.est_jaccard <= 1.0
+            assert 0.0 <= r.true_jaccard <= 1.0
+            if r.true_jaccard == 1.0:
+                # identical shingle sets -> identical signatures
+                assert r.n_matches and r.est_jaccard == 1.0, r
+        mean_err = sum(r.abs_err for r in rows) / len(rows)
+        assert mean_err <= 0.25, mean_err  # 2 sigma of the 16-hash sketch

@@ -221,3 +221,66 @@ class TestRealPpmCodec:
         feats = real_decoder(pay, "image/ppm")
         assert feats[0] == 96 and feats[1] == 40
         assert r.feature_norm == sum(x * x for x in feats)
+
+
+class TestPhashDedup:
+    def test_ahash_known_image(self):
+        """Hand-checkable aHash: half-dark/half-bright image."""
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import ahash_bits
+
+        arr = np.zeros((48, 48, 3), dtype=np.uint8)
+        arr[:, 24:, :] = 200  # right half bright
+        bits = ahash_bits(arr)
+        assert len(bits) == 64
+        # each row of the 8x8 grid: 4 dark cells (0) then 4 bright cells
+        assert bits == ("0000" + "1111") * 8
+
+    def test_hash_is_pixel_based_not_byte_based(self):
+        """Re-encoding the decoded image (new header bytes possible) must
+        not change the hash — perceptual means pixels, not payload bytes."""
+        from ting_data_etl_spark.operators.multimodal import (
+            ahash_bits,
+            decode_ppm,
+            encode_ppm,
+        )
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+        pay = encode_ppm(arr)
+        # a P6 with a comment in the header: same pixels, different bytes
+        pay2 = b"P6\n# re-encoded\n48 48\n255\n" + arr.tobytes()
+        assert pay != pay2
+        assert ahash_bits(decode_ppm(pay)) == ahash_bits(decode_ppm(pay2))
+
+    def test_planted_duplicate_collapses(self, spark, sf_dir, tmp_path):
+        from ting_data_etl_spark.operators.multimodal import (
+            multimodal_phash_dedup,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        max_id = d.agg(F.max("doc_id")).collect()[0][0]
+        base = d.limit(20)
+        dup = base.limit(1).select(
+            (F.col("doc_id") + max_id + 1).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        cols = [f.name for f in d.schema.fields]
+        ds = str(tmp_path / "planted")
+        base.select(*cols).unionByName(dup.select(*cols)).coalesce(
+            1
+        ).write.parquet(f"{ds}/documents.parquet")
+        out = {
+            r.media_id: r.keeper_id
+            for r in multimodal_phash_dedup(spark, ds).collect()
+        }
+        orig = base.limit(1).collect()[0].doc_id
+        planted = orig + max_id + 1
+        assert planted in out
+        assert out[planted] <= orig

@@ -112,6 +112,14 @@ PINNED = [
     "sample_dsir_importance",
     "corpus_epoch_order",
     "corpus_budget_head",
+    # round-9 fifth wave: phash dedup is two Arrow mapInPandas stages + ONE
+    # hash-keyed shuffle (no row-python, no extra exchange); the funnel is
+    # a fixed-width rollup on the span-status plan; the estimate-error
+    # report joins doc-keyed array relations onto the LSH candidate plan
+    # (per-pair work must stay HOFs — an explode here means fan-out)
+    "multimodal_phash_dedup",
+    "curation_funnel_report",
+    "dedup_minhash_estimate_error",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

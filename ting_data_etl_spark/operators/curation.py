@@ -659,3 +659,41 @@ def curation_trimmed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(trimmed).alias("trimmed_md5"),
         )
     )
+
+
+# --- curation funnel report: the run-level observability rollup --------------
+def _sql_funnel_report() -> str:
+    """One statement: the span-status relation nested as a subquery (same
+    can-never-disagree trick as the trimmed-text twin), rolled up by fate."""
+    return f"""
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(span_tokens_removed) AS BIGINT) AS tokens_trimmed
+FROM ({_sql_span_status()})
+GROUP BY status
+"""
+
+
+@register("curation_funnel_report", oracle=_sql_funnel_report)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel: how many documents met each fate, one row per
+    stage outcome (benchmark / low_quality / contaminated / duplicate /
+    kept / kept_trimmed) plus the span-trim token volume.
+
+    This is the rollup every production curation run logs next to its
+    output corpus — the number auditors compare across runs ("this crawl
+    lost 12% to contamination, last month it was 3%" is how benchmark
+    leaks get caught). Derived BY CONSTRUCTION from the verified
+    span-status relation (one extra fixed-width aggregation over ≤6 rows'
+    worth of statuses), so the funnel can never disagree with the
+    per-document verdicts it summarizes; the oracle nests the span-status
+    statement as a subquery for the same guarantee.
+    """
+    return (
+        curation_span_status(spark, sf_dir)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("span_tokens_removed").cast("long").alias("tokens_trimmed"),
+        )
+    )

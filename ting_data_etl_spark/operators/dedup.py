@@ -1873,3 +1873,113 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+
+
+# --- minhash estimate-vs-truth error report ----------------------------------
+def _sql_minhash_est_error() -> str:
+    """Call-time builder (module convention): composes the candidate chain
+    with exact 31-bit-hash Jaccard so a retune of MINHASH_HASHES / bands /
+    caps moves estimate, truth, and candidates together."""
+    from ting_data_etl_spark.plans.oracles import sql_shingle_hash
+
+    m = MINHASH_HASHES
+    return f"""
+{_sql_minhash_pairs_cte()},
+xsets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s -> {sql_shingle_hash("s")}))
+           AS xs
+  FROM sh
+),
+q1 AS (
+  SELECT p.doc_a, p.doc_b,
+         list_sum(list_transform(range(1, {m + 1}),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+           AS matches,
+         len(list_intersect(xa.xs, xb.xs)) AS common,
+         len(xa.xs) AS na, len(xb.xs) AS nb
+  FROM mh_pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+  JOIN xsets xa ON xa.doc_id = p.doc_a
+  JOIN xsets xb ON xb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(matches AS BIGINT) AS n_matches,
+       CAST(matches AS DOUBLE) / {m}.0 AS est_jaccard,
+       CAST(common AS DOUBLE) / (na + nb - common) AS true_jaccard,
+       ABS(CAST(matches AS DOUBLE) / {m}.0
+           - CAST(common AS DOUBLE) / (na + nb - common)) AS abs_err
+FROM q1
+"""
+
+
+@register("dedup_minhash_estimate_error", oracle=_sql_minhash_est_error)
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-candidate-pair MinHash estimate vs exact Jaccard — the sketch
+    validation every production LSH deployment runs before trusting its
+    thresholds (the minhash analog of `similarity_recall_report`).
+
+    For every LSH candidate pair: the signature estimate (matching
+    positions / {MINHASH_HASHES}), the EXACT Jaccard over the distinct
+    31-bit shingle hashes the signature was built from (same hash, so the
+    measured error is pure sketch variance, not tokenizer drift), and the
+    absolute error. Expected |err| ~ sqrt(J(1-J)/16) ≈ 0.12 at J=0.5; a
+    systematically larger error means broken permutations or banding.
+
+    Plan shape: candidates come from the registered LSH plan (band-keyed
+    self-join, capped); signatures and distinct-hash sets are doc-keyed
+    arrays (bounded by document length) joined onto the pairs — per-pair
+    work is then three per-row HOFs (position matches, set intersect,
+    sizes), no explode, no extra corpus shuffle. The truth side is exact
+    only over candidate pairs (|pairs| rows), never all-pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_df(d)
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    sh = word_shingles_df(d)
+    xs = (
+        sh.select("doc_id", _shingle_hash_spark(F.col("s")).alias("x"))
+        .filter(F.col("x").isNotNull())
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("x").alias("xs"))
+    )
+    p = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .join(
+            xs.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("xa")),
+            "doc_a",
+        )
+        .join(
+            xs.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("xb")),
+            "doc_b",
+        )
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    common = F.size(F.array_intersect(F.col("xa"), F.col("xb")))
+    na, nb = F.size(F.col("xa")), F.size(F.col("xb"))
+    est = matches.cast("double") / F.lit(float(MINHASH_HASHES))
+    true_j = common.cast("double") / (na + nb - common)
+    return p.select(
+        "doc_a",
+        "doc_b",
+        matches.cast("long").alias("n_matches"),
+        est.alias("est_jaccard"),
+        true_j.alias("true_jaccard"),
+        F.abs(est - true_j).alias("abs_err"),
+    )

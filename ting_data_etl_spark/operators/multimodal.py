@@ -419,3 +419,149 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.md5(F.col("payload")).alias("payload_md5"),
     )
+
+
+# --- perceptual-hash (aHash) dedup over REAL PPM payloads --------------------
+#: Rendered image side (pixels). The render rule is deterministic from the
+#: document's codepoints so the DuckDB twin can re-derive every pixel.
+PHASH_SIDE = 48
+#: aHash grid: the hash is GRID×GRID mean-threshold bits (the classic
+#: average-hash construction; 8×8 = 64 bits).
+PHASH_GRID = 8
+
+
+def render_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real binary PPM (P6) images, rendered deterministically.
+
+    Pixel byte *j* (row-major, RGB-interleaved) is codepoint
+    ``text[j mod len]`` mod 256 (empty text → all-zero image). Stands in
+    for an image corpus the way :func:`documents_as_media` does for raw
+    payloads — but these are REAL P6 files the production codec parses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        total = 3 * PHASH_SIDE * PHASH_SIDE
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                cps = [ord(c) % 256 for c in (text or "")] or [0]
+                n = len(cps)
+                arr = np.array(
+                    [cps[j % n] for j in range(total)], dtype=np.uint8
+                ).reshape(PHASH_SIDE, PHASH_SIDE, 3)
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        _batches, schema="media_id long, payload binary"
+    )
+
+
+def ahash_bits(arr) -> str:
+    """aHash of an (h, w, 3) uint8 image as a 64-char '0'/'1' string.
+
+    Nearest-neighbor sample to GRID×GRID (same integer index rule as
+    :func:`ppm_downscale`), per-cell gray SUM (r+g+b, no division), then
+    mean-threshold: bit = cell·G² ≥ Σ cells — an integer cross-multiply,
+    so the DuckDB twin computes the identical bits. The string form keeps
+    the 64 bits portable (a BIGINT would overflow at bit 63); at 100 TB
+    compact it with xxhash64 for the shuffle key (rows-only check then).
+    """
+    import numpy as np
+
+    g = PHASH_GRID
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(g) * h) // g
+    cols = (np.arange(g) * w) // g
+    cells = arr[rows][:, cols].astype(np.int64).sum(axis=2)
+    total = int(cells.sum())
+    return "".join(
+        "1" if int(c) * (g * g) >= total else "0" for c in cells.flatten()
+    )
+
+
+def _sql_phash() -> str:
+    side, g = PHASH_SIDE, PHASH_GRID
+    step = side // g
+    cells = []
+    for i in range(g):
+        for j in range(g):
+            p = ((i * step) * side + (j * step)) * 3
+            terms = " + ".join(
+                "(CASE WHEN length(text) = 0 THEN 0 ELSE "
+                f"ord(substr(text, ({p + c}) % n + 1, 1)) % 256 END)"
+                for c in range(3)
+            )
+            cells.append(f"({terms})")
+    gs = ",\n    ".join(cells)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, GREATEST(length(text), 1) AS n FROM documents
+),
+gcell AS (
+  SELECT doc_id, [{gs}] AS gs FROM t
+),
+h AS (
+  SELECT doc_id, gs, list_sum(gs) AS total FROM gcell
+),
+b AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(gs,
+             x -> CASE WHEN x * {g * g} >= total THEN '1' ELSE '0' END),
+           '') AS phash
+  FROM h
+),
+k AS (SELECT phash, MIN(doc_id) AS keeper_id FROM b GROUP BY phash)
+SELECT b.doc_id AS media_id, b.phash, k.keeper_id
+FROM b JOIN k USING (phash)
+WHERE b.doc_id <> k.keeper_id
+"""
+
+
+@register("multimodal_phash_dedup", oracle=_sql_phash)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image dedup over real binary payloads.
+
+    The multimodal counterpart of exact text dedup: render each document
+    as a REAL PPM (P6) image, run it through the production binary codec
+    (:func:`decode_ppm` — the same dependency-free decoder the resize path
+    uses), compute the classic average-hash (nearest-neighbor 8×8
+    downsample → integer mean-threshold bits), and collapse hash-equal
+    images onto their lowest-id keeper. Exact-duplicate sources collapse
+    by construction; perceptually-identical variants (same image bytes
+    re-encoded) collapse because the hash sees pixels, not bytes.
+
+    Plan shape: two Arrow `mapInPandas` stages (render, decode+hash —
+    binary columns never leave the executors), ONE shuffle keyed by the
+    64-char hash, and a window-free keeper join on the same key. At scale
+    the hash key compacts to ``xxhash64(phash)`` (rows-only check then —
+    same trade as the documented `*_fast` variants).
+
+    FULL oracle: every pixel byte is a pure function of the document's
+    codepoints, so the DuckDB twin re-derives the sampled cells, the
+    integer threshold, the 64 bits, and the keeper rule — the entire
+    render→decode→hash→dedup chain is value-checked, codec included.
+    """
+
+    def _hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [ahash_bits(decode_ppm(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            )
+
+    hashed = render_ppm_media(spark, sf_dir).mapInPandas(
+        _hash_batches, schema="media_id long, phash string"
+    )
+    keep = hashed.groupBy("phash").agg(F.min("media_id").alias("keeper_id"))
+    return (
+        hashed.join(keep, "phash")
+        .filter(F.col("media_id") != F.col("keeper_id"))
+        .select("media_id", "phash", "keeper_id")
+    )
