@@ -120,6 +120,10 @@ PINNED = [
     "multimodal_phash_dedup",
     "curation_funnel_report",
     "dedup_minhash_estimate_error",
+    # round-9 sixth wave: the rerank must keep the ADC plan verbatim plus
+    # two vec_id-keyed candidate joins — refinement may never grow into a
+    # corpus-sized scan or a new shuffle class
+    "similarity_ivfpq_rerank",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

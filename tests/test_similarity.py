@@ -626,3 +626,47 @@ class TestSemDedup:
         planted = max_id + 1 + src.limit(1).collect()[0].vec_id
         assert planted in out, (planted, sorted(out))
         assert out[planted].keeper_id < planted
+
+
+class TestIvfpqRerank:
+    @staticmethod
+    def _byq(rows) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    def test_rerank_scores_are_exact_and_recall_not_worse(self, spark, sf_dir):
+        import numpy as np
+
+        import ting_data_etl_spark.operators.similarity as S
+
+        qs = entrymod.queries()
+        rer = qs["similarity_ivfpq_rerank"](spark, sf_dir).collect()
+        pq = qs["similarity_ivfpq_topk"](spark, sf_dir).collect()
+        brute = qs["similarity_bruteforce_topk"](spark, sf_dir).collect()
+
+        # 1. refinement reports EXACT cosines (thresholds transfer)
+        vecs = {
+            r.vec_id: np.asarray(r.q, dtype=np.float64)
+            for r in S._quantized(spark, sf_dir).collect()
+        }
+        for r in rer[:50]:
+            a, b = vecs[r.query_id], vecs[r.neighbor_id]
+            want = float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+            assert abs(r.cosine - want) < 1e-12, (r, want)
+
+        # 2. rerank must not lose recall vs the ADC-only ranking: the ADC
+        # top-5 is a subset of the rerank's candidate pool, so exact
+        # rescoring can only promote true neighbors into the final 5
+        truth = self._byq(brute)
+        r_pq = self._byq(pq)
+        r_rr = self._byq(rer)
+        hits_pq = sum(len(truth[q] & r_pq.get(q, set())) for q in truth)
+        hits_rr = sum(len(truth[q] & r_rr.get(q, set())) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        print(
+            f"IVF-PQ recall@5 = {hits_pq / total:.3f}, "
+            f"+rerank = {hits_rr / total:.3f}"
+        )
+        assert hits_rr >= hits_pq, (hits_rr, hits_pq)

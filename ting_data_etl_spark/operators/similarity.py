@@ -1881,14 +1881,15 @@ def _pq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivfpq() -> str:
-    """From-scratch DuckDB twin of the WHOLE IVF-PQ pipeline.
+def _sql_ivfpq_ctes() -> str:
+    """From-scratch DuckDB twin of the WHOLE IVF-PQ pipeline (CTE chain).
 
     Re-derives the coarse model (shared Lloyd chain), the residuals, all
     PQ_M sub-codebooks (prefixed Lloyd chains over residual slices), the
     per-vector codes, the codebook reconstruction, and the probed-list
     ADC search — so a drift anywhere (fit, slicing, code assignment,
-    reconstruction arithmetic) surfaces as a value mismatch.
+    reconstruction arithmetic) surfaces as a value mismatch. Ends in
+    ``pqpairs``; ONE chain shared by the top-k and rerank finals.
     """
     coarse_iters = "\n,".join(_sql_lloyd_iter(i + 1) for i in range(KMEANS_ITERS))
     pq_chains = []
@@ -1972,7 +1973,12 @@ pqpairs AS (
          {sql_cosine_case('p.qv', 'r.rv')} AS cosine
   FROM probes p JOIN recon r
     ON p.list_id = r.list_id AND r.vec_id <> p.query_id
-)
+)"""
+
+
+def _sql_ivfpq() -> str:
+    return f"""
+{_sql_ivfpq_ctes()}
 SELECT query_id, neighbor_id, cosine FROM (
   SELECT *, row_number() OVER (
            PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
@@ -2005,6 +2011,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin (:func:`_sql_ivfpq`) re-derives the ENTIRE index from
     scratch and the driver hash-checks the search results.
     """
+    return topk_per_query(_ivfpq_pairs(spark, sf_dir))
+
+
+def _ivfpq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored (query_id, neighbor_id, cosine) ADC pairs — the shared core
+    of the plain IVF-PQ top-k and the r9 rerank variant."""
     coarse = ivf_centroids(spark, sf_dir)
     books = pq_codebooks(spark, sf_dir)
     q = _quantized(spark, sf_dir)
@@ -2044,7 +2056,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qn"),
         F.explode(assignp(F.col("q"))).alias("probe_list"),
     )
-    pairs = queries.join(
+    return queries.join(
         corpus,
         (F.col("probe_list") == F.col("list_id"))
         & (F.col("neighbor_id") != F.col("query_id")),
@@ -2055,7 +2067,92 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
-    return topk_per_query(pairs)
+
+
+# --- IVF-PQ + exact rerank: the production two-stage search -------------------
+#: Candidates the ADC stage hands to the exact refinement stage, per query.
+#: The FAISS convention is a small multiple of k (here 5×TOP_K = 25).
+RERANK_R = 25
+
+
+def _sql_ivfpq_rerank() -> str:
+    return f"""
+{_sql_ivfpq_ctes()},
+pqcand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM pqpairs
+  ) WHERE rn <= {RERANK_R}
+),
+exactp AS (
+  SELECT c.query_id, c.neighbor_id,
+         {sql_cosine_case('qq.q', 'nq.q')} AS cosine
+  FROM pqcand c
+  JOIN q qq ON qq.vec_id = c.query_id
+  JOIN q nq ON nq.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+         ) AS rn
+  FROM exactp
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("similarity_ivfpq_rerank", oracle=_sql_ivfpq_rerank)
+def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with an exact refinement stage — the production
+    two-stage ANN layout (FAISS ``IVFx,PQy`` + refine).
+
+    Stage 1 is the ADC search over codebook reconstructions (8 B/vector
+    index state — cheap but lossy); stage 2 fetches the ORIGINAL vectors
+    for only the top RERANK_R ADC candidates per query and re-scores them
+    exactly, returning the exact-cosine top-k. This is how a 100 TB vector
+    store actually answers queries: the PQ index prunes the corpus to
+    R ≈ 5k candidates, and the expensive full-precision reads touch only
+    |Q|·R rows — never the corpus.
+
+    Plan shape: the ADC stage is the pinned IVF-PQ plan verbatim (shared
+    `_ivfpq_pairs`); refinement adds two vec_id-keyed joins of the
+    candidate relation against the quantized corpus and one more window —
+    the reported cosines are EXACT, so downstream thresholds calibrated
+    on brute-force scores transfer unchanged. The oracle re-derives the
+    whole index (shared `_sql_ivfpq_ctes`), reranks in SQL, and
+    hash-checks the final ranking.
+    """
+    cand = topk_per_query(_ivfpq_pairs(spark, sf_dir), k=RERANK_R).select(
+        "query_id", "neighbor_id"
+    )
+    q = _quantized(spark, sf_dir)
+    exact = (
+        cand.join(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qv"),
+                F.col("norm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("q").alias("cv"),
+                F.col("norm").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_udf()(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_query(exact)
 
 
 # --- SemDeDup: cluster-blocked semantic dedup (Abbas et al. 2023) -----------
