@@ -547,3 +547,33 @@ class TestMinhashEstimateError:
                 assert r.n_matches and r.est_jaccard == 1.0, r
         mean_err = sum(r.abs_err for r in rows) / len(rows)
         assert mean_err <= 0.25, mean_err  # 2 sigma of the 16-hash sketch
+
+
+class TestSourceOverlap:
+    def test_matrix_is_unordered_and_consistent_with_pairs(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.dedup import (
+            dedup_minhash_pairs,
+            graph_source_overlap,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        m = {
+            (r.source_a, r.source_b): r.n_pairs
+            for r in graph_source_overlap(spark, sf_dir).collect()
+        }
+        assert m, "no candidate pairs on the fixture corpus"
+        # unordered: keys are canonical (a <= b), so no mirrored entries
+        assert all(a <= b for a, b in m)
+        # total must equal the candidate-pair count exactly
+        n_pairs = dedup_minhash_pairs(spark, sf_dir).count()
+        assert sum(m.values()) == n_pairs
+        # per-source-pair counts are positive and every named source exists
+        sources = {
+            r.source
+            for r in load_table(spark, sf_dir, "documents")
+            .select("source")
+            .distinct()
+            .collect()
+        }
+        assert all(v > 0 for v in m.values())
+        assert all(a in sources and b in sources for a, b in m)

@@ -124,6 +124,9 @@ PINNED = [
     # two vec_id-keyed candidate joins — refinement may never grow into a
     # corpus-sized scan or a new shuffle class
     "similarity_ivfpq_rerank",
+    # round-9 seventh wave: the provenance matrix must stay the pinned LSH
+    # candidate plan + two doc-keyed joins + one fixed-width rollup
+    "graph_source_overlap",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -1983,3 +1983,58 @@ def dedup_minhash_estimate_error(
         true_j.alias("true_jaccard"),
         F.abs(est - true_j).alias("abs_err"),
     )
+
+
+# --- source-overlap provenance: who duplicates whom ---------------------------
+def _sql_source_overlap() -> str:
+    """Call-time builder: rides the minhash candidate chain verbatim."""
+    return f"""
+{_sql_minhash_pairs_cte()},
+ds AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT LEAST(a.source, b.source) AS source_a,
+         GREATEST(a.source, b.source) AS source_b
+  FROM mh_pairs p
+  JOIN ds a ON a.doc_id = p.doc_a
+  JOIN ds b ON b.doc_id = p.doc_b
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY source_a, source_b
+"""
+
+
+@register("graph_source_overlap", oracle=_sql_source_overlap)
+def graph_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup provenance matrix: candidate-pair counts per source pair.
+
+    The crawl-forensics rollup over the LSH candidate graph: how much of
+    each source is duplicated WITHIN itself (diagonal) vs copied ACROSS
+    sources (off-diagonal — mirror sites, syndication, scraper overlap).
+    Production curation uses exactly this to decide which source to keep
+    when cross-source clusters collapse, and to catch a "new" crawl that
+    is mostly a re-crawl. Pairs are unordered (LEAST/GREATEST on the
+    source names) so each duplicate relationship counts once.
+
+    Plan: the pinned LSH candidate plan, two doc_id-keyed joins to the
+    (doc_id, source) projection, one fixed-width rollup — |sources|² rows
+    out, no new shuffle class.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    lab = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )

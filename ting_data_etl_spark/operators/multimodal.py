@@ -444,14 +444,25 @@ def render_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         total = 3 * PHASH_SIDE * PHASH_SIDE
+        idx = np.arange(total)
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
-                cps = [ord(c) % 256 for c in (text or "")] or [0]
-                n = len(cps)
-                arr = np.array(
-                    [cps[j % n] for j in range(total)], dtype=np.uint8
-                ).reshape(PHASH_SIDE, PHASH_SIDE, 3)
+                # np.frombuffer of the UTF-32 encoding = the codepoint
+                # array in one vectorized step (no per-char Python loop)
+                cps = (
+                    np.frombuffer(
+                        (text or "").encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    % 256
+                )
+                if cps.size == 0:
+                    cps = np.zeros(1, dtype=np.int64)
+                arr = (
+                    cps[idx % cps.size]
+                    .astype(np.uint8)
+                    .reshape(PHASH_SIDE, PHASH_SIDE, 3)
+                )
                 payloads.append(encode_ppm(arr))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
