@@ -127,6 +127,11 @@ PINNED = [
     # round-9 seventh wave: the provenance matrix must stay the pinned LSH
     # candidate plan + two doc-keyed joins + one fixed-width rollup
     "graph_source_overlap",
+    # round-9 eighth wave: KS drift's windows must run on the grid (the
+    # corpus contributes ONE aggregation); the epoch mixture must stay a
+    # one-scan codegen generator — zero exchanges
+    "quality_ks_drift",
+    "corpus_mixture_epochs",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -110,3 +110,40 @@ class TestSketchAccuracy:
         for p, approx in zip(SKETCH_PCTS, dd_q):
             exact = rows[f"value_p{int(p * 100)}"].exact
             assert abs(approx - exact) <= 0.05 * abs(exact), (p, approx, exact)
+
+
+class TestKsDrift:
+    def test_ks_bounds_and_exact_numerator(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.quality import quality_ks_drift
+
+        rows = quality_ks_drift(spark, sf_dir).collect()
+        assert rows
+        total = sum(r.n_docs for r in rows)
+        for r in rows:
+            assert 0.0 <= r.ks <= 1.0, r
+            # the float is DERIVED from the integer numerator by one divide
+            assert abs(r.ks - r.ks_num / (r.n_docs * total)) < 1e-12, r
+
+    def test_ks_detects_a_planted_shape_shift(self, spark, sf_dir, tmp_path):
+        """A source whose docs are all truncated to a few tokens must show a
+        much larger KS than an unmodified source."""
+        from ting_data_etl_spark.operators.quality import quality_ks_drift
+        from ting_data_etl_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        cols = [f.name for f in d.schema.fields]
+        shifted = d.limit(100).select(
+            "doc_id",
+            F.substring(F.col("text"), 1, 20).alias("text"),
+            "lang",
+            F.lit("srcshift").alias("source"),
+            "n_chars",
+        )
+        ds = str(tmp_path / "drift")
+        d.select(*cols).unionByName(shifted.select(*cols)).coalesce(
+            1
+        ).write.parquet(f"{ds}/documents.parquet")
+        ks = {r.source: r.ks for r in quality_ks_drift(spark, ds).collect()}
+        others = [v for k, v in ks.items() if k != "srcshift"]
+        assert ks["srcshift"] > 0.8, ks["srcshift"]
+        assert ks["srcshift"] > max(others), ks

@@ -583,3 +583,44 @@ class TestBudgetHead:
             included_worst,
             excluded_best,
         )
+
+
+class TestMixtureEpochs:
+    def test_copy_counts_follow_the_rate(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.sampling import (
+            DEFAULT_EPOCH_MIX_PCT,
+            EPOCH_MIX_PCT,
+            corpus_mixture_epochs,
+            _bucket,
+        )
+        from ting_data_etl_spark.sources.tables import load_table
+
+        rows = corpus_mixture_epochs(spark, sf_dir).collect()
+        per_doc: dict[int, list[int]] = {}
+        src: dict[int, str] = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append(r.copy)
+            src[r.doc_id] = r.source
+        d = load_table(spark, sf_dir, "documents")
+        coins = {
+            r.doc_id: r.b
+            for r in d.select(
+                "doc_id", _bucket(F.col("doc_id"), "epochmix").alias("b")
+            ).collect()
+        }
+        n_docs = d.count()
+        emitted = set(per_doc)
+        for doc, copies in per_doc.items():
+            rate = EPOCH_MIX_PCT.get(src[doc], DEFAULT_EPOCH_MIX_PCT)
+            want = rate // 100 + (1 if coins[doc] < rate % 100 else 0)
+            assert sorted(copies) == list(range(want)), (doc, copies, want)
+        # docs absent from the output must be exactly the zero-copy docs
+        all_docs = {r.doc_id for r in d.select("doc_id").collect()}
+        for doc in all_docs - emitted:
+            rate_rows = [r for r in d.select("doc_id", "source").collect()
+                         if r.doc_id == doc]
+            rate = EPOCH_MIX_PCT.get(
+                rate_rows[0].source, DEFAULT_EPOCH_MIX_PCT
+            )
+            assert rate // 100 == 0 and coins[doc] >= rate % 100
+        assert len(all_docs) == n_docs

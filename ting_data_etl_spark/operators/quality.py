@@ -331,3 +331,132 @@ def events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(dev * dev > ANOMALY_SIGMA * ANOMALY_SIGMA * var_n2).select(
         "event_type", "hr", "c", "n", "s"
     )
+
+
+# --- two-sample KS drift: per-source length-distribution monitoring ----------
+def _sql_ks_drift() -> str:
+    from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+
+    return f"""
+WITH kt AS (
+  SELECT source, len({SQL_TOKEN_LIST}) AS n_toks FROM documents
+),
+kc AS (SELECT source, n_toks, COUNT(*) AS c FROM kt GROUP BY 1, 2),
+kall AS (SELECT n_toks, CAST(SUM(c) AS BIGINT) AS c FROM kc GROUP BY 1),
+ksz AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM kc GROUP BY 1),
+ktot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM kall),
+grid AS (
+  SELECT s.source, v.n_toks, COALESCE(kc.c, 0) AS c_s, v.c AS c_all
+  FROM (SELECT DISTINCT source FROM kc) s
+  CROSS JOIN kall v
+  LEFT JOIN kc ON kc.source = s.source AND kc.n_toks = v.n_toks
+),
+cum AS (
+  SELECT source, n_toks,
+         CAST(SUM(c_s) OVER (PARTITION BY source ORDER BY n_toks
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_s,
+         CAST(SUM(c_all) OVER (PARTITION BY source ORDER BY n_toks
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_all
+  FROM grid
+)
+SELECT c.source,
+       z.n_s AS n_docs,
+       CAST(MAX(ABS(c.cum_s * t.n_total - c.cum_all * z.n_s)) AS BIGINT)
+         AS ks_num,
+       CAST(MAX(ABS(c.cum_s * t.n_total - c.cum_all * z.n_s)) AS DOUBLE)
+         / (z.n_s * t.n_total) AS ks
+FROM cum c
+JOIN ksz z ON z.source = c.source
+CROSS JOIN ktot t
+GROUP BY c.source, z.n_s, t.n_total
+"""
+
+
+@register("quality_ks_drift", oracle=_sql_ks_drift)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov–Smirnov drift vs the pooled corpus.
+
+    The training-data drift monitor: for each source, the KS statistic
+    between its token-length distribution and the whole corpus' —
+    ``max_x |F_s(x) − F(x)|``. A source whose KS jumps between snapshots
+    changed shape (new scraper, truncation bug, boilerplate injection)
+    even when its row count looks normal — the standard alarm wired next
+    to row-count expectations in production DQ suites.
+
+    Exactness (house rule: no float decision math): the supremum is taken
+    over the INTEGER cross-multiplied form ``|cum_s·n_total − cum_all·n_s|``
+    (ks_num), with the float ``ks`` derived from the integer maximum by
+    one pinned division — both engines agree bit-for-bit.
+
+    Scale shape: everything after the per-(source, length) count rollup
+    operates on the |sources| × |distinct lengths| GRID, not the corpus —
+    a few thousand rows at any corpus size (lengths are bounded, sources
+    are few). One corpus-sized aggregation, then grid-sized windows.
+    """
+    from ting_data_etl_spark.functions.text import token_count
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    kc = (
+        d.select("source", token_count(F.col("text")).alias("n_toks"))
+        .groupBy("source", "n_toks")
+        .agg(F.count("*").alias("c"))
+    )
+    # cut the lineage at the grid-sized rollup: kc is read by four
+    # downstream relations, each of which would otherwise re-tokenize the
+    # whole corpus — the checkpoint makes the corpus contribute exactly
+    # ONE scan + one aggregation, as the docstring promises
+    kc = kc.localCheckpoint(eager=True)
+    kall = kc.groupBy("n_toks").agg(F.sum("c").cast("long").alias("c_all"))
+    ksz = kc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    ktot = F.broadcast(
+        kall.agg(F.sum("c_all").cast("long").alias("n_total"))
+    )
+    grid = (
+        kc.select("source")
+        .distinct()
+        .crossJoin(kall)
+        .join(kc, ["source", "n_toks"], "left")
+        .select(
+            "source",
+            "n_toks",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_s"),
+            "c_all",
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_toks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "source",
+        F.sum("c_s").over(w).cast("long").alias("cum_s"),
+        F.sum("c_all").over(w).cast("long").alias("cum_all"),
+    )
+    return (
+        cum.join(F.broadcast(ksz), "source")
+        .crossJoin(ktot)
+        .groupBy("source", F.col("n_s").alias("n_docs"), "n_total")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * F.col("n_total")
+                    - F.col("cum_all") * F.col("n_s")
+                )
+            )
+            .cast("long")
+            .alias("ks_num")
+        )
+        .select(
+            "source",
+            "n_docs",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_docs") * F.col("n_total"))
+            ).alias("ks"),
+        )
+    )

@@ -1159,3 +1159,78 @@ def corpus_budget_head(
         return out
     finally:
         banded.unpersist()
+
+
+# --- multi-epoch oversampling mixture ----------------------------------------
+#: Rates in PERCENT of one epoch; > 100 means true oversampling (the
+#: "2 epochs of Wikipedia, 0.5 epochs of CommonCrawl" recipe): a source at
+#: 250 emits floor(250/100) = 2 full copies of every doc plus a third copy
+#: for the docs whose hash coin lands under 250 mod 100 = 50.
+EPOCH_MIX_PCT: dict[str, int] = {"src0": 250, "src1": 100, "src2": 150}
+DEFAULT_EPOCH_MIX_PCT = 50
+
+
+def _epoch_mix_rate_expr() -> F.Column:
+    items = iter(EPOCH_MIX_PCT.items())
+    first_src, first_pct = next(items)
+    expr = F.when(F.col("source") == first_src, F.lit(first_pct))
+    for s2, pct in items:
+        expr = expr.when(F.col("source") == s2, F.lit(pct))
+    return expr.otherwise(F.lit(DEFAULT_EPOCH_MIX_PCT))
+
+
+def _sql_epoch_mix_rate() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in EPOCH_MIX_PCT.items()
+    )
+    return f"CASE {whens} ELSE {DEFAULT_EPOCH_MIX_PCT} END"
+
+
+def _sql_mixture_epochs() -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ({_sql_epoch_mix_rate()}) // 100
+           + CASE WHEN {_sql_bucket("doc_id", "epochmix")}
+                       < ({_sql_epoch_mix_rate()}) % 100
+                  THEN 1 ELSE 0 END AS copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INTEGER) AS copy
+FROM r
+"""
+
+
+@register("corpus_mixture_epochs", oracle=_sql_mixture_epochs)
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixture with TRUE multi-epoch oversampling (rates > 100%).
+
+    `corpus_weighted_mixture` keeps or drops; real mixture recipes also
+    OVERSAMPLE ("2 epochs of books, half an epoch of crawl"). Each doc
+    emits ``rate DIV 100`` guaranteed copies plus one more when its hash
+    coin lands under ``rate MOD 100`` — so a source's expected emitted
+    volume is exactly rate/100 epochs, deterministically (same salted-md5
+    coin as every sampling verb; the copy index is explicit so downstream
+    shuffles can decorrelate copies). Zero-copy docs drop out on both
+    engines (``sequence``/``range`` of an empty span).
+
+    Plan: one scan, one codegen rate expression, one generator — the
+    explode's fan-out IS the requested oversampling (bounded by
+    max(rate)/100 + 1 copies), no shuffle, no state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = _epoch_mix_rate_expr()
+    copies = (rate / 100).cast("int") + F.when(
+        _bucket(F.col("doc_id"), "epochmix") < rate % 100, 1
+    ).otherwise(0)
+    r = d.select("doc_id", "source", copies.alias("copies"))
+    return r.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.col("copies") > 0,
+                F.sequence(F.lit(0), F.col("copies") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("copy"),
+    )
