@@ -256,6 +256,11 @@ class TestNullAndEmptyTextParity:
             "dedup_minhash_lsh_pairs",
             "dedup_ngram_jaccard_pairs",
             "dedup_incremental_minhash",
+            # the delete variant shares the batch-membership algebra; doc 7
+            # (punct-only -> NULL bands) is a batch doc and doc 4 (empty ->
+            # re-edited to real text) exercises the re-sign path on a
+            # degenerate input
+            "dedup_incremental_minhash_delete",
         ):
             sdf = qs[name](spark, str(tmp_path)).toPandas()
             odf = con.execute(oracles[name]).df()

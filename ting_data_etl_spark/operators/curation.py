@@ -488,7 +488,9 @@ FROM base b LEFT JOIN span_removed sr ON b.doc_id = sr.doc_id
 
 
 @register("curation_span_status", oracle=_sql_span_status)
-def curation_span_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_span_status(
+    spark: SparkSession, sf_dir: str, spans: DataFrame | None = None
+) -> DataFrame:
     """Document verdicts + span-granular trim accounting, one relation.
 
     The full Lee et al. 2022 pipeline shape (VERDICT r8 #5): document-level
@@ -520,8 +522,13 @@ def curation_span_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = d.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
     )
+    # *spans* lets a caller that ALSO consumes the span relation (the trim
+    # materialization) pass one shared/checkpointed copy instead of this
+    # function re-running the whole span finder as a second DAG branch
+    if spans is None:
+        spans = dedup_repeated_substrings(spark, sf_dir)
     removed = (
-        dedup_repeated_substrings(spark, sf_dir)
+        spans
         .groupBy("doc_id")
         .agg(F.sum("span_tokens").cast("long").alias("removed"))
     )
@@ -616,11 +623,20 @@ def curation_trimmed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_repeated_substrings,
     )
 
-    kept = curation_span_status(spark, sf_dir).filter(
+    # ONE span-finder execution for both consumers: the relation is tiny
+    # (one row per merged span) but its lineage is the token-level window
+    # chain over the whole corpus — without the eager checkpoint the status
+    # rollup and the trim rollup each re-ran it as independent DAG branches
+    # (expression-only lineage, one-shot: not the iterative Arrow-loop
+    # checkpoint hazard).
+    span_rel = dedup_repeated_substrings(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    kept = curation_span_status(spark, sf_dir, spans=span_rel).filter(
         F.col("status").isin("kept", "kept_trimmed")
     ).select("doc_id", "status")
     spans = (
-        dedup_repeated_substrings(spark, sf_dir)
+        span_rel
         .groupBy("doc_id")
         .agg(
             F.collect_list(

@@ -1943,7 +1943,6 @@ def dedup_minhash_estimate_error(
     xs = (
         sh.select("doc_id", _shingle_hash_spark(F.col("s")).alias("x"))
         .filter(F.col("x").isNotNull())
-        .distinct()
         .groupBy("doc_id")
         .agg(F.collect_set("x").alias("xs"))
     )

@@ -363,10 +363,12 @@ cum AS (
 )
 SELECT c.source,
        z.n_s AS n_docs,
-       CAST(MAX(ABS(c.cum_s * t.n_total - c.cum_all * z.n_s)) AS BIGINT)
-         AS ks_num,
-       CAST(MAX(ABS(c.cum_s * t.n_total - c.cum_all * z.n_s)) AS DOUBLE)
-         / (z.n_s * t.n_total) AS ks
+       CAST(MAX(ABS(CAST(c.cum_s AS DECIMAL(38,0)) * t.n_total
+                    - CAST(c.cum_all AS DECIMAL(38,0)) * z.n_s))
+            AS DOUBLE) AS ks_num,
+       CAST(MAX(ABS(CAST(c.cum_s AS DECIMAL(38,0)) * t.n_total
+                    - CAST(c.cum_all AS DECIMAL(38,0)) * z.n_s)) AS DOUBLE)
+         / (CAST(z.n_s AS DOUBLE) * CAST(t.n_total AS DOUBLE)) AS ks
 FROM cum c
 JOIN ksz z ON z.source = c.source
 CROSS JOIN ktot t
@@ -436,6 +438,13 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_s").over(w).cast("long").alias("cum_s"),
         F.sum("c_all").over(w).cast("long").alias("cum_all"),
     )
+    # decimal(38,0) cross-multiply (surprisal discipline): cum·n_total
+    # approaches n_total² — int64 would wrap silently past ~3e9 documents
+    # while the DuckDB twin promotes. The MAX (the decision) is taken over
+    # the exact decimals; only the REPORTED ks_num is a double projection
+    # of that exact supremum (pandas/DuckDB have no common exact dtype past
+    # int64). The float ks divides DOUBLE casts so neither engine computes
+    # an integer product in the denominator either
     return (
         cum.join(F.broadcast(ksz), "source")
         .crossJoin(ktot)
@@ -443,11 +452,11 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_s") * F.col("n_total")
-                    - F.col("cum_all") * F.col("n_s")
+                    F.col("cum_s").cast("decimal(38,0)") * F.col("n_total")
+                    - F.col("cum_all").cast("decimal(38,0)") * F.col("n_s")
                 )
             )
-            .cast("long")
+            .cast("double")
             .alias("ks_num")
         )
         .select(
@@ -455,8 +464,11 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "ks_num",
             (
-                F.col("ks_num").cast("double")
-                / (F.col("n_docs") * F.col("n_total"))
+                F.col("ks_num")
+                / (
+                    F.col("n_docs").cast("double")
+                    * F.col("n_total").cast("double")
+                )
             ).alias("ks"),
         )
     )

@@ -502,10 +502,7 @@ def ivf_centroids(
     the tag distinguishes the subset model's cache key and artifact from
     the full-corpus model's.
     """
-    import json
-    import os
-
-    from ting_data_etl_spark.operators.dedup import _source_fp, _stage_dir
+    from ting_data_etl_spark.operators.dedup import _source_fp
 
     # cache key + artifact name carry the FULL fit config (k, iters,
     # sample_mod) AND the source (mtime, size) fingerprint: a retune of
@@ -522,47 +519,74 @@ def ivf_centroids(
         KMEANS_ITERS,
         KMEANS_SAMPLE_MOD,
     )
-    if key not in _CENTROIDS:
-        # v2 = integer-exact md5-seeded fit; the version tag invalidates
-        # durable v1 float-model artifacts left by earlier revisions.
-        # Path built by dedup's shared _stage_dir (collision-free md5
-        # dataset tag) — the old strip/replace munging aliased distinct
-        # datasets onto one artifact.
-        path = _stage_dir(
-            sf_dir,
-            [
-                f"ivf_model_v2{subset_tag and f'_{subset_tag}'}",
-                src_fp,
-                f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
-            ],
-        ) + ".json"
-        if os.path.exists(path):
-            with open(path) as f:
-                _CENTROIDS[key] = json.load(f)
-        else:
-            # every fit param passed EXPLICITLY: kmeans_fit's defaults bind
-            # the import-time values, so a capacity retune of a module
-            # constant would otherwise fit with stale params while the
-            # cache key and artifact name claim the retuned ones (caught by
-            # the SCALE_r06 run: a "447-list" 200k-vector index was an
-            # 8-list fit and searches scanned 25k-vector lists).
-            fit_input = _quantized(spark, sf_dir)
-            if fit_pred is not None:
-                fit_input = fit_input.filter(fit_pred)
-            _CENTROIDS[key] = kmeans_fit(
-                fit_input,
+
+    def fit() -> list[list[int]]:
+        # every fit param passed EXPLICITLY: kmeans_fit's defaults bind
+        # the import-time values, so a capacity retune of a module
+        # constant would otherwise fit with stale params while the
+        # cache key and artifact name claim the retuned ones (caught by
+        # the SCALE_r06 run: a "447-list" 200k-vector index was an
+        # 8-list fit and searches scanned 25k-vector lists).
+        fit_input = _quantized(spark, sf_dir)
+        if fit_pred is not None:
+            return kmeans_fit(
+                fit_input.filter(fit_pred),
                 k=KMEANS_LISTS,
                 iters=KMEANS_ITERS,
                 sample_mod=KMEANS_SAMPLE_MOD,
             )
-            # atomic publish (tmp + rename): a crash mid-dump must not
-            # leave a truncated json that every later process crashes on
+        return kmeans_fit(
+            fit_input,
+            k=KMEANS_LISTS,
+            iters=KMEANS_ITERS,
+            sample_mod=KMEANS_SAMPLE_MOD,
+        )
+
+    # v2 = integer-exact md5-seeded fit; the version tag invalidates
+    # durable v1 float-model artifacts left by earlier revisions.
+    return _staged_json_fit(
+        _CENTROIDS,
+        key,
+        sf_dir,
+        [
+            f"ivf_model_v2{subset_tag and f'_{subset_tag}'}",
+            src_fp,
+            f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
+        ],
+        fit,
+    )
+
+
+def _staged_json_fit(cache: dict, key: tuple, sf_dir: str, path_parts, fit_fn):
+    """ONE definition of the fit-once / stage-JSON / cache ritual.
+
+    Shared by the coarse quantizer (:func:`ivf_centroids`, ``_CENTROIDS``)
+    and the PQ sub-codebooks (:func:`pq_codebooks`, ``_PQ_BOOKS``) —
+    previously two near-verbatim ~40-line copies whose next staging fix
+    (a lock, a fingerprint change) could silently miss one. Path built by
+    dedup's shared ``_stage_dir`` (collision-free md5 dataset tag); the
+    publish is atomic (tmp + rename) so a crash mid-dump can never leave a
+    truncated json that every later process crashes on. ``purge_stages``
+    evicts both caches.
+    """
+    import json
+    import os
+
+    from ting_data_etl_spark.operators.dedup import _stage_dir
+
+    if key not in cache:
+        path = _stage_dir(sf_dir, list(path_parts)) + ".json"
+        if os.path.exists(path):
+            with open(path) as f:
+                cache[key] = json.load(f)
+        else:
+            cache[key] = fit_fn()
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "w") as f:
-                json.dump(_CENTROIDS[key], f)
+                json.dump(cache[key], f)
             os.replace(tmp, path)
-    return _CENTROIDS[key]
+    return cache[key]
 
 
 def _sql_lloyd_iter_g(i: int, prefix: str = "", dim: int = EMB_DIM) -> str:
@@ -1800,10 +1824,7 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
     the residual relation — so the oracle can re-derive all M books with
     the shared :func:`_sql_lloyd_iter_g` chains.
     """
-    import json
-    import os
-
-    from ting_data_etl_spark.operators.dedup import _source_fp, _stage_dir
+    from ting_data_etl_spark.operators.dedup import _source_fp
 
     src_fp = _source_fp(sf_dir, "embeddings")
     key = (
@@ -1815,43 +1836,38 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
         KMEANS_ITERS,
         KMEANS_SAMPLE_MOD,
     )
-    if key not in _PQ_BOOKS:
-        path = _stage_dir(
-            sf_dir,
-            [
-                "pq_books_v1",
-                src_fp,
-                f"m{PQ_M}_pk{PQ_K}_k{KMEANS_LISTS}"
-                f"_i{KMEANS_ITERS}_s{KMEANS_SAMPLE_MOD}",
-            ],
-        ) + ".json"
-        if os.path.exists(path):
-            with open(path) as f:
-                _PQ_BOOKS[key] = json.load(f)
-        else:
-            resid = _pq_residuals(spark, sf_dir)
-            books = []
-            for m in range(PQ_M):
-                sub = resid.select(
-                    "vec_id",
-                    F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("q"),
+
+    def fit() -> list[list[list[int]]]:
+        resid = _pq_residuals(spark, sf_dir)
+        books = []
+        for m in range(PQ_M):
+            sub = resid.select(
+                "vec_id",
+                F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("q"),
+            )
+            books.append(
+                kmeans_fit(
+                    sub,
+                    k=PQ_K,
+                    iters=KMEANS_ITERS,
+                    sample_mod=KMEANS_SAMPLE_MOD,
+                    expected_dim=PQ_SUB,
                 )
-                books.append(
-                    kmeans_fit(
-                        sub,
-                        k=PQ_K,
-                        iters=KMEANS_ITERS,
-                        sample_mod=KMEANS_SAMPLE_MOD,
-                        expected_dim=PQ_SUB,
-                    )
-                )
-            _PQ_BOOKS[key] = books
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = f"{path}.tmp.{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump(books, f)
-            os.replace(tmp, path)
-    return _PQ_BOOKS[key]
+            )
+        return books
+
+    return _staged_json_fit(
+        _PQ_BOOKS,
+        key,
+        sf_dir,
+        [
+            "pq_books_v1",
+            src_fp,
+            f"m{PQ_M}_pk{PQ_K}_k{KMEANS_LISTS}"
+            f"_i{KMEANS_ITERS}_s{KMEANS_SAMPLE_MOD}",
+        ],
+        fit,
+    )
 
 
 def _coarse_lit(coarse: list[list[int]]):
@@ -1961,7 +1977,7 @@ recon AS (
          list_transform(range(1, {EMB_DIM + 1}),
            d -> CASE {' '.join(recon_cases)} END) AS rv
   FROM coarse cs
-  JOIN c{KMEANS_ITERS} cc ON cc.list_id = cs.list_id
+  JOIN cfinal cc ON cc.list_id = cs.list_id
   {' '.join(code_joins)}
 ),
 probes AS (
@@ -2225,12 +2241,20 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     centroids = ivf_centroids(spark, sf_dir)
     assign1 = nearest_lists_udf(centroids, 1)
+    # localCheckpoint (not persist): the occupancy guard below would
+    # otherwise re-run the corpus scan + Arrow assignment a second time
+    # when the returned pair DataFrame executes, and the returned plan
+    # must not depend on a cache the caller can't see. One-shot eager
+    # materialization of a single Arrow stage — NOT the iterative
+    # persist/checkpoint-loop shape connected_components documents as the
+    # python-worker wedge hazard (that rule still routes the CC family
+    # through staged parquet).
     q = _quantized(spark, sf_dir).select(
         "vec_id",
         "q",
         "norm",
         F.element_at(assign1(F.col("q")), 1).alias("list_id"),
-    )
+    ).localCheckpoint(eager=True)
     occupancy = q.groupBy("list_id").count().collect()  # k rows, bounded
     worst = max((r["count"] for r in occupancy), default=0)
     if worst > SEMDEDUP_MAX_CLUSTER:

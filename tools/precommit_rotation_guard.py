@@ -45,7 +45,8 @@ HOOK_PATH = os.path.join(REPO, ".git", "hooks", "pre-commit")
 
 HOOK_SHIM = """#!/bin/sh
 # auto-installed by tools/precommit_rotation_guard.py --install
-exec python "$(git rev-parse --show-toplevel)/tools/precommit_rotation_guard.py"
+PY="$(command -v python3 || command -v python)"
+exec "$PY" "$(git rev-parse --show-toplevel)/tools/precommit_rotation_guard.py"
 """
 
 
@@ -55,6 +56,32 @@ def _md5(path: str) -> str | None:
             return hashlib.md5(f.read()).hexdigest()
     except OSError:
         return None
+
+
+def _index_md5(rel: str) -> str | None:
+    """md5 of the file AS THE COMMIT WILL CONTAIN IT (the index blob).
+
+    ``git show :rel`` reads the staged copy — for unstaged files that is
+    the HEAD copy, for staged files the staged content. Hashing the
+    WORKING TREE here (the original formulation) let a dirty tree poison
+    the check both ways: an unstaged WIP edit reported drift the commit
+    didn't contain, and regeneration then shipped a plan hashed against
+    code NOT in the commit.
+    """
+    try:
+        proc = subprocess.run(
+            ["git", "show", f":{rel}"],
+            cwd=REPO,
+            capture_output=True,
+            check=False,
+        )
+    except OSError:
+        proc = None
+    if proc is None or proc.returncode != 0:
+        # not a git checkout (exported tree, test scratch copy) — the
+        # working tree IS the commit content there
+        return _md5(os.path.join(REPO, rel))
+    return hashlib.md5(proc.stdout).hexdigest()
 
 
 def _staged_package_files() -> list[str]:
@@ -81,16 +108,22 @@ def plan_is_stale() -> list[str]:
     plan regeneration decides whether it registers queries. But any hash
     mismatch on a module the plan already tracks is definitive drift.
     """
-    if not os.path.exists(PLAN_PATH):
+    plan = _load_plan()
+    if plan is None:
         return ["<missing plan file>"]
-    with open(PLAN_PATH) as f:
-        plan = json.load(f)
     stale = []
     for rel, want in plan.get("module_hash", {}).items():
-        got = _md5(os.path.join(REPO, rel))
+        got = _index_md5(rel)
         if got != want:
             stale.append(rel)
     return stale
+
+
+def _load_plan() -> dict | None:
+    if not os.path.exists(PLAN_PATH):
+        return None
+    with open(PLAN_PATH) as f:
+        return json.load(f)
 
 
 def regenerate() -> None:
@@ -107,6 +140,22 @@ def regenerate() -> None:
         raise SystemExit(
             "pre-commit: rotation plan regeneration FAILED — refusing to "
             "commit a tree whose registry cannot be loaded"
+        )
+    # regeneration reads the WORKING TREE; the commit ships the INDEX. If
+    # any module the fresh plan tracks differs between the two, the plan
+    # we would add references content not in this commit — block instead
+    # of shipping a self-inconsistent snapshot.
+    plan = _load_plan() or {}
+    torn = [
+        rel
+        for rel in plan.get("module_hash", {})
+        if _md5(os.path.join(REPO, rel)) != _index_md5(rel)
+    ]
+    if torn:
+        raise SystemExit(
+            "pre-commit: registered modules have UNSTAGED edits "
+            f"({torn}); stage them (or stash) so the regenerated rotation "
+            "plan matches the committed code"
         )
     subprocess.run(["git", "add", PLAN_REL], cwd=REPO, check=True)
 
@@ -125,8 +174,9 @@ def main(argv: list[str]) -> int:
         return 0
     stale = plan_is_stale()
     staged = _staged_package_files()
+    plan_hashes = (_load_plan() or {}).get("module_hash", {})
     if not stale and not any(
-        f not in json.load(open(PLAN_PATH)).get("module_hash", {})
+        f not in plan_hashes
         # only registry-bearing modules matter; regeneration is the
         # authority on that, so trigger it for any staged operator file
         # not currently tracked by the plan
