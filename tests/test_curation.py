@@ -315,3 +315,58 @@ class TestFunnelReport:
         for status, (_, trimmed) in funnel.items():
             if status not in ("kept_trimmed",):
                 assert trimmed == 0, (status, trimmed)
+
+
+class TestFinalSelection:
+    def test_composition_agrees_with_stage_outputs(self, spark, sf_dir):
+        """The capstone relation must be exactly the composition of its
+        three already-verified stages, recomposed independently here."""
+        from ting_data_etl_spark.operators.curation import (
+            corpus_final_selection,
+            curation_span_status,
+        )
+        from ting_data_etl_spark.operators.sampling import corpus_budget_head
+        from ting_data_etl_spark.operators.similarity import (
+            dedup_semdedup_prune,
+        )
+
+        got = {
+            r.doc_id: r.decision
+            for r in corpus_final_selection(spark, sf_dir).collect()
+        }
+        status = {
+            r.doc_id: r.status
+            for r in curation_span_status(spark, sf_dir).collect()
+        }
+        pruned = {
+            r.vec_id for r in dedup_semdedup_prune(spark, sf_dir).collect()
+        }
+        surv = [
+            d
+            for d, s in status.items()
+            if s in ("kept", "kept_trimmed") and d not in pruned
+        ]
+        surv_df = spark.createDataFrame(
+            [(d,) for d in surv], "doc_id long"
+        )
+        in_budget = {
+            r.doc_id
+            for r in corpus_budget_head(
+                spark, sf_dir, keep=surv_df
+            ).collect()
+        }
+        want = {}
+        for d, s in status.items():
+            if s not in ("kept", "kept_trimmed"):
+                want[d] = s
+            elif d in pruned:
+                want[d] = "semantic_duplicate"
+            elif d not in in_budget:
+                want[d] = "over_budget"
+            else:
+                want[d] = "selected"
+        assert got == want
+        # the pipeline must actually exercise every stage on the fixture
+        assert "selected" in set(got.values())
+        assert "semantic_duplicate" in set(got.values())
+        assert "over_budget" in set(got.values())

@@ -132,6 +132,10 @@ PINNED = [
     # one-scan codegen generator — zero exchanges
     "quality_ks_drift",
     "corpus_mixture_epochs",
+    # round-9 capstone: the final-selection composition must stay doc_id-
+    # keyed joins over the (checkpointed) stage relations — a corpus-sized
+    # recompute of a stage chain shows up as extra scans/Arrow kernels here
+    "corpus_final_selection",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

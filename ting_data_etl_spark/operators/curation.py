@@ -713,3 +713,95 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_tokens_removed").cast("long").alias("tokens_trimmed"),
         )
     )
+
+
+# --- final selection: the WHOLE pipeline as one decision relation ------------
+def _sql_final_selection() -> str:
+    """Composes the three verified stage statements — span-status verdicts,
+    SemDeDup pruning, survivor-budget head — into one DuckDB statement.
+    Each stage nests as an independent subquery scope, so the CTE names
+    inside them cannot collide with the top-level budget chain."""
+    from ting_data_etl_spark.operators.sampling import (
+        BUDGET_PCT,
+        sql_budget_ctes,
+    )
+    from ting_data_etl_spark.operators.similarity import _sql_semdedup
+
+    return f"""
+WITH fss AS ({_sql_span_status()}),
+fsem AS ({_sql_semdedup()}),
+surv AS (
+  SELECT doc_id FROM fss
+  WHERE status IN ('kept', 'kept_trimmed')
+    AND doc_id NOT IN (SELECT vec_id FROM fsem)
+),
+{sql_budget_ctes("surv")},
+bud AS (
+  SELECT doc_id FROM cum CROSS JOIN tt
+  WHERE cum_before < total * {BUDGET_PCT} // 100
+)
+SELECT fss.doc_id,
+       CASE WHEN fss.status NOT IN ('kept', 'kept_trimmed') THEN fss.status
+            WHEN fss.doc_id IN (SELECT vec_id FROM fsem)
+              THEN 'semantic_duplicate'
+            WHEN fss.doc_id NOT IN (SELECT doc_id FROM bud)
+              THEN 'over_budget'
+            ELSE 'selected' END AS decision
+FROM fss
+"""
+
+
+@register("corpus_final_selection", oracle=_sql_final_selection)
+def corpus_final_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pipeline, one decision per document.
+
+    The artifact a production curation run actually hands to training:
+    every document's final fate with fixed stage precedence —
+
+    1. document verdicts (benchmark / low_quality / contaminated /
+       duplicate, from the lexical pipeline + span accounting);
+    2. ``semantic_duplicate``: a curation-kept doc pruned by SemDeDup's
+       embedding-cluster ε-rule (its embedding shares the documents' id
+       space);
+    3. ``over_budget``: survivors are ranked quality-first and the token
+       budget (BUDGET_PCT of the SURVIVORS' tokens — the budget applies
+       after dedup, as in any data-constrained run) cuts the tail;
+    4. ``selected``: in the final corpus.
+
+    Every stage is an already-verified registered operator; this relation
+    is their composition, and the oracle composes the same three
+    statements — so a drift in ANY stage, or in the precedence itself,
+    hash-mismatches here even if the stage's own query stayed green.
+
+    Plan: the stage relations join on ``doc_id``; the survivors relation
+    is eagerly materialized once (it feeds the budget chain's quantile
+    pass, offsets pass, and final join — re-deriving the span + semantic
+    chains three times would triple the dominant cost).
+    """
+    from ting_data_etl_spark.operators.sampling import corpus_budget_head
+    from ting_data_etl_spark.operators.similarity import dedup_semdedup_prune
+
+    status = curation_span_status(spark, sf_dir).select("doc_id", "status")
+    sem = (
+        dedup_semdedup_prune(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("sem_pruned", F.lit(True))
+    )
+    kept_pred = F.col("status").isin("kept", "kept_trimmed")
+    st = status.join(sem, "doc_id", "left").localCheckpoint(eager=True)
+    surv = st.filter(kept_pred & F.col("sem_pruned").isNull()).select(
+        "doc_id"
+    )
+    bud = (
+        corpus_budget_head(spark, sf_dir, keep=surv)
+        .select("doc_id")
+        .withColumn("in_budget", F.lit(True))
+    )
+    return st.join(bud, "doc_id", "left").select(
+        "doc_id",
+        F.when(~kept_pred, F.col("status"))
+        .when(F.col("sem_pruned").isNotNull(), F.lit("semantic_duplicate"))
+        .when(F.col("in_budget").isNull(), F.lit("over_budget"))
+        .otherwise(F.lit("selected"))
+        .alias("decision"),
+    )

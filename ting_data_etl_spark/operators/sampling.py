@@ -1063,16 +1063,25 @@ BUDGET_PCT = 25
 _BUDGET_KEY_BASE = 1 << 48
 
 
-def _sql_budget_head() -> str:
+def sql_budget_ctes(keep_rel: str | None = None) -> str:
+    """Budget-head CTE chain (tok/m/c/h/tt/cum) — composable.
+
+    *keep_rel* restricts the ranked universe to an id relation already in
+    scope (the final-selection pipeline budgets over curation+semantic
+    SURVIVORS; the standalone query budgets over the whole corpus). The
+    budget total is then the SURVIVORS' token total — the pipeline rule on
+    both engines.
+    """
     from ting_data_etl_spark.operators.text_queries import _SQL_TOKS
 
+    keep = f" JOIN {keep_rel} USING (doc_id)" if keep_rel else ""
     return f"""
-WITH {_SQL_TOKS},
+{_SQL_TOKS},
 {_sql_quality_ctes()},
 h AS (
   SELECT c.doc_id, c.n_checks, m.n_toks,
          CAST(3 - c.n_checks AS BIGINT) * {_BUDGET_KEY_BASE} + c.doc_id AS okey
-  FROM c JOIN m USING (doc_id)
+  FROM c JOIN m USING (doc_id){keep}
 ),
 tt AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total FROM h),
 cum AS (
@@ -1081,7 +1090,12 @@ cum AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
               AS BIGINT) AS cum_before
   FROM h
-)
+)"""
+
+
+def _sql_budget_head() -> str:
+    return f"""
+WITH {sql_budget_ctes()}
 SELECT doc_id, n_checks, n_toks, cum_before
 FROM cum CROSS JOIN tt
 WHERE cum_before < total * {BUDGET_PCT} // 100
@@ -1090,7 +1104,10 @@ WHERE cum_before < total * {BUDGET_PCT} // 100
 
 @register("corpus_budget_head", oracle=_sql_budget_head)
 def corpus_budget_head(
-    spark: SparkSession, sf_dir: str, n_bands: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = 8,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """Best-first selection under a global token budget (the head cut).
 
@@ -1124,6 +1141,10 @@ def corpus_budget_head(
         (F.lit(3) - F.col("n_checks")).cast("long") * _BUDGET_KEY_BASE
         + F.col("doc_id"),
     )
+    if keep is not None:
+        # pipeline composition: rank and budget over the surviving ids
+        # only (the budget total becomes the survivors' token total)
+        h = h.join(keep.select("doc_id").distinct(), "doc_id")
     banded = h.withColumn(
         "__band", _quantile_bands(h, "okey", n_bands)
     ).persist()
