@@ -284,3 +284,70 @@ class TestPhashDedup:
         planted = orig + max_id + 1
         assert planted in out
         assert out[planted] <= orig
+
+
+class TestPhashNearDup:
+    def test_complete_vs_bruteforce_under_cap(self, spark, sf_dir):
+        """The banded search must return EXACTLY the brute-force
+        hamming<=3 pairs that share at least one uncapped band
+        (pigeonhole completeness + the documented cap semantics)."""
+        from collections import Counter
+
+        from ting_data_etl_spark.operators.multimodal import (
+            PHASH_BAND_CAP,
+            PHASH_BANDS,
+            PHASH_GRID,
+            PHASH_HAMMING_MAX,
+            multimodal_phash_near_dup,
+            phash_relation,
+        )
+
+        hashes = {
+            r.media_id: r.phash
+            for r in phash_relation(spark, sf_dir).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in multimodal_phash_near_dup(spark, sf_dir).collect()
+        }
+        g2 = PHASH_GRID * PHASH_GRID
+        w = g2 // PHASH_BANDS
+        bucket = Counter()
+        for h in hashes.values():
+            for j in range(PHASH_BANDS):
+                bucket[(j, h[j * w : (j + 1) * w])] += 1
+        ids = sorted(hashes)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                ha, hb = hashes[a], hashes[b]
+                d = sum(x != y for x, y in zip(ha, hb))
+                if d > PHASH_HAMMING_MAX:
+                    continue
+                shares_uncapped = any(
+                    ha[j * w : (j + 1) * w] == hb[j * w : (j + 1) * w]
+                    and bucket[(j, ha[j * w : (j + 1) * w])]
+                    <= PHASH_BAND_CAP
+                    for j in range(PHASH_BANDS)
+                )
+                if shares_uncapped:
+                    want[(a, b)] = d
+        assert got == want
+        assert got, "fixture produced no near-dup pairs"
+
+    def test_exact_dups_are_hamming_zero_subset(self, spark, sf_dir):
+        from ting_data_etl_spark.operators.multimodal import (
+            multimodal_phash_dedup,
+            multimodal_phash_near_dup,
+        )
+
+        near = {
+            (r.id_a, r.id_b): r.hamming
+            for r in multimodal_phash_near_dup(spark, sf_dir).collect()
+        }
+        for r in multimodal_phash_dedup(spark, sf_dir).collect():
+            pair = (min(r.keeper_id, r.media_id), max(r.keeper_id, r.media_id))
+            # keeper pairs share the hash exactly -> hamming 0 in the
+            # near-dup relation (unless the shared band bucket is capped,
+            # impossible for the tiny fixture)
+            assert near.get(pair) == 0, (pair, near.get(pair))

@@ -136,6 +136,10 @@ PINNED = [
     # keyed joins over the (checkpointed) stage relations — a corpus-sized
     # recompute of a stage chain shows up as extra scans/Arrow kernels here
     "corpus_final_selection",
+    # round-9 seventh wave: the perceptual near-dup search must keep the
+    # two Arrow render/hash stages + ONE (j, band) shuffle, hamming as a
+    # per-row HOF (an explode or extra exchange here is the regression)
+    "multimodal_phash_near_dup",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -496,7 +496,10 @@ def ahash_bits(arr) -> str:
     )
 
 
-def _sql_phash() -> str:
+def _sql_phash_rel() -> str:
+    """CTE chain ending in ``b`` (doc_id, phash) — ONE definition of the
+    oracle-side render→sample→threshold pipeline, shared by the exact
+    dedup and the banded near-dup search."""
     side, g = PHASH_SIDE, PHASH_GRID
     step = side // g
     cells = []
@@ -510,8 +513,7 @@ def _sql_phash() -> str:
             )
             cells.append(f"({terms})")
     gs = ",\n    ".join(cells)
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, text, GREATEST(length(text), 1) AS n FROM documents
 ),
 gcell AS (
@@ -520,19 +522,43 @@ gcell AS (
 h AS (
   SELECT doc_id, gs, list_sum(gs) AS total FROM gcell
 ),
-b AS (
+b AS MATERIALIZED (
   SELECT doc_id,
          array_to_string(
            list_transform(gs,
              x -> CASE WHEN x * {g * g} >= total THEN '1' ELSE '0' END),
            '') AS phash
   FROM h
-),
+)"""
+
+
+def _sql_phash() -> str:
+    return f"""
+WITH {_sql_phash_rel()},
 k AS (SELECT phash, MIN(doc_id) AS keeper_id FROM b GROUP BY phash)
 SELECT b.doc_id AS media_id, b.phash, k.keeper_id
 FROM b JOIN k USING (phash)
 WHERE b.doc_id <> k.keeper_id
 """
+
+
+def phash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, phash) through the REAL codec — render, decode, aHash.
+
+    The Spark-side twin of ``_sql_phash_rel``; shared by the exact dedup
+    and the banded near-dup search so the two can never hash differently.
+    """
+
+    def _hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [ahash_bits(decode_ppm(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            )
+
+    return render_ppm_media(spark, sf_dir).mapInPandas(
+        _hash_batches, schema="media_id long, phash string"
+    )
 
 
 @register("multimodal_phash_dedup", oracle=_sql_phash)
@@ -560,19 +586,137 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     render→decode→hash→dedup chain is value-checked, codec included.
     """
 
-    def _hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            hashes = [ahash_bits(decode_ppm(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "phash": hashes}
-            )
-
-    hashed = render_ppm_media(spark, sf_dir).mapInPandas(
-        _hash_batches, schema="media_id long, phash string"
-    )
+    hashed = phash_relation(spark, sf_dir)
     keep = hashed.groupBy("phash").agg(F.min("media_id").alias("keeper_id"))
     return (
         hashed.join(keep, "phash")
         .filter(F.col("media_id") != F.col("keeper_id"))
         .select("media_id", "phash", "keeper_id")
+    )
+
+
+# --- perceptual NEAR-dup: banded hamming search over the aHash ---------------
+#: Bands over the 64-bit hash string; by pigeonhole, two hashes within
+#: hamming distance <= PHASH_BANDS - 1 MUST agree on one full band, so the
+#: band join + exact hamming filter is a COMPLETE <=3-bit search (the
+#: simhash construction applied to the image hash).
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = PHASH_BANDS - 1
+#: Hot-bucket cap: a band shared by more than this many images is
+#: boilerplate (e.g. near-black thumbnails) — the same quadratic-blowup
+#: class every banded family here caps, mirrored in the oracle.
+PHASH_BAND_CAP = 100
+
+
+def _sql_phash_near() -> str:
+    g2 = PHASH_GRID * PHASH_GRID
+    w = g2 // PHASH_BANDS
+    return f"""
+WITH {_sql_phash_rel()},
+pbands AS (
+  SELECT doc_id, j, substr(phash, j * {w} + 1, {w}) AS band
+  FROM b CROSS JOIN (SELECT unnest(range(0, {PHASH_BANDS})) AS j)
+),
+pcapped AS (
+  SELECT doc_id, j, band FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY j, band) AS bucket_n FROM pbands
+  ) WHERE bucket_n <= {PHASH_BAND_CAP}
+),
+pcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM pcapped a JOIN pcapped c
+    ON a.j = c.j AND a.band = c.band AND a.doc_id < c.doc_id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_filter(range(1, {g2 + 1}),
+                i -> substr(ba.phash, CAST(i AS INTEGER), 1)
+                     <> substr(bb.phash, CAST(i AS INTEGER), 1)))
+              AS BIGINT) AS hamming
+  FROM pcand p
+  JOIN b ba ON ba.doc_id = p.id_a
+  JOIN b bb ON bb.doc_id = p.id_b
+)
+SELECT id_a, id_b, hamming FROM scored
+WHERE hamming <= {PHASH_HAMMING_MAX}
+"""
+
+
+@register("multimodal_phash_near_dup", oracle=_sql_phash_near)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptually NEAR-duplicate image pairs: banded hamming over aHash.
+
+    Exact-hash dedup misses the interesting perceptual class — an image
+    whose few darkest cells flipped across a re-encode or mild crop. The
+    complete <=3-bit search is the simhash construction on the image
+    hash: split the 64 bits into PHASH_BANDS bands (pigeonhole: any pair
+    within hamming {PHASH_HAMMING_MAX} shares a full band), equi-join on
+    (band index, band), cap boilerplate buckets, then score candidates
+    with the exact per-position hamming — so the output is every pair at
+    hamming <= {PHASH_HAMMING_MAX}, not an approximation of it.
+
+    Plan: the shared render→decode→hash relation (two Arrow stages), ONE
+    shuffle on the fixed-width (j, band) key, and the hamming as a
+    per-row HOF over the two 64-char strings (zero explode). The full
+    oracle re-derives the pixels, the bits, the bands, the cap, and the
+    distance.
+    """
+    hashed = phash_relation(spark, sf_dir)
+    g2 = PHASH_GRID * PHASH_GRID
+    w = g2 // PHASH_BANDS
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("phash", j * w + 1, w)
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("j", "band"),
+    )
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("j", "band")
+    capped = (
+        bands.withColumn("bucket_n", F.count("*").over(wcap))
+        .filter(F.col("bucket_n") <= PHASH_BAND_CAP)
+        .drop("bucket_n")
+    )
+    a = capped.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("pa"),
+        "j",
+        "band",
+    )
+    c = capped.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("pb"),
+        F.col("j").alias("j2"),
+        F.col("band").alias("band2"),
+    )
+    cand = (
+        a.join(
+            c,
+            (F.col("j") == F.col("j2"))
+            & (F.col("band") == F.col("band2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "pa", "pb")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("pa"), ""),
+                F.split(F.col("pb"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    ).cast("long")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
     )
