@@ -582,3 +582,49 @@ class TestSourceOverlap:
         }
         assert all(v > 0 for v in m.values())
         assert all(a in sources and b in sources for a, b in m)
+
+
+class TestPagerankNearDup:
+    def test_exact_integer_replication(self, spark, sf_dir):
+        """The distributed power iteration must equal a from-scratch
+        single-threaded integer replication of the same recurrence."""
+        from collections import defaultdict
+
+        from ting_data_etl_spark.operators.dedup import (
+            PAGERANK_ITERS,
+            PAGERANK_SCALE,
+            dedup_minhash_pairs,
+            graph_pagerank_neardup,
+        )
+
+        pairs = [
+            (r.doc_a, r.doc_b)
+            for r in dedup_minhash_pairs(spark, sf_dir).collect()
+        ]
+        got = {
+            r.doc_id: (r.degree, r.rank_fixed)
+            for r in graph_pagerank_neardup(spark, sf_dir).collect()
+        }
+        und = defaultdict(list)
+        for a, b in pairs:
+            und[a].append(b)
+            und[b].append(a)
+        n = len(und)
+        assert n > 0
+        base = (15 * PAGERANK_SCALE) // (100 * n)
+        r = {v: PAGERANK_SCALE // n for v in und}
+        for _ in range(PAGERANK_ITERS):
+            nxt = {v: base for v in und}
+            for u, outs in und.items():
+                c = (r[u] * 85) // (100 * len(outs))
+                for v in outs:
+                    nxt[v] += c
+            r = nxt
+        want = {v: (len(und[v]), r[v]) for v in und}
+        assert got == want
+        # mass sanity: sub-stochastic but within the floor-leak bound
+        total = sum(rv for _, rv in got.values())
+        assert total <= PAGERANK_SCALE
+        assert total >= PAGERANK_SCALE - (len(pairs) * 2 + n) * (
+            PAGERANK_ITERS + 1
+        )

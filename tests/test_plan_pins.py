@@ -140,6 +140,11 @@ PINNED = [
     # two Arrow render/hash stages + ONE (j, band) shuffle, hamming as a
     # per-row HOF (an explode or extra exchange here is the regression)
     "multimodal_phash_near_dup",
+    # round-9 eighth wave: the power iteration must stay a static DAG of
+    # PAGERANK_ITERS edge-keyed join+agg rounds over the checkpointed
+    # graph — re-derivation of the LSH candidate chain per iteration shows
+    # up here as extra scans
+    "graph_pagerank_neardup",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

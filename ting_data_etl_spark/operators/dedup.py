@@ -2037,3 +2037,124 @@ def graph_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy("source_a", "source_b").agg(
         F.count("*").alias("n_pairs")
     )
+
+
+# --- integer-exact PageRank over the near-dup graph ---------------------------
+#: Fixed-point scale for rank mass (9 decimals) and the unrolled iteration
+#: count. Ranks are BIGINTs: every update is `base + Σ floor(85·r / (100·deg))`
+#: — integer division on BOTH engines, so the iteration is bit-identical
+#: under any partitioning (a float PageRank's Σ is partition-order-sensitive
+#: and could never be full-value oracle-checked).
+PAGERANK_SCALE = 1_000_000_000
+PAGERANK_ITERS = 3
+
+
+def _sql_pagerank() -> str:
+    """Call-time builder: the candidate chain + PAGERANK_ITERS unrolled
+    integer power iterations (the Lloyd-chain pattern for graphs)."""
+    s = PAGERANK_SCALE
+    its = []
+    prev = "pr0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""
+pr{i} AS (
+  SELECT d.node, d.deg,
+         (15 * CAST({s} AS BIGINT)) // (100 * nn.n) + COALESCE(s{i}.c, 0) AS r
+  FROM pdeg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT u.dst AS node, SUM((r.r * 85) // (100 * r.deg)) AS c
+    FROM pund u JOIN {prev} r ON r.node = u.src
+    GROUP BY u.dst
+  ) s{i} ON s{i}.node = d.node
+)""")
+        prev = f"pr{i}"
+    chain = ",".join(its)
+    return f"""
+{_sql_minhash_pairs_cte()},
+pund AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+pdeg AS (SELECT src AS node, COUNT(*) AS deg FROM pund GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM pdeg),
+pr0 AS (SELECT node, deg, {s} // nn.n AS r FROM pdeg CROSS JOIN nn),
+{chain}
+SELECT node AS doc_id,
+       CAST(deg AS BIGINT) AS degree,
+       CAST(r AS BIGINT) AS rank_fixed
+FROM {prev}
+"""
+
+
+@register("graph_pagerank_neardup", oracle=_sql_pagerank)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup candidate graph — which
+    documents sit at the CENTER of duplication neighborhoods.
+
+    Connected components answer "which docs belong together"; PageRank
+    answers "which doc is the hub" — the template everything else was
+    copied from, the natural canonical-representative choice when clusters
+    are dense, and the boilerplate super-spreader signal when one page is
+    near-dup-linked to everything. Damping 0.85, PAGERANK_ITERS power
+    iterations, over the undirected LSH candidate graph (isolated docs
+    carry no signal and are excluded on both engines).
+
+    Exactness: rank mass lives on a 1e-9 fixed-point integer grid; each
+    edge contribution is ONE integer division (floor(85·r / (100·deg))),
+    each update an exact integer sum — so unlike textbook float PageRank,
+    the result is independent of partition/merge order and the oracle
+    re-derives all iterations unrolled (the k-means-chain pattern applied
+    to a graph algorithm). The floors leak ≤ 1e-9 rank per edge per
+    iteration (mass is slightly sub-stochastic), identically on both
+    engines.
+
+    Plan: per iteration ONE edge-keyed join (rank onto src) + ONE
+    fixed-width aggregation (sum onto dst) — the standard distributed
+    power iteration; the iteration count is a constant, not data-driven,
+    so the whole plan is a static DAG with no driver loop state beyond
+    the chain itself.
+    """
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # materialize the graph once: the rank chain reads edges and degrees
+    # PAGERANK_ITERS times each — without this the LSH candidate join
+    # would re-execute per iteration (expression-only lineage, one-shot)
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    deg = deg.localCheckpoint(eager=True)
+    n = deg.count()  # bounded scalar: the node count
+    if n == 0:
+        return deg.select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.lit(0).cast("long").alias("rank_fixed"),
+        )
+    base = (15 * PAGERANK_SCALE) // (100 * n)
+    r = deg.select("node", "deg", F.lit(PAGERANK_SCALE // n).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            und.join(r, und.src == r.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * 85) DIV (100 * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = deg.join(contrib, "node", "left").select(
+            "node",
+            "deg",
+            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).alias("r"),
+        )
+    return r.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("r").cast("long").alias("rank_fixed"),
+    )
