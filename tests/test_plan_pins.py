@@ -145,6 +145,9 @@ PINNED = [
     # graph — re-derivation of the LSH candidate chain per iteration shows
     # up here as extra scans
     "graph_pagerank_neardup",
+    # round-9 ninth wave: ONE checkpointed ADC pass must serve both report
+    # legs; truth stays sample-broadcast (no corpus broadcast)
+    "similarity_pq_recall_report",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

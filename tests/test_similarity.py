@@ -670,3 +670,21 @@ class TestIvfpqRerank:
             f"+rerank = {hits_rr / total:.3f}"
         )
         assert hits_rr >= hits_pq, (hits_rr, hits_pq)
+
+
+class TestPqRecallReport:
+    def test_rerank_leg_dominates_adc_leg(self, spark, sf_dir):
+        import ting_data_etl_spark.operators.similarity as S
+
+        rows = {
+            r.method: r
+            for r in S.similarity_pq_recall_report(spark, sf_dir).collect()
+        }
+        assert set(rows) == {"ivfpq", "ivfpq_rerank"}
+        for r in rows.values():
+            assert r.n_truth > 0 and 0.0 <= r.recall_at_5 <= 1.0
+            assert abs(r.recall_at_5 - r.n_hits / r.n_truth) < 1e-12
+        # exact rescoring of a candidate superset can only help
+        assert (
+            rows["ivfpq_rerank"].recall_at_5 >= rows["ivfpq"].recall_at_5
+        ), rows

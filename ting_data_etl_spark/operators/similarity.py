@@ -1897,7 +1897,7 @@ def _pq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivfpq_ctes() -> str:
+def _sql_ivfpq_ctes(query_pred: str | None = None) -> str:
     """From-scratch DuckDB twin of the WHOLE IVF-PQ pipeline (CTE chain).
 
     Re-derives the coarse model (shared Lloyd chain), the residuals, all
@@ -1905,8 +1905,11 @@ def _sql_ivfpq_ctes() -> str:
     per-vector codes, the codebook reconstruction, and the probed-list
     ADC search — so a drift anywhere (fit, slicing, code assignment,
     reconstruction arithmetic) surfaces as a value mismatch. Ends in
-    ``pqpairs``; ONE chain shared by the top-k and rerank finals.
+    ``pqpairs``; ONE chain shared by the top-k and rerank finals and (with
+    *query_pred*) the sampled PQ recall report.
     """
+    if query_pred is None:
+        query_pred = f"vec_id % {QUERY_MOD} = 0"
     coarse_iters = "\n,".join(_sql_lloyd_iter(i + 1) for i in range(KMEANS_ITERS))
     pq_chains = []
     code_joins = []
@@ -1947,7 +1950,6 @@ def _sql_ivfpq_ctes() -> str:
             f"WHEN d <= {hi} THEN cc.c[d] + b{m}.c[d - {lower}]"
         )
     return f"""
-WITH {_SQL_QUANT},
 samp AS (
   SELECT vec_id, q, {_SQL_VEC_HASH} AS h
   FROM q WHERE {_SQL_VEC_HASH} % {KMEANS_SAMPLE_MOD} = 0
@@ -1982,7 +1984,7 @@ recon AS (
 ),
 probes AS (
   SELECT vec_id AS query_id, q AS qv, list_id
-  FROM cassign WHERE rn <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
+  FROM cassign WHERE rn <= {NPROBE} AND ({query_pred})
 ),
 pqpairs AS (
   SELECT p.query_id, r.vec_id AS neighbor_id,
@@ -1994,6 +1996,7 @@ pqpairs AS (
 
 def _sql_ivfpq() -> str:
     return f"""
+WITH {_SQL_QUANT},
 {_sql_ivfpq_ctes()}
 SELECT query_id, neighbor_id, cosine FROM (
   SELECT *, row_number() OVER (
@@ -2030,9 +2033,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(_ivfpq_pairs(spark, sf_dir))
 
 
-def _ivfpq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_pairs(
+    spark: SparkSession, sf_dir: str, query_ids: "list[int] | None" = None
+) -> DataFrame:
     """Scored (query_id, neighbor_id, cosine) ADC pairs — the shared core
-    of the plain IVF-PQ top-k and the r9 rerank variant."""
+    of the plain IVF-PQ top-k, the r9 rerank variant, and the sampled PQ
+    recall report (*query_ids* restricts the query set)."""
     coarse = ivf_centroids(spark, sf_dir)
     books = pq_codebooks(spark, sf_dir)
     q = _quantized(spark, sf_dir)
@@ -2066,7 +2072,12 @@ def _ivfpq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rv.alias("cv"),
     ).withColumn("cn", F.sqrt(dot_product(F.col("cv"), F.col("cv"))))
     assignp = nearest_lists_udf(coarse, NPROBE)
-    queries = q.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    qpred = (
+        F.col("vec_id").isin(query_ids)
+        if query_ids is not None
+        else F.col("vec_id") % QUERY_MOD == 0
+    )
+    queries = q.filter(qpred).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
         F.col("norm").alias("qn"),
@@ -2093,6 +2104,7 @@ RERANK_R = 25
 
 def _sql_ivfpq_rerank() -> str:
     return f"""
+WITH {_SQL_QUANT},
 {_sql_ivfpq_ctes()},
 pqcand AS (
   SELECT query_id, neighbor_id FROM (
@@ -2292,4 +2304,150 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(F.col("cosine") >= SEMDEDUP_EPS)
         .groupBy("vec_id", "list_id")
         .agg(F.min("keep_id").alias("keeper_id"))
+    )
+
+
+# --- PQ recall report: lossy-index accuracy, measured and hash-checked --------
+def _sql_pq_recall() -> str:
+    """Truth + the ADC leg + the reranked leg, one statement. A separate
+    report from `similarity_recall_report` because the PQ chain and the
+    plain-IVF chain share coarse-fit CTE names (identical fits) and cannot
+    compose in one statement without prefixing every name."""
+    sample_pred = "vec_id IN (SELECT vec_id FROM sample_ids)"
+    return f"""
+WITH {_SQL_QUANT},
+sample_ids AS (
+  SELECT vec_id FROM q WHERE vec_id % {QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {RECALL_SAMPLE_Q}
+),
+{_sql_ivfpq_ctes(sample_pred)},
+pq_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM pqpairs
+  ) WHERE rn <= {TOP_K}
+),
+rcand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM pqpairs
+  ) WHERE rn <= {RERANK_R}
+),
+rexact AS (
+  SELECT c.query_id, c.neighbor_id,
+         {sql_cosine_case('qq.q', 'nq.q')} AS cosine
+  FROM rcand c
+  JOIN q qq ON qq.vec_id = c.query_id
+  JOIN q nq ON nq.vec_id = c.neighbor_id
+),
+rr_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM rexact
+  ) WHERE rn <= {TOP_K}
+),
+truth_pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {sql_cosine_case('a.q', 'b.q')} AS cosine
+  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM sample_ids)
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM truth_pairs
+  ) WHERE rn <= {TOP_K}
+),
+methods AS (
+  SELECT 'ivfpq' AS method, query_id, neighbor_id FROM pq_topk
+  UNION ALL
+  SELECT 'ivfpq_rerank' AS method, query_id, neighbor_id FROM rr_topk
+)
+SELECT m.method,
+       CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         / (SELECT COUNT(*) FROM truth) AS recall_at_5
+FROM methods m LEFT JOIN truth t
+  ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+GROUP BY m.method
+"""
+
+
+@register("similarity_pq_recall_report", oracle=_sql_pq_recall)
+def similarity_pq_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@5 of the lossy PQ index with and without exact refinement.
+
+    The number that justifies the rerank stage's existence: how much
+    recall the 8-byte codes give up (ADC scoring against reconstructions)
+    and how much the RERANK_R-candidate exact rescoring buys back — the
+    accuracy half of the FAISS-style memory/recall trade, measured over
+    the same sampled exact truth as `similarity_recall_report` and
+    hash-checked end to end (the oracle re-derives the full PQ index, the
+    ADC search, the rerank, AND the truth).
+    """
+    sample_ids = _recall_sample_ids(spark, sf_dir)
+    truth = (
+        _bruteforce_truth_sampled(spark, sf_dir, sample_ids)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    # ONE ADC pass serves both legs (the candidate relation is reused by
+    # the top-k cut and the rerank cut — eager checkpoint, not two runs)
+    pairs = _ivfpq_pairs(spark, sf_dir, query_ids=sample_ids).localCheckpoint(
+        eager=True
+    )
+    pq_leg = topk_per_query(pairs).select("query_id", "neighbor_id")
+    cand = topk_per_query(pairs, k=RERANK_R).select("query_id", "neighbor_id")
+    qv = _quantized(spark, sf_dir)
+    rr_leg = topk_per_query(
+        cand.join(
+            qv.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qa"),
+                F.col("norm").alias("na"),
+            ),
+            "query_id",
+        )
+        .join(
+            qv.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("q").alias("qb"),
+                F.col("norm").alias("nb"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_udf()(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+    ).select("query_id", "neighbor_id")
+    tagged = pq_leg.withColumn("method", F.lit("ivfpq")).unionByName(
+        rr_leg.withColumn("method", F.lit("ivfpq_rerank"))
+    )
+    denom = truth.agg(F.count("*").alias("n_truth"))
+    return (
+        tagged.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "method",
+            "n_hits",
+            "n_truth",
+            (F.col("n_hits") / F.col("n_truth")).alias("recall_at_5"),
+        )
     )
