@@ -628,3 +628,27 @@ class TestPagerankNearDup:
         assert total >= PAGERANK_SCALE - (len(pairs) * 2 + n) * (
             PAGERANK_ITERS + 1
         )
+
+    def test_tiny_graph_no_int32_overflow(self, spark, monkeypatch):
+        """n <= 39 nodes makes the initial rank * 85 exceed int32 — the
+        lit must be long (review finding, repro'd: ANSI overflow error)."""
+        import ting_data_etl_spark.operators.dedup as dd
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [(1, text, "a"), (2, text, "a"), (3, text + " extra", "a")],
+            "doc_id long, text string, source string",
+        )
+
+        def load_docs(spark_, sf_dir_, name_):
+            return docs
+
+        monkeypatch.setattr(dd, "load_table", load_docs)
+        rows = dd.graph_pagerank_neardup(spark, "unused").collect()
+        n = len(rows)
+        assert n >= 2
+        base = (15 * dd.PAGERANK_SCALE) // (100 * n)
+        for r in rows:
+            assert r.rank_fixed >= base
+        total = sum(r.rank_fixed for r in rows)
+        assert total <= dd.PAGERANK_SCALE

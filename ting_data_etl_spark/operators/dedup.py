@@ -2137,7 +2137,13 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("rank_fixed"),
         )
     base = (15 * PAGERANK_SCALE) // (100 * n)
-    r = deg.select("node", "deg", F.lit(PAGERANK_SCALE // n).alias("r"))
+    # cast("long"): a Python int below 2^31 lits as int32, and iteration 1
+    # computes (r * 85) in int32 — overflow (ANSI error; silent wrap with
+    # ANSI off) for any graph under ~40 nodes while the DuckDB twin stays
+    # BIGINT. Review finding, repro-confirmed on PySpark 4.1.2.
+    r = deg.select(
+        "node", "deg", F.lit(PAGERANK_SCALE // n).cast("long").alias("r")
+    )
     for _ in range(PAGERANK_ITERS):
         contrib = (
             und.join(r, und.src == r.node)
@@ -2151,7 +2157,10 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = deg.join(contrib, "node", "left").select(
             "node",
             "deg",
-            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).alias("r"),
+            (
+                F.lit(base).cast("long")
+                + F.coalesce(F.col("c"), F.lit(0))
+            ).alias("r"),
         )
     return r.select(
         F.col("node").alias("doc_id"),

@@ -661,7 +661,10 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the pixels, the bits, the bands, the cap, and the
     distance.
     """
-    hashed = phash_relation(spark, sf_dir)
+    # materialize the hashes once: the self-join would otherwise run the
+    # render->decode->hash Arrow chain on BOTH sides (review finding — the
+    # plan pin recorded 8 mapInPandas stages where the docstring claims 2)
+    hashed = phash_relation(spark, sf_dir).localCheckpoint(eager=True)
     g2 = PHASH_GRID * PHASH_GRID
     w = g2 // PHASH_BANDS
     bands = hashed.select(

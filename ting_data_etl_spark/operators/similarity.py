@@ -2102,6 +2102,21 @@ def _ivfpq_pairs(
 RERANK_R = 25
 
 
+def _sql_exact_rescore(cand_rel: str, out_rel: str) -> str:
+    """ONE definition of the oracle-side exact-rerank rescore: candidate
+    (query_id, neighbor_id) pairs joined back to the original vectors for
+    the exact cosine. Shared by the registered rerank and the PQ recall
+    report — a cosine/tie-break change cannot desynchronize the report
+    from the operator it measures."""
+    return f"""{out_rel} AS (
+  SELECT c.query_id, c.neighbor_id,
+         {sql_cosine_case('qq.q', 'nq.q')} AS cosine
+  FROM {cand_rel} c
+  JOIN q qq ON qq.vec_id = c.query_id
+  JOIN q nq ON nq.vec_id = c.neighbor_id
+)"""
+
+
 def _sql_ivfpq_rerank() -> str:
     return f"""
 WITH {_SQL_QUANT},
@@ -2114,13 +2129,7 @@ pqcand AS (
     FROM pqpairs
   ) WHERE rn <= {RERANK_R}
 ),
-exactp AS (
-  SELECT c.query_id, c.neighbor_id,
-         {sql_cosine_case('qq.q', 'nq.q')} AS cosine
-  FROM pqcand c
-  JOIN q qq ON qq.vec_id = c.query_id
-  JOIN q nq ON nq.vec_id = c.neighbor_id
-)
+{_sql_exact_rescore('pqcand', 'exactp')}
 SELECT query_id, neighbor_id, cosine FROM (
   SELECT *, row_number() OVER (
            PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
@@ -2128,6 +2137,40 @@ SELECT query_id, neighbor_id, cosine FROM (
   FROM exactp
 ) WHERE rn <= {TOP_K}
 """
+
+
+def exact_rescore(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """ONE definition of the Spark-side exact-rerank rescore (twin of
+    ``_sql_exact_rescore``): candidates joined back to the original
+    quantized vectors, exact Arrow cosine."""
+    q = _quantized(spark, sf_dir)
+    return (
+        cand.join(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qv"),
+                F.col("norm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("q").alias("cv"),
+                F.col("norm").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_udf()(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
 
 
 @register("similarity_ivfpq_rerank", oracle=_sql_ivfpq_rerank)
@@ -2154,33 +2197,7 @@ def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = topk_per_query(_ivfpq_pairs(spark, sf_dir), k=RERANK_R).select(
         "query_id", "neighbor_id"
     )
-    q = _quantized(spark, sf_dir)
-    exact = (
-        cand.join(
-            q.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("q").alias("qv"),
-                F.col("norm").alias("qn"),
-            ),
-            "query_id",
-        )
-        .join(
-            q.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("q").alias("cv"),
-                F.col("norm").alias("cn"),
-            ),
-            "neighbor_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_udf()(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-            ).alias("cosine"),
-        )
-    )
-    return topk_per_query(exact)
+    return topk_per_query(exact_rescore(spark, sf_dir, cand))
 
 
 # --- SemDeDup: cluster-blocked semantic dedup (Abbas et al. 2023) -----------
@@ -2337,13 +2354,7 @@ rcand AS (
     FROM pqpairs
   ) WHERE rn <= {RERANK_R}
 ),
-rexact AS (
-  SELECT c.query_id, c.neighbor_id,
-         {sql_cosine_case('qq.q', 'nq.q')} AS cosine
-  FROM rcand c
-  JOIN q qq ON qq.vec_id = c.query_id
-  JOIN q nq ON nq.vec_id = c.neighbor_id
-),
+{_sql_exact_rescore('rcand', 'rexact')},
 rr_topk AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (
@@ -2397,44 +2408,23 @@ def similarity_pq_recall_report(
     ADC search, the rerank, AND the truth).
     """
     sample_ids = _recall_sample_ids(spark, sf_dir)
+    # checkpoint BOTH reused relations: truth feeds the hit join AND the
+    # denominator (the corpus-wide exact pass must not run twice), and the
+    # ADC pairs feed both the top-k cut and the rerank cut
     truth = (
         _bruteforce_truth_sampled(spark, sf_dir, sample_ids)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=True)
     )
-    # ONE ADC pass serves both legs (the candidate relation is reused by
-    # the top-k cut and the rerank cut — eager checkpoint, not two runs)
     pairs = _ivfpq_pairs(spark, sf_dir, query_ids=sample_ids).localCheckpoint(
         eager=True
     )
     pq_leg = topk_per_query(pairs).select("query_id", "neighbor_id")
     cand = topk_per_query(pairs, k=RERANK_R).select("query_id", "neighbor_id")
-    qv = _quantized(spark, sf_dir)
-    rr_leg = topk_per_query(
-        cand.join(
-            qv.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("q").alias("qa"),
-                F.col("norm").alias("na"),
-            ),
-            "query_id",
-        )
-        .join(
-            qv.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("q").alias("qb"),
-                F.col("norm").alias("nb"),
-            ),
-            "neighbor_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_udf()(
-                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
-            ).alias("cosine"),
-        )
-    ).select("query_id", "neighbor_id")
+    rr_leg = topk_per_query(exact_rescore(spark, sf_dir, cand)).select(
+        "query_id", "neighbor_id"
+    )
     tagged = pq_leg.withColumn("method", F.lit("ivfpq")).unionByName(
         rr_leg.withColumn("method", F.lit("ivfpq_rerank"))
     )
