@@ -9,6 +9,7 @@ sit outside the driver window when the history proves it earned that.
 from __future__ import annotations
 
 import os
+import subprocess
 
 import pytest
 
@@ -33,11 +34,29 @@ def loaded_registry():
 class TestPlanDerivation:
     def test_plan_round_matches_artifact_history(self, plan):
         _, last_round = rotation.correctness_history(REPO)
+        if plan["round"] == last_round:
+            # Round boundary: the driver drops CORRECTNESS_r{last}.json
+            # AFTER the builder's final commit, so at the next round's
+            # start the newest artifact equals the committed plan's round
+            # and is still UNTRACKED. That exact state is the designed
+            # ritual reminder, not a defect (VERDICT r9 #2) — xfail with
+            # the ritual so the suite stays green while the message shows.
+            art = f"CORRECTNESS_r{last_round:02d}.json"
+            proc = subprocess.run(
+                ["git", "ls-files", "--error-unmatch", art],
+                cwd=REPO,
+                capture_output=True,
+            )
+            if proc.returncode != 0:
+                pytest.xfail(
+                    f"round-start state: driver dropped {art} (untracked) "
+                    "after the final commit — run `python "
+                    "tools/update_rotation.py`, then commit the artifact "
+                    "and the refreshed plan"
+                )
         assert plan["round"] == last_round + 1, (
             f"rotation plan is for round {plan['round']} but the newest "
-            f"CORRECTNESS artifact is r{last_round:02d} — the driver drops "
-            "that file AFTER the builder's final commit, so this firing at "
-            "round start is expected staleness, not a defect: run "
+            f"TRACKED CORRECTNESS artifact is r{last_round:02d}: run "
             "`python tools/update_rotation.py` and commit the refreshed plan"
         )
 
@@ -101,6 +120,25 @@ class TestRotationInvariants:
         assert rotation.is_due({2: "green", 3: "green"}, 6, False)  # stale
         assert rotation.is_due({4: "green", 5: "green"}, 6, True)  # changed
         assert not rotation.is_due({4: "green", 5: "green"}, 6, False)
+
+    def test_driver_cadence_bounded(self, plan):
+        """Every registered query gets a driver row at least every K=3
+        rounds under the current policy (VERDICT r9 #6).
+
+        The due list (86 at r9 close) outgrew the 50-row driver budget, so
+        the worry was unbounded cadence stretch as the registry grows.
+        This replays the derivation forward 10 rounds from the REAL
+        committed history (all-green, no module changes) and bounds the
+        worst wait. K = 3 is the policy's design point: MAX_ROW_AGE=2
+        forces due at age 3, and 139 queries / 50-row budget needs only
+        ~46.3 rows/round of steady-state demand, so overflow clears. If
+        this fires, either raise DRIVER_BUDGET or lower MAX_ROW_AGE."""
+        hist, _ = rotation.correctness_history(REPO)
+        gap = rotation.simulate_max_gap(hist, plan["order"], plan["round"], 10)
+        assert gap <= 3, (
+            f"simulated driver cadence stretched to {gap} rounds between "
+            "rows — the registry has outgrown the rotation policy"
+        )
 
     def test_overflow_is_bounded(self, plan):
         """Due overflow beyond the budget may exist (a cross-cutting round

@@ -1887,7 +1887,9 @@ def _sql_minhash_est_error() -> str:
 {_sql_minhash_pairs_cte()},
 xsets AS (
   SELECT doc_id,
-         list_distinct(list_transform(shingles, s -> {sql_shingle_hash("s")}))
+         list_distinct(list_filter(
+           list_transform(shingles, s -> {sql_shingle_hash("s")}),
+           h -> h IS NOT NULL))
            AS xs
   FROM sh
 ),

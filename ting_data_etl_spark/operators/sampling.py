@@ -1241,7 +1241,9 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     rate = _epoch_mix_rate_expr()
-    copies = (rate / 100).cast("int") + F.when(
+    # integer floor-div, matching the oracle's `rate // 100` bit-for-bit by
+    # construction (ADVICE r9: no float detour in the sampling family)
+    copies = F.floor(rate / 100).cast("int") + F.when(
         _bucket(F.col("doc_id"), "epochmix") < rate % 100, 1
     ).otherwise(0)
     r = d.select("doc_id", "source", copies.alias("copies"))

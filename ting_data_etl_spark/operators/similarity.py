@@ -2179,18 +2179,20 @@ def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage ANN layout (FAISS ``IVFx,PQy`` + refine).
 
     Stage 1 is the ADC search over codebook reconstructions (8 B/vector
-    index state — cheap but lossy); stage 2 fetches the ORIGINAL vectors
-    for only the top RERANK_R ADC candidates per query and re-scores them
-    exactly, returning the exact-cosine top-k. This is how a 100 TB vector
-    store actually answers queries: the PQ index prunes the corpus to
-    R ≈ 5k candidates, and the expensive full-precision reads touch only
-    |Q|·R rows — never the corpus.
+    index state — cheap but lossy); stage 2 fetches the exact QUANTIZED
+    corpus vectors — the index's input representation, exact relative to
+    what was indexed — for only the top RERANK_R ADC candidates per query
+    and re-scores them with true cosine, returning the rescored top-k.
+    This is how a 100 TB vector store actually answers queries: the PQ
+    index prunes the corpus to R ≈ 5k candidates, and the expensive
+    per-vector reads touch only |Q|·R rows — never the corpus.
 
     Plan shape: the ADC stage is the pinned IVF-PQ plan verbatim (shared
     `_ivfpq_pairs`); refinement adds two vec_id-keyed joins of the
     candidate relation against the quantized corpus and one more window —
-    the reported cosines are EXACT, so downstream thresholds calibrated
-    on brute-force scores transfer unchanged. The oracle re-derives the
+    the reported cosines are exact over the index's input vectors, so
+    downstream thresholds calibrated on brute-force scores over that same
+    corpus transfer unchanged. The oracle re-derives the
     whole index (shared `_sql_ivfpq_ctes`), reranks in SQL, and
     hash-checks the final ranking.
     """

@@ -141,6 +141,49 @@ def compute_plan(
     }
 
 
+def simulate_max_gap(
+    hist: dict[str, dict[int, str]],
+    names: list[str],
+    start_round: int,
+    horizon: int,
+    budget: int = DRIVER_BUDGET,
+) -> int:
+    """Worst inter-row gap any query sees under the current policy.
+
+    Replays the plan derivation forward ``horizon`` rounds from the real
+    committed history, assuming every driver row comes back green and no
+    module changes (the steady state the cadence question is about): each
+    simulated round derives the order exactly like :func:`compute_plan`
+    (due first, oldest-last-row first, name tiebreak) and grants the first
+    ``budget`` queries a green row. Returns the maximum number of rounds
+    any query waits between consecutive driver rows, counting the wait
+    from its last REAL row into the simulation — the rotation-cadence
+    number the r9 verdict asked to bound (next-round item #6).
+    """
+    sim = {n: dict(hist.get(n, {})) for n in names}
+    for rnd in range(start_round, start_round + horizon):
+        due: list[tuple[int, str]] = []
+        fresh: list[tuple[int, str]] = []
+        for n in names:
+            h = sim[n]
+            last = max(h) if h else 0
+            (due if is_due(h, rnd, False) else fresh).append((last, n))
+        due.sort()
+        fresh.sort()
+        order = [n for _, n in due] + [n for _, n in fresh]
+        for n in order[:budget]:
+            sim[n][rnd] = "green"
+    max_gap = 0
+    for n in names:
+        rows = sorted(sim[n])
+        for prev, cur in zip(rows, rows[1:]):
+            # only gaps that END inside the simulated window count — a
+            # historic gap is already adjudicated by past verdicts
+            if cur >= start_round:
+                max_gap = max(max_gap, cur - prev)
+    return max_gap
+
+
 def load_plan() -> dict | None:
     if not os.path.exists(PLAN_PATH):
         return None

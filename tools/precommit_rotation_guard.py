@@ -58,6 +58,20 @@ def _md5(path: str) -> str | None:
         return None
 
 
+def _inside_git_worktree() -> bool:
+    try:
+        proc = subprocess.run(
+            ["git", "rev-parse", "--is-inside-work-tree"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+    except OSError:
+        return False
+    return proc.returncode == 0 and proc.stdout.strip() == "true"
+
+
 def _index_md5(rel: str) -> str | None:
     """md5 of the file AS THE COMMIT WILL CONTAIN IT (the index blob).
 
@@ -67,7 +81,18 @@ def _index_md5(rel: str) -> str | None:
     the check both ways: an unstaged WIP edit reported drift the commit
     didn't contain, and regeneration then shipped a plan hashed against
     code NOT in the commit.
+
+    INSIDE a git checkout, a ``git show`` failure means the file is NOT
+    in the index — a plan-tracked module that exists only in the working
+    tree. Returning the working-tree md5 there (the original fallback)
+    made the guard compare the file to itself and pass, committing a plan
+    that references a module absent from the commit (ADVICE r9). Return
+    None instead so the caller sees definitive drift. The working-tree
+    fallback remains only for non-git trees (exported tree, test scratch
+    copy), where the working tree IS the commit content.
     """
+    if not _inside_git_worktree():
+        return _md5(os.path.join(REPO, rel))
     try:
         proc = subprocess.run(
             ["git", "show", f":{rel}"],
@@ -76,11 +101,9 @@ def _index_md5(rel: str) -> str | None:
             check=False,
         )
     except OSError:
-        proc = None
-    if proc is None or proc.returncode != 0:
-        # not a git checkout (exported tree, test scratch copy) — the
-        # working tree IS the commit content there
-        return _md5(os.path.join(REPO, rel))
+        return None
+    if proc.returncode != 0:
+        return None  # tracked-by-plan but not in the index: torn module
     return hashlib.md5(proc.stdout).hexdigest()
 
 
