@@ -113,6 +113,16 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics in both engines.
     """
     d = load_table(spark, sf_dir, "documents")
+    return gopher_metrics_df(d)
+
+
+def gopher_metrics_df(d: DataFrame) -> DataFrame:
+    """Gopher metrics + gate over any (doc_id, text) relation.
+
+    Split out of the registered query (r10) so the incremental-selection
+    path can gate ONLY an arriving batch — per-document semantics, so the
+    subset result equals the full-corpus result restricted to the subset.
+    """
     toks = tokens("text")
     t = d.select("doc_id", "text", toks.alias("toks"))
     n = F.size("toks")

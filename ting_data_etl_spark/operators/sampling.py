@@ -515,24 +515,26 @@ def sample_per_group_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_ACCEPT_PCT_PER_CHECK = 30
 
 
-def _sql_quality_ctes() -> str:
-    """Quality-gate CTE chain ending in ``c`` (doc_id, source, n_checks) —
-    shared by the plain quality sampler and the r9 surprisal-band gate.
-    Requires ``tok`` in scope."""
+def _sql_quality_ctes(tok_rel: str = "tok", prefix: str = "") -> str:
+    """Quality-gate CTE chain ending in ``{prefix}c`` (doc_id, source,
+    n_checks) — shared by the plain quality sampler, the r9 surprisal-band
+    gate, and (prefixed) the incremental-selection legs, whose scopes
+    already hold a gopher ``m``. Requires *tok_rel* (doc_id, source, text,
+    toks) in scope."""
     from ting_data_etl_spark.functions.text import WS_CHARS
     from ting_data_etl_spark.operators.text_queries import _sql_hits
 
     return f"""
-m AS (
+{prefix}m AS (
   SELECT doc_id, source,
          length(text) AS n,
          length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}{WS_CHARS}]', '', 'g'))
            AS n_punct,
          len(toks) AS n_toks,
          {_sql_hits("en")} AS en_hits
-  FROM tok
+  FROM {tok_rel}
 ),
-c AS (
+{prefix}c AS (
   SELECT doc_id, source,
          (CASE WHEN n BETWEEN 50 AND 2000 THEN 1 ELSE 0 END
           + CASE WHEN (CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE) / n
@@ -540,7 +542,7 @@ c AS (
           + CASE WHEN (CASE WHEN n_toks > 0 THEN CAST(en_hits AS DOUBLE) / n_toks
                             ELSE 0.0 END) >= 0.05 THEN 1 ELSE 0 END
          ) AS n_checks
-  FROM m
+  FROM {prefix}m
 )"""
 
 
@@ -1127,8 +1129,6 @@ def corpus_budget_head(
     (B rows, never data). The corpus total rides a broadcast 1-row
     aggregate. No global sort, no single-partition window.
     """
-    from pyspark.sql import Window
-
     from ting_data_etl_spark.functions.text import quality_checks, token_count
 
     d = load_table(spark, sf_dir, "documents")
@@ -1145,6 +1145,21 @@ def corpus_budget_head(
         # pipeline composition: rank and budget over the surviving ids
         # only (the budget total becomes the survivors' token total)
         h = h.join(keep.select("doc_id").distinct(), "doc_id")
+    return budget_head_from_ledger(h, n_bands=n_bands)
+
+
+def budget_head_from_ledger(h: DataFrame, n_bands: int = 8) -> DataFrame:
+    """The budget head's banded-prefix pass over a fixed-width LEDGER.
+
+    *h* carries (doc_id, n_checks, n_toks, okey) — no text. Split out of
+    :func:`corpus_budget_head` (r10) so the incremental-selection path can
+    budget the merged survivor ledger (staged standing rows ∪ the batch's
+    freshly scored rows) without re-reading any document text: the pass
+    touches ~24-byte rows only, the honest O(N-fixed-width) tail of an
+    otherwise O(batch) decision update.
+    """
+    from pyspark.sql import Window
+
     banded = h.withColumn(
         "__band", _quantile_bands(h, "okey", n_bands)
     ).persist()
