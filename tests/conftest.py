@@ -11,6 +11,39 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _self_heal_precommit_guard() -> None:
+    """Install the rotation pre-commit hook if missing (fresh container).
+
+    Round 10 showed the guard's manual installation does not survive a
+    container boundary; any pytest run now re-installs it idempotently so
+    a fresh environment cannot commit a torn rotation plan un-ritualized.
+    """
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hook = os.path.join(repo, ".git", "hooks", "pre-commit")
+    guard = os.path.join(repo, "tools", "precommit_rotation_guard.py")
+    if not os.path.isdir(os.path.join(repo, ".git")) or not os.path.exists(guard):
+        return
+    try:
+        if os.path.exists(hook):
+            with open(hook) as f:
+                if "precommit_rotation_guard" in f.read():
+                    return
+        subprocess.run(
+            [sys.executable, guard, "--install"],
+            check=True,
+            capture_output=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pass  # never let self-healing break a test run
+
+
+_self_heal_precommit_guard()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from ting_data_etl_spark.session import get_spark

@@ -42,12 +42,29 @@ class TestPlanDerivation:
             # ritual reminder, not a defect (VERDICT r9 #2) — xfail with
             # the ritual so the suite stays green while the message shows.
             art = f"CORRECTNESS_r{last_round:02d}.json"
-            proc = subprocess.run(
-                ["git", "ls-files", "--error-unmatch", art],
-                cwd=REPO,
-                capture_output=True,
-            )
-            if proc.returncode != 0:
+            try:
+                untracked = (
+                    subprocess.run(
+                        ["git", "ls-files", "--error-unmatch", art],
+                        cwd=REPO,
+                        capture_output=True,
+                    ).returncode
+                    != 0
+                )
+            except OSError:
+                untracked = False  # no git: fall through to the plain assert
+            # only the designed round-boundary state earns the xfail: the
+            # untracked artifact must be NEWER than the committed plan file
+            # (driver dropped it after the builder's last plan refresh).
+            # A plan regenerated after the artifact landed but never
+            # committed alongside it stays a hard failure (ADVICE r10).
+            art_path = os.path.join(REPO, art)
+            plan_path = rotation.PLAN_PATH
+            if (
+                untracked
+                and os.path.exists(art_path)
+                and os.path.getmtime(art_path) >= os.path.getmtime(plan_path)
+            ):
                 pytest.xfail(
                     f"round-start state: driver dropped {art} (untracked) "
                     "after the final commit — run `python "

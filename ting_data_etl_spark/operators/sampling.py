@@ -524,6 +524,11 @@ def _sql_quality_ctes(tok_rel: str = "tok", prefix: str = "") -> str:
     from ting_data_etl_spark.functions.text import WS_CHARS
     from ting_data_etl_spark.operators.text_queries import _sql_hits
 
+    # a hyphenated/keyword-ish prefix would surface as a confusing DuckDB
+    # parse error far from here — fail at the call site instead (ADVICE r10)
+    assert prefix == "" or prefix.isidentifier(), (
+        f"CTE prefix must be a valid SQL identifier fragment: {prefix!r}"
+    )
     return f"""
 {prefix}m AS (
   SELECT doc_id, source,

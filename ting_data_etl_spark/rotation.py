@@ -174,6 +174,7 @@ def simulate_max_gap(
         for n in order[:budget]:
             sim[n][rnd] = "green"
     max_gap = 0
+    end_round = start_round + horizon - 1
     for n in names:
         rows = sorted(sim[n])
         for prev, cur in zip(rows, rows[1:]):
@@ -181,6 +182,12 @@ def simulate_max_gap(
             # historic gap is already adjudicated by past verdicts
             if cur >= start_round:
                 max_gap = max(max_gap, cur - prev)
+        # open tail gap: a query last served early in the window (or never)
+        # and not served again would otherwise be invisible to the bound
+        if rows:
+            max_gap = max(max_gap, end_round - rows[-1])
+        else:
+            max_gap = max(max_gap, horizon)
     return max_gap
 
 
