@@ -148,6 +148,11 @@ PINNED = [
     # round-9 ninth wave: ONE checkpointed ADC pass must serve both report
     # legs; truth stays sample-broadcast (no corpus broadcast)
     "similarity_pq_recall_report",
+    # round-11 capstone: the incremental decision update must stay
+    # doc-keyed joins over staged parquet scans + the batch's text pass —
+    # a standing-corpus text rescan (extra document scans) or a
+    # non-broadcast touched-bucket join is the regression
+    "corpus_incremental_selection",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

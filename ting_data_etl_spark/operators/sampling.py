@@ -515,22 +515,18 @@ def sample_per_group_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_ACCEPT_PCT_PER_CHECK = 30
 
 
-def _sql_quality_ctes(tok_rel: str = "tok", prefix: str = "") -> str:
-    """Quality-gate CTE chain ending in ``{prefix}c`` (doc_id, source,
-    n_checks) — shared by the plain quality sampler, the r9 surprisal-band
-    gate, and (prefixed) the incremental-selection legs, whose scopes
-    already hold a gopher ``m``. Requires *tok_rel* (doc_id, source, text,
-    toks) in scope."""
+def _sql_quality_ctes(tok_rel: str = "tok") -> str:
+    """Quality-gate CTE chain ending in ``c`` (doc_id, source, n_checks) —
+    shared by the plain quality sampler and the r9 surprisal-band gate.
+    Requires *tok_rel* (doc_id, source, text, toks) in scope. (The r10
+    ``prefix`` parameterization was reverted in r11: the incremental
+    selection's oracle nests the FULL final-selection statement instead of
+    composing prefixed fragments, so the prefix never found a consumer.)"""
     from ting_data_etl_spark.functions.text import WS_CHARS
     from ting_data_etl_spark.operators.text_queries import _sql_hits
 
-    # a hyphenated/keyword-ish prefix would surface as a confusing DuckDB
-    # parse error far from here — fail at the call site instead (ADVICE r10)
-    assert prefix == "" or prefix.isidentifier(), (
-        f"CTE prefix must be a valid SQL identifier fragment: {prefix!r}"
-    )
     return f"""
-{prefix}m AS (
+m AS (
   SELECT doc_id, source,
          length(text) AS n,
          length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}{WS_CHARS}]', '', 'g'))
@@ -539,7 +535,7 @@ def _sql_quality_ctes(tok_rel: str = "tok", prefix: str = "") -> str:
          {_sql_hits("en")} AS en_hits
   FROM {tok_rel}
 ),
-{prefix}c AS (
+c AS (
   SELECT doc_id, source,
          (CASE WHEN n BETWEEN 50 AND 2000 THEN 1 ELSE 0 END
           + CASE WHEN (CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE) / n
@@ -547,7 +543,7 @@ def _sql_quality_ctes(tok_rel: str = "tok", prefix: str = "") -> str:
           + CASE WHEN (CASE WHEN n_toks > 0 THEN CAST(en_hits AS DOUBLE) / n_toks
                             ELSE 0.0 END) >= 0.05 THEN 1 ELSE 0 END
          ) AS n_checks
-  FROM {prefix}m
+  FROM m
 )"""
 
 
@@ -1134,10 +1130,27 @@ def corpus_budget_head(
     (B rows, never data). The corpus total rides a broadcast 1-row
     aggregate. No global sort, no single-partition window.
     """
+    d = load_table(spark, sf_dir, "documents")
+    h = budget_ledger_df(d)
+    if keep is not None:
+        # pipeline composition: rank and budget over the surviving ids
+        # only (the budget total becomes the survivors' token total)
+        h = h.join(keep.select("doc_id").distinct(), "doc_id")
+    return budget_head_from_ledger(h, n_bands=n_bands)
+
+
+def budget_ledger_df(docs: DataFrame) -> DataFrame:
+    """The budget head's per-document ledger from any (doc_id, text) relation.
+
+    ONE definition of the rank key: okey = (3 − n_checks)·2⁴⁸ + doc_id —
+    shared by :func:`corpus_budget_head` (full corpus) and the
+    incremental-selection path (standing-stage build + batch scoring), so
+    a key-scheme change cannot desync the two. Per-document semantics:
+    scoring a subset equals scoring the corpus restricted to the subset.
+    """
     from ting_data_etl_spark.functions.text import quality_checks, token_count
 
-    d = load_table(spark, sf_dir, "documents")
-    h = d.select(
+    return docs.select(
         "doc_id",
         quality_checks(F.col("text")).alias("n_checks"),
         token_count(F.col("text")).cast("long").alias("n_toks"),
@@ -1146,11 +1159,6 @@ def corpus_budget_head(
         (F.lit(3) - F.col("n_checks")).cast("long") * _BUDGET_KEY_BASE
         + F.col("doc_id"),
     )
-    if keep is not None:
-        # pipeline composition: rank and budget over the surviving ids
-        # only (the budget total becomes the survivors' token total)
-        h = h.join(keep.select("doc_id").distinct(), "doc_id")
-    return budget_head_from_ledger(h, n_bands=n_bands)
 
 
 def budget_head_from_ledger(h: DataFrame, n_bands: int = 8) -> DataFrame:

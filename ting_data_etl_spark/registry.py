@@ -119,6 +119,8 @@ def load_all() -> None:
     import ting_data_etl_spark.operators.ensemble  # noqa: F401
     # --- NEW this round: curation suite + ORC round-trip --------------------
     import ting_data_etl_spark.operators.curation  # noqa: F401
+    # --- NEW r11: standing-state incremental selection ----------------------
+    import ting_data_etl_spark.operators.incremental  # noqa: F401
     import ting_data_etl_spark.sources.orc  # noqa: F401
     import ting_data_etl_spark.sources.textfile  # noqa: F401
     # --- NEW this round: window/rollup/skew/SCD2 additions land via their
