@@ -108,6 +108,25 @@ def test_contamination_additivity(spark, sf_dir):
         assert n_full == staged[doc] + add.get(doc, 0), doc
 
 
+def test_incremental_contamination_relation_equal(spark, sf_dir):
+    """The registered maintenance leg is row-identical to the from-scratch
+    contamination sweep on the merged corpus (all five columns)."""
+    from ting_data_etl_spark.operators.curation import (
+        dedup_contamination_check,
+    )
+    from ting_data_etl_spark.operators.incremental import (
+        incremental_contamination_update,
+    )
+
+    inc = sorted(
+        map(tuple, incremental_contamination_update(spark, sf_dir).collect())
+    )
+    full = sorted(
+        map(tuple, dedup_contamination_check(spark, sf_dir).collect())
+    )
+    assert inc == full
+
+
 def test_sem_pruned_set_equal(spark, sf_dir):
     """Staged standing-standing pruning ∪ batch-involving pairs == the full
     SemDeDup pruned set (larger-id rule covers both directions)."""
@@ -130,6 +149,24 @@ def test_sem_pruned_set_equal(spark, sf_dir):
 
     assert staged <= full
     assert all(v % INCR_BATCH_MOD != INCR_BATCH_REM for v in staged)
+
+
+def test_stage_fingerprint_rotates_on_batch_split_retune(sf_dir):
+    """A retune of the batch split (or any selection constant) must land on
+    a FRESH standing stage — serving state built under the old split would
+    silently misclassify standing docs as batch and vice versa."""
+    import ting_data_etl_spark.operators.dedup as D
+    from ting_data_etl_spark.operators.incremental import _incr_stage_path
+
+    base = _incr_stage_path(sf_dir, "ledger", ("documents",))
+    prev = D.INCR_BATCH_MOD
+    D.INCR_BATCH_MOD = prev * 10
+    try:
+        retuned = _incr_stage_path(sf_dir, "ledger", ("documents",))
+    finally:
+        D.INCR_BATCH_MOD = prev
+    assert retuned != base
+    assert _incr_stage_path(sf_dir, "ledger", ("documents",)) == base
 
 
 def test_stage_artifacts_are_standing_only(spark, sf_dir):

@@ -153,6 +153,13 @@ PINNED = [
     # a standing-corpus text rescan (extra document scans) or a
     # non-broadcast touched-bucket join is the regression
     "corpus_incremental_selection",
+    # r11 maintenance legs: the pair maintenance must keep the BROADCAST
+    # touched-bucket joins (touched set + anti-join) over staged parquet
+    # scans; the contamination update must keep its two broadcast benchmark
+    # probes — a sort-merge join on gram hashes here means the benchmark
+    # set stopped broadcasting
+    "incremental_pairs_maintained",
+    "incremental_contamination_update",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

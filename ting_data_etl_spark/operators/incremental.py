@@ -347,6 +347,128 @@ def _standing_sem_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- the decision update -----------------------------------------------------
+def _batch_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, h) word-8-gram hashes of the arriving batch —
+    checkpointed once (three consumers: batch benchmark grams, the merged
+    benchmark set, the batch contamination probe)."""
+    from ting_data_etl_spark.functions.text import portable_hash31
+    from ting_data_etl_spark.operators.curation import CONTAM_NGRAM
+    from ting_data_etl_spark.operators.dedup import word_shingles_df
+
+    batch = load_table(spark, sf_dir, "documents").filter(_batch_pred())
+    return (
+        word_shingles_df(batch, n=CONTAM_NGRAM)
+        .select("doc_id", portable_hash31(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _merged_contamination(
+    spark: SparkSession, sf_dir: str, grams_b: DataFrame
+) -> DataFrame:
+    """Post-merge contamination relation via the additive update.
+
+    (doc_id, n_grams, n_contaminated, contamination_frac, flagged) for
+    every corpus-side document of the merged corpus. Standing docs:
+    staged counts (vs the STANDING benchmark grams) plus one broadcast
+    probe of the staged gram index against only the NEW-to-the-benchmark
+    grams — the two hit sets are disjoint by construction, so the counts
+    add. Batch docs: scored fresh against the merged benchmark set.
+    Value-identical to ``dedup_contamination_check`` on the merged table.
+    """
+    from ting_data_etl_spark.operators.curation import (
+        BENCHMARK_MOD,
+        CONTAM_FLAG_FRAC,
+    )
+
+    bench_pred = F.col("doc_id") % BENCHMARK_MOD == 0
+    grams_st = _standing_grams(spark, sf_dir)
+    bench_st = grams_st.filter(bench_pred).select("h").distinct()
+    bench_b = (
+        grams_b.filter(bench_pred)
+        .select("h")
+        .distinct()
+        .filter(F.col("h").isNotNull())
+    )
+    new_bench = bench_b.join(bench_st, "h", "left_anti")
+    add = (
+        grams_st.filter(~bench_pred)
+        .join(F.broadcast(new_bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    n_cont = (
+        F.col("n_contaminated") + F.coalesce(F.col("n_new"), F.lit(0))
+    ).cast("long")
+    frac_st = n_cont.cast("double") / F.col("n_grams")
+    contam_standing = (
+        _standing_contam(spark, sf_dir)
+        .join(add, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            n_cont.alias("n_contaminated"),
+            frac_st.alias("contamination_frac"),
+            (frac_st >= CONTAM_FLAG_FRAC).cast("int").alias("flagged"),
+        )
+    )
+    merged_bench = (
+        bench_st.unionByName(bench_b).distinct().withColumn("hit", F.lit(1))
+    )
+    frac_b = F.count("hit").cast("double") / F.count("*")
+    contam_batch = (
+        grams_b.filter(~bench_pred)
+        .join(F.broadcast(merged_bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            frac_b.alias("contamination_frac"),
+            (frac_b >= CONTAM_FLAG_FRAC).cast("int").alias("flagged"),
+        )
+    )
+    return contam_standing.unionByName(contam_batch)
+
+
+def _sql_contamination_twin() -> str:
+    from ting_data_etl_spark.operators.curation import _sql_contamination
+
+    return _sql_contamination()
+
+
+@register("incremental_contamination_update", oracle=_sql_contamination_twin)
+def incremental_contamination_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The contamination maintenance leg as its own full-value driver row.
+
+    Oracle = the from-scratch ``dedup_contamination_check`` statement on
+    the merged corpus, so the additive-update argument (disjoint hit sets,
+    per-doc counts add) is hash-checked stand-alone — when the capstone
+    ever mismatches, this row localizes (or clears) the contamination leg.
+    """
+    return _merged_contamination(spark, sf_dir, _batch_grams(spark, sf_dir))
+
+
+def _sql_pairs_twin() -> str:
+    from ting_data_etl_spark.operators.dedup import _sql_minhash_pairs
+
+    return _sql_minhash_pairs()
+
+
+@register("incremental_pairs_maintained", oracle=_sql_pairs_twin)
+def incremental_pairs_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The touched-bucket pair maintenance as its own full-value driver row.
+
+    Oracle = the from-scratch MinHash-LSH pair statement over the merged
+    corpus — the subtraction argument (untouched buckets keep staged
+    contributions verbatim because per-bucket occupancy, and so the cap,
+    cannot change without a batch row) is hash-checked stand-alone.
+    """
+    return _merged_pairs(spark, sf_dir)
+
+
 def _merged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-merge near-dup candidate pairs via touched-bucket maintenance.
 
@@ -439,14 +561,10 @@ def corpus_incremental_selection(
     ``corpus_final_selection`` (see the module docstring for the per-stage
     cost contract; the only document text this plan reads is the batch's).
     """
-    from ting_data_etl_spark.functions.text import portable_hash31
     from ting_data_etl_spark.operators.curation import (
         BENCHMARK_MOD,
-        CONTAM_FLAG_FRAC,
-        CONTAM_NGRAM,
         gopher_metrics_df,
     )
-    from ting_data_etl_spark.operators.dedup import word_shingles_df
     from ting_data_etl_spark.operators.sampling import (
         budget_head_from_ledger,
         budget_ledger_df,
@@ -473,51 +591,9 @@ def corpus_incremental_selection(
 
     # --- contamination: additive update against the new benchmark grams -----
     bench_pred = F.col("doc_id") % BENCHMARK_MOD == 0
-    grams_b = (
-        word_shingles_df(batch, n=CONTAM_NGRAM)
-        .select("doc_id", portable_hash31(F.col("s")).alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds 3 consumers below
-    )
-    grams_st = _standing_grams(spark, sf_dir)
-    bench_st = grams_st.filter(bench_pred).select("h").distinct()
-    bench_b = (
-        grams_b.filter(bench_pred)
-        .select("h")
-        .distinct()
-        .filter(F.col("h").isNotNull())
-    )
-    new_bench = bench_b.join(bench_st, "h", "left_anti")
-    # staged hits counted STANDING-benchmark grams; new_bench is disjoint
-    # from that set by construction, so the per-doc counts simply add
-    add = (
-        grams_st.filter(~bench_pred)
-        .join(F.broadcast(new_bench), "h")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_new"))
-    )
-    n_cont = F.col("n_contaminated") + F.coalesce(F.col("n_new"), F.lit(0))
-    contam_standing = (
-        _standing_contam(spark, sf_dir)
-        .join(add, "doc_id", "left")
-        .select(
-            "doc_id",
-            (n_cont.cast("double") / F.col("n_grams") >= CONTAM_FLAG_FRAC)
-            .cast("int")
-            .alias("flagged"),
-        )
-    )
-    merged_bench = (
-        bench_st.unionByName(bench_b).distinct().withColumn("hit", F.lit(1))
-    )
-    frac_b = F.count("hit").cast("double") / F.count("*")
-    contam_batch = (
-        grams_b.filter(~bench_pred)
-        .join(F.broadcast(merged_bench), "h", "left")
-        .groupBy("doc_id")
-        .agg((frac_b >= CONTAM_FLAG_FRAC).cast("int").alias("flagged"))
-    )
-    contam_all = contam_standing.unionByName(contam_batch)
+    contam_all = _merged_contamination(
+        spark, sf_dir, _batch_grams(spark, sf_dir)
+    ).select("doc_id", "flagged")
 
     # --- document verdicts over the merged corpus ---------------------------
     labels = _merged_components(spark, sf_dir)
