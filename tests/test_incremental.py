@@ -151,6 +151,102 @@ def test_sem_pruned_set_equal(spark, sf_dir):
     assert all(v % INCR_BATCH_MOD != INCR_BATCH_REM for v in staged)
 
 
+def test_maintained_pairs_cap_readmission(spark):
+    """Deleting members of an over-cap bucket must RE-ADMIT its pairs.
+
+    Planted scenario: bucket (0,'hot') holds cap+1 docs (zero staged
+    pairs), bucket (0,'cold') holds 2 (one staged pair), bucket (0,'new')
+    holds 1. Tombstoning one hot member drops the bucket to exactly cap —
+    its C(cap,2) pairs must appear; the cold bucket is unaffected and
+    keeps its staged pair; a new row joining 'new' creates that pair."""
+    import ting_data_etl_spark.operators.dedup as D
+    from ting_data_etl_spark.operators.incremental import maintained_pairs
+
+    cap = D.BAND_FREQUENCY_CAP
+    hot = [(i, 0, "hot") for i in range(cap + 1)]
+    cold = [(1000, 0, "cold"), (1001, 0, "cold")]
+    new_home = [(2000, 0, "new")]
+    bands = spark.createDataFrame(
+        hot + cold + new_home, ["doc_id", "j", "band"]
+    )
+    # staged contributions under standing occupancy: hot over cap -> none
+    bpairs = spark.createDataFrame(
+        [(0, "cold", 1000, 1001)], ["j", "band", "doc_a", "doc_b"]
+    )
+    tombstones = spark.createDataFrame([(0,)], ["doc_id"])
+    new_rows = spark.createDataFrame([(2001, 0, "new")], ["doc_id", "j", "band"])
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in maintained_pairs(bands, bpairs, tombstones, new_rows).collect()
+    }
+    survivors = list(range(1, cap + 1))
+    expect = {
+        (a, b) for a in survivors for b in survivors if a < b
+    } | {(1000, 1001), (2000, 2001)}
+    assert got == expect
+
+
+def test_pairs_with_deletes_equal_full_recompute(spark, sf_dir):
+    """The registered maintenance query == a from-scratch re-sign + pair
+    self-join over the post-edit standing corpus (the oracle's statement,
+    replicated Spark-side)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ting_data_etl_spark.operators.dedup import (
+        _incr_mh_deleted,
+        _incr_mh_readded,
+        band_frequency_cap,
+        lsh_bands,
+        minhash_signatures_df,
+    )
+    from ting_data_etl_spark.operators.incremental import (
+        _batch_pred,
+        incremental_pairs_with_deletes,
+    )
+    from ting_data_etl_spark.sources.tables import load_table
+
+    got = sorted(
+        map(tuple, incremental_pairs_with_deletes(spark, sf_dir).collect())
+    )
+    d = load_table(spark, sf_dir, "documents").filter(~_batch_pred())
+    alive = d.filter(~(_incr_mh_deleted() & ~_incr_mh_readded())).select(
+        "doc_id",
+        F.when(
+            _incr_mh_readded(),
+            F.concat(
+                F.col("text"),
+                F.lit(" edited "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bands = minhash_signatures_df(alive).select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
+    )
+    capped = band_frequency_cap(bands)
+    a, b = capped.alias("a"), capped.alias("b")
+    full = sorted(
+        map(
+            tuple,
+            a.join(
+                b,
+                (F.col("a.j") == F.col("b.j"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == full
+
+
 def test_stage_fingerprint_rotates_on_batch_split_retune(sf_dir):
     """A retune of the batch split (or any selection constant) must land on
     a FRESH standing stage — serving state built under the old split would

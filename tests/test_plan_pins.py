@@ -160,6 +160,10 @@ PINNED = [
     # set stopped broadcasting
     "incremental_pairs_maintained",
     "incremental_contamination_update",
+    # r11 delete maintenance: tombstone anti-join + affected-bucket joins
+    # must stay broadcast over staged parquet; only re-edited docs' text
+    # may be signed (one signature window chain, not two)
+    "incremental_pairs_with_deletes",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -519,6 +519,145 @@ def _merged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return untouched_pairs.unionByName(touched_pairs).distinct()
 
 
+def maintained_pairs(
+    stage_bands: DataFrame,
+    stage_bpairs: DataFrame,
+    tombstones: DataFrame,
+    new_rows: DataFrame,
+) -> DataFrame:
+    """Pair-set maintenance under band-index edits — the pure core.
+
+    *stage_bands*: the standing UNCAPPED band index (doc_id, j, band);
+    *stage_bpairs*: its per-bucket capped pair contributions (j, band,
+    doc_a, doc_b); *tombstones*: (doc_id) whose rows leave the index;
+    *new_rows*: (doc_id, j, band) entering it (re-edited docs' re-signed
+    text, or an arriving batch). Affected buckets = every bucket holding a
+    tombstoned row or receiving a new one; they are re-paired from their
+    post-edit members under post-edit occupancy — INCLUDING the
+    re-admission case: a bucket that sat over the frequency cap (zero
+    staged pairs) and drops under it when members leave gets its pairs
+    back, which only works because the staged index is uncapped.
+    Unaffected buckets keep their staged contributions verbatim
+    (occupancy there cannot have changed). Output: distinct (doc_a,
+    doc_b) — value-identical to the full self-join over the post-edit
+    index (pytest plants the re-admission case; the registered query's
+    oracle checks the real corpus).
+    """
+    from ting_data_etl_spark.operators.dedup import band_frequency_cap
+
+    alive = stage_bands.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    affected = (
+        stage_bands.join(F.broadcast(tombstones), "doc_id")
+        .select("j", "band")
+        .unionByName(new_rows.select("j", "band"))
+        .distinct()
+    )
+    members = alive.join(F.broadcast(affected), ["j", "band"]).unionByName(
+        new_rows
+    )
+    capped = band_frequency_cap(members)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    repaired = a.join(
+        b,
+        (F.col("a.j") == F.col("b.j"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    kept = (
+        stage_bpairs.join(F.broadcast(affected), ["j", "band"], "left_anti")
+        .select("doc_a", "doc_b")
+    )
+    return kept.unionByName(repaired).distinct()
+
+
+def _sql_pairs_after_deletes() -> str:
+    """Post-edit standing pair set, from scratch: docs2 carries the edited
+    text, the banded index keeps only standing+alive rows, then the capped
+    self-join — the same prelude/filter construction as the r9 delete
+    probe's oracle (``_sql_incr_minhash_delete``)."""
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        INCR_DELETE_MOD,
+        INCR_DELETE_REM,
+        INCR_READD_MOD,
+        INCR_READD_REM,
+        _minhash_sig_sql,
+        _sql_banding_ctes,
+    )
+
+    deleted = f"doc_id % {INCR_DELETE_MOD} = {INCR_DELETE_REM}"
+    readded = f"doc_id % {INCR_READD_MOD} = {INCR_READD_REM}"
+    standing = f"doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    alive = f"NOT (({deleted}) AND NOT ({readded}))"
+    prelude = f"""docs2 AS (
+  SELECT doc_id,
+         CASE WHEN {readded}
+              THEN text || ' edited ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+"""
+    return f"""
+{_minhash_sig_sql(doc_relation="docs2", prelude=prelude)},
+{_sql_banding_ctes("capped", f" WHERE ({standing}) AND ({alive})")},
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.j = b.j AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b FROM mh_pairs
+"""
+
+
+@register("incremental_pairs_with_deletes", oracle=_sql_pairs_after_deletes)
+def incremental_pairs_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standing pair-index maintenance under tombstones + re-edits.
+
+    The maintenance twin of :func:`incremental_pairs_maintained`,
+    completing the standing-index contract the band-probe family
+    (``dedup_incremental_minhash_delete``) established — but at the PAIR
+    level, where deletion has a subtlety probes don't see: removing rows
+    can drop a bucket back UNDER the frequency cap and re-admit pairs the
+    staged contribution never held. Same maintenance conventions as the
+    probe: of the standing corpus, ``doc_id % INCR_DELETE_MOD ==
+    INCR_DELETE_REM`` rows are deleted; half (``% INCR_READD_MOD``) are
+    re-edited and re-signed through the same O(edits) text pass new
+    arrivals use. Only the re-edited documents' text is read; everything
+    else is fixed-width index maintenance via :func:`maintained_pairs`.
+    """
+    from ting_data_etl_spark.operators.dedup import (
+        _incr_mh_deleted,
+        _incr_mh_readded,
+        lsh_bands,
+        minhash_signatures_df,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    standing = ~_batch_pred()
+    tombstones = d.filter(_incr_mh_deleted() & standing).select("doc_id")
+    edited = d.filter(_incr_mh_readded() & standing).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" edited "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    new_rows = minhash_signatures_df(edited).select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
+    )
+    return maintained_pairs(
+        _standing_bands(spark, sf_dir),
+        _standing_bucket_pairs(spark, sf_dir),
+        tombstones,
+        new_rows,
+    )
+
+
 def _merged_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) closure over the maintained merged pair set.
 
