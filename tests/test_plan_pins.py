@@ -164,6 +164,10 @@ PINNED = [
     # must stay broadcast over staged parquet; only re-edited docs' text
     # may be signed (one signature window chain, not two)
     "incremental_pairs_with_deletes",
+    # r11 manifest: selection join + banded two-phase shard rank — the
+    # regression is a rangepartitioning exchange (global sort) sneaking in
+    # or the selection chain re-executing past its checkpoint
+    "corpus_selection_manifest",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -1285,3 +1285,112 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<int>"))
         ).alias("copy"),
     )
+
+
+# --- selection manifest: the artifact handed to training ---------------------
+def _sql_selection_manifest() -> str:
+    """The full final-selection statement nested as a subquery (the
+    can-never-disagree trick of the funnel/trimmed oracles), its
+    ``selected`` ids sharded by the single-window reference rank, with a
+    per-shard id checksum so shard MEMBERSHIP is hash-checked, not just
+    volumes."""
+    from ting_data_etl_spark.operators.curation import _sql_final_selection
+
+    return f"""
+WITH sel AS (
+  SELECT doc_id FROM ({_sql_final_selection()}) f WHERE decision = 'selected'
+),
+tok AS (
+  SELECT d.doc_id, len({SQL_TOKEN_LIST}) AS n_toks
+  FROM documents d JOIN sel USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, n_toks,
+         (row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1) % {N_SHARDS}
+           AS shard
+  FROM tok
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS doc_ids_md5
+FROM ranked GROUP BY shard
+"""
+
+
+@register("corpus_selection_manifest", oracle=_sql_selection_manifest)
+def corpus_selection_manifest(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """The training-corpus manifest: selected docs sharded, checksummed.
+
+    What a curation run actually hands to the training job next to the
+    data: per output shard, the document count, token total, and an md5
+    over the member ids in id order — the lineage record that lets a
+    training run (or an auditor) verify it read EXACTLY the corpus the
+    selection decided, not volumes that happen to match. Composes the two
+    verified verbs: ``corpus_final_selection``'s ``selected`` set feeds
+    the longest-first round-robin shard rank (token-balanced, same rule as
+    ``shard_assignment``) restricted to the selection.
+
+    Plan shape: the selection relation joins the token ledger on
+    ``doc_id`` and is eagerly materialized once (three fixed-width passes
+    read it: quantile cuts, band offsets, the ranked rollup); the global
+    rank is the shared banded two-phase scan — no global sort, no
+    single-partition window. The checksum rides the shard rollup's
+    existing aggregation (a sort_array over each shard's ~N/16 ids).
+    """
+    from pyspark.sql import Window
+
+    from ting_data_etl_spark.api import Corpus
+    from ting_data_etl_spark.functions.text import token_count
+
+    sel = (
+        Corpus(spark, sf_dir)
+        .final_selection()
+        .filter(F.col("decision") == "selected")
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", token_count("text").alias("n_toks"))
+        .join(sel, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    banded = tok.withColumn(
+        "__band", _quantile_bands(tok, "n_toks", n_bands, desc=True)
+    ).persist()
+    try:
+        offsets = _band_offsets(banded, "n_toks")
+        local = Window.partitionBy("__band").orderBy(
+            F.col("n_toks").desc(), F.col("doc_id")
+        )
+        ranked = (
+            banded.withColumn("__lr", F.row_number().over(local))
+            .join(offsets, "__band")
+            .select(
+                "doc_id",
+                "n_toks",
+                ((F.col("row_offset") + F.col("__lr") - 1) % N_SHARDS).alias(
+                    "shard"
+                ),
+            )
+        )
+        out = ranked.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("doc_ids_md5"),
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        banded.unpersist()
