@@ -247,6 +247,47 @@ def test_pairs_with_deletes_equal_full_recompute(spark, sf_dir):
     assert got == full
 
 
+def test_streaming_arrival_gate_equals_batch_composition(spark, sf_dir):
+    """The union over micro-batches == the one-shot composition of the two
+    registered batch operators (probe + gate) — the splittability property
+    the streaming leg rests on. Also pins that the stream actually ran as
+    MULTIPLE micro-batches (4 staged files, maxFilesPerTrigger 1), not one."""
+    import os
+
+    from ting_data_etl_spark.operators.curation import (
+        text_gopher_quality_rules,
+    )
+    from ting_data_etl_spark.operators.dedup import dedup_incremental_minhash
+    from ting_data_etl_spark.operators.incremental import (
+        _batch_pred,
+        _stage_batch_arrivals,
+        streaming_incremental_arrival_gate,
+    )
+
+    staged = _stage_batch_arrivals(spark, sf_dir)
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files == 4
+    got = sorted(
+        map(
+            tuple,
+            streaming_incremental_arrival_gate(spark, sf_dir).collect(),
+        )
+    )
+    g = text_gopher_quality_rules(spark, sf_dir).filter(_batch_pred()).select(
+        "doc_id", "passes_gopher"
+    )
+    expect = sorted(
+        map(
+            tuple,
+            g.join(dedup_incremental_minhash(spark, sf_dir), "doc_id")
+            .select("doc_id", "passes_gopher", "dup_of", "is_dup")
+            .collect(),
+        )
+    )
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_stage_fingerprint_rotates_on_batch_split_retune(sf_dir):
     """A retune of the batch split (or any selection constant) must land on
     a FRESH standing stage — serving state built under the old split would

@@ -830,3 +830,174 @@ def corpus_incremental_selection(
         .otherwise(F.lit("selected"))
         .alias("decision"),
     )
+
+
+# --- streaming arrival gate: the front of the pipeline, as a real stream -----
+def _stage_batch_arrivals(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the arriving batch as N id-range parquet files with ascending
+    mtimes, so the file stream source replays them in arrival order — the
+    shape of a real crawl-drop directory. Same atomic-publish ritual as the
+    streaming events stages."""
+    from ting_data_etl_spark.streaming.windows import publish_staged_dir
+
+    out = _incr_stage_path(sf_dir, "arrivals", ("documents",))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+
+        def _write(tmp: str) -> None:
+            batch = (
+                load_table(spark, sf_dir, "documents")
+                .filter(_batch_pred())
+                .select("doc_id", "source", "text")
+            )
+            batch.repartitionByRange(4, "doc_id").write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            parts = sorted(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            base = int(os.path.getmtime(os.path.join(tmp, parts[-1])))
+            for i, name in enumerate(parts):
+                p = os.path.join(tmp, name)
+                os.utime(p, (base + i, base + i))
+
+        publish_staged_dir(out, _write)
+    return out
+
+
+def _sql_arrival_gate() -> str:
+    """One-shot twin of the per-micro-batch work: gopher gate + standing
+    band-index probe over the whole arriving batch. Exact because both
+    legs are per-arriving-document against FIXED standing state — the
+    property that makes the gate micro-batch-splittable at all."""
+    from ting_data_etl_spark.operators.curation import (
+        _SQL_TOKS,
+        _sql_gopher_ctes,
+    )
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        _minhash_sig_sql,
+        _sql_banding_ctes,
+    )
+
+    return f"""
+{_minhash_sig_sql()},
+{_sql_banding_ctes(
+    "corpus_capped",
+    f" WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}",
+)},
+batch AS (
+  SELECT doc_id, j, band FROM bands
+  WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+),
+hits AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS dup_of
+  FROM batch b JOIN corpus_capped c ON b.j = c.j AND b.band = c.band
+  GROUP BY b.doc_id
+),
+{_SQL_TOKS},
+{_sql_gopher_ctes()}
+SELECT d.doc_id,
+       g.passes_gopher,
+       h.dup_of,
+       h.dup_of IS NOT NULL AS is_dup
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}) d
+JOIN gop g ON d.doc_id = g.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("streaming_incremental_arrival_gate", oracle=_sql_arrival_gate)
+def streaming_incremental_arrival_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arriving documents gated + dedup-probed as a REAL file stream.
+
+    The front of the incremental pipeline as it runs in production: crawl
+    drops land as files, Structured Streaming replays them in arrival
+    order (``maxFilesPerTrigger 1`` → 4 micro-batches), and each
+    micro-batch is Gopher-gated and probed against the standing LSH band
+    index inside ``foreachBatch`` — per-batch output is written to an
+    idempotent per-batch-id directory (retry-safe, the generation-dir
+    contract of ``streaming_foreachbatch_upsert`` without the merge,
+    because this relation is append-only).
+
+    Why this leg is streamable at all: both the gate (per-document) and
+    the probe (per-document against FIXED standing state) distribute over
+    any micro-batch partition of the arrivals, so the union over batches
+    equals the one-shot computation the oracle runs — the same reasoning
+    that makes the gate the STREAM stage while closure/budget (global,
+    cross-document) stay at the daily-batch grain in
+    ``corpus_incremental_selection``.
+
+    Plan: the standing capped index is materialized ONCE before the
+    stream starts (a fixed-width localCheckpoint) so four micro-batches
+    probe one artifact instead of re-running the cap window per trigger;
+    each micro-batch pays one signature pass over its own files only.
+    """
+    import tempfile
+    import uuid
+
+    from ting_data_etl_spark.operators.curation import gopher_metrics_df
+    from ting_data_etl_spark.operators.dedup import (
+        band_frequency_cap,
+        lsh_bands,
+        minhash_signatures_df,
+    )
+
+    staged = _stage_batch_arrivals(spark, sf_dir)
+    standing_capped = band_frequency_cap(
+        _standing_bands(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), "ting_arrival_gate", uuid.uuid4().hex
+    )
+    os.makedirs(base, exist_ok=True)
+
+    def gate(batch_df, batch_id: int) -> None:
+        g = gopher_metrics_df(batch_df).select("doc_id", "passes_gopher")
+        bands_b = minhash_signatures_df(batch_df).select(
+            "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
+        )
+        hits = (
+            bands_b.alias("b")
+            .join(
+                standing_capped.alias("c"),
+                (F.col("b.j") == F.col("c.j"))
+                & (F.col("b.band") == F.col("c.band")),
+            )
+            .groupBy(F.col("b.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("c.doc_id")).alias("dup_of"))
+        )
+        out = (
+            batch_df.select("doc_id")
+            .join(g, "doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                "passes_gopher",
+                "dup_of",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+            )
+        )
+        # overwrite into a per-batch-id dir: a micro-batch retry reproduces
+        # the identical directory instead of appending duplicates
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"batch_{batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "batch_*"))
