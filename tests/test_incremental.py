@@ -128,26 +128,26 @@ def test_incremental_contamination_relation_equal(spark, sf_dir):
 
 
 def test_sem_pruned_set_equal(spark, sf_dir):
-    """Staged standing-standing pruning ∪ batch-involving pairs == the full
-    SemDeDup pruned set (larger-id rule covers both directions)."""
-    from ting_data_etl_spark.operators.similarity import dedup_semdedup_prune
-    from ting_data_etl_spark.operators.incremental import (
-        _standing_sem_pruned,
-    )
-
-    full = {
-        r["vec_id"] for r in dedup_semdedup_prune(spark, sf_dir).collect()
-    }
-    staged = {r["vec_id"] for r in _standing_sem_pruned(spark, sf_dir).collect()}
-    # staged standing prunes are a subset; the full set is recovered in the
-    # end-to-end test via the decision relation — here pin the subset
-    # relation and that no staged id is a batch doc
+    """The merged SemDeDup relation (staged standing candidates ∪
+    batch-involving probes, min-keeper) == the full from-scratch relation,
+    all three columns; the staged leg is standing-only and a subset."""
     from ting_data_etl_spark.operators.dedup import (
         INCR_BATCH_MOD,
         INCR_BATCH_REM,
     )
+    from ting_data_etl_spark.operators.incremental import (
+        _merged_semdedup,
+        _standing_sem_pruned,
+    )
+    from ting_data_etl_spark.operators.similarity import dedup_semdedup_prune
 
-    assert staged <= full
+    full = sorted(map(tuple, dedup_semdedup_prune(spark, sf_dir).collect()))
+    merged = sorted(map(tuple, _merged_semdedup(spark, sf_dir).collect()))
+    assert merged == full
+    staged = {
+        r["vec_id"] for r in _standing_sem_pruned(spark, sf_dir).collect()
+    }
+    assert staged <= {v for v, _, _ in full}
     assert all(v % INCR_BATCH_MOD != INCR_BATCH_REM for v in staged)
 
 

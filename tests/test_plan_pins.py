@@ -164,6 +164,9 @@ PINNED = [
     # must stay broadcast over staged parquet; only re-edited docs' text
     # may be signed (one signature window chain, not two)
     "incremental_pairs_with_deletes",
+    # r11 semantic leg: ONE Arrow assignment (checkpointed) + one
+    # list_id-keyed pair shuffle + the staged-candidates union rollup
+    "incremental_semdedup_update",
     # r11 manifest: selection join + banded two-phase shard rank — the
     # regression is a rangepartitioning exchange (global sort) sneaking in
     # or the selection chain re-executing past its checkpoint

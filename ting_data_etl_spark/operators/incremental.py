@@ -304,7 +304,8 @@ def _standing_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _standing_sem_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standing vec_ids pruned by a LOWER-id standing cluster member."""
+    """(vec_id, list_id, keeper_id): standing docs pruned by a LOWER-id
+    STANDING cluster member, keeper = the smallest such member."""
     from ting_data_etl_spark.operators.similarity import (
         SEMDEDUP_EPS,
         cosine_udf,
@@ -332,17 +333,23 @@ def _standing_sem_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "vec_id",
+                "list_id",
+                "a_id",
                 cosine_udf()(
                     F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
                 ).alias("c"),
             )
             .filter(F.col("c") >= SEMDEDUP_EPS)
-            .select("vec_id")
-            .distinct()
+            .groupBy("vec_id", "list_id")
+            .agg(F.min("a_id").alias("keeper_id"))
         )
 
+    # "semkeep", not the r11-interim "sempruned": the artifact gained the
+    # (list_id, keeper_id) columns and the fingerprint only sees data +
+    # constants — a schema change must move to a fresh stage name or a warm
+    # stage from the old schema would be served with missing columns
     return _stage(
-        spark, sf_dir, "sempruned", build, tables=("documents", "embeddings")
+        spark, sf_dir, "semkeep", build, tables=("documents", "embeddings")
     )
 
 
@@ -517,6 +524,104 @@ def _merged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return untouched_pairs.unionByName(touched_pairs).distinct()
+
+
+def _merged_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge SemDeDup relation (vec_id, list_id, keeper_id) via the
+    incremental probe.
+
+    Batch vectors pay one Arrow assignment against the pinned coarse
+    model, then within-cluster cosines against merged members; for any
+    ε-close pair the LARGER id is the pruned one and the smaller a keeper
+    CANDIDATE, so pairs involving a batch vector cover both "batch pruned
+    by standing" and "standing pruned by a lower-id batch doc". The final
+    keeper is the MIN over staged standing-vs-standing candidates and the
+    new batch-involving ones — value-identical to ``dedup_semdedup_prune``
+    on the merged corpus.
+    """
+    from ting_data_etl_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        _quantized,
+        cosine_udf,
+        ivf_centroids,
+        nearest_lists_udf,
+    )
+
+    assign1 = nearest_lists_udf(ivf_centroids(spark, sf_dir), 1)
+    qb = (
+        _quantized(spark, sf_dir)
+        .filter(_batch_vec_pred())
+        .select(
+            "vec_id",
+            "q",
+            "norm",
+            F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+        )
+        .localCheckpoint(eager=True)  # one Arrow assignment, two consumers
+    )
+    members = (
+        _standing_sem(spark, sf_dir)
+        .withColumn("is_b", F.lit(False))
+        .unionByName(qb.withColumn("is_b", F.lit(True)))
+    )
+    a = qb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+        "list_id",
+    )
+    b = members.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+        F.col("list_id").alias("lb"),
+        "is_b",
+    )
+    # each NEW ε-pair (>=1 batch member) once: batch-batch pairs only from
+    # the higher-id side
+    new_cand = (
+        a.join(
+            b,
+            (F.col("list_id") == F.col("lb"))
+            & (F.col("a_id") != F.col("b_id"))
+            & (~F.col("is_b") | (F.col("a_id") > F.col("b_id"))),
+        )
+        .select(
+            F.greatest("a_id", "b_id").alias("vec_id"),
+            "list_id",
+            F.least("a_id", "b_id").alias("keeper_id"),
+            cosine_udf()(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= SEMDEDUP_EPS)
+        .select("vec_id", "list_id", "keeper_id")
+    )
+    return (
+        _standing_sem_pruned(spark, sf_dir)
+        .unionByName(new_cand)
+        .groupBy("vec_id", "list_id")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+    )
+
+
+def _sql_semdedup_twin() -> str:
+    from ting_data_etl_spark.operators.similarity import _sql_semdedup
+
+    return _sql_semdedup()
+
+
+@register("incremental_semdedup_update", oracle=_sql_semdedup_twin)
+def incremental_semdedup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic maintenance leg as its own full-value driver row.
+
+    Oracle = the from-scratch SemDeDup statement on the merged corpus
+    (coarse refit included), so the larger-id-is-pruned probe argument and
+    the min-over-staged-and-new keeper rule are hash-checked stand-alone —
+    completing the per-leg localization the pair/contamination twins give
+    the lexical stages.
+    """
+    return _merged_semdedup(spark, sf_dir)
 
 
 def maintained_pairs(
@@ -708,13 +813,6 @@ def corpus_incremental_selection(
         budget_head_from_ledger,
         budget_ledger_df,
     )
-    from ting_data_etl_spark.operators.similarity import (
-        SEMDEDUP_EPS,
-        _quantized,
-        cosine_udf,
-        ivf_centroids,
-        nearest_lists_udf,
-    )
 
     d = load_table(spark, sf_dir, "documents")
     batch = d.filter(_batch_pred())
@@ -753,61 +851,11 @@ def corpus_incremental_selection(
         .select("doc_id", status.alias("status"))
     )
 
-    # --- SemDeDup: batch assignment + within-cluster probes vs merged -------
-    assign1 = nearest_lists_udf(ivf_centroids(spark, sf_dir), 1)
-    qb = (
-        _quantized(spark, sf_dir)
-        .filter(_batch_vec_pred())
-        .select(
-            "vec_id",
-            "q",
-            "norm",
-            F.element_at(assign1(F.col("q")), 1).alias("list_id"),
-        )
-        .localCheckpoint(eager=True)  # one Arrow assignment, two consumers
-    )
-    sem_members = (
-        _standing_sem(spark, sf_dir)
-        .withColumn("is_b", F.lit(False))
-        .unionByName(qb.withColumn("is_b", F.lit(True)))
-    )
-    a = qb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("q").alias("qa"),
-        F.col("norm").alias("na"),
-        "list_id",
-    )
-    b = sem_members.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("q").alias("qb"),
-        F.col("norm").alias("nb"),
-        F.col("list_id").alias("lb"),
-        "is_b",
-    )
-    # each NEW ε-pair (>=1 batch member) once: batch-batch pairs only from
-    # the higher-id side; for any ε-close pair the LARGER id is pruned
-    new_pruned = (
-        a.join(
-            b,
-            (F.col("list_id") == F.col("lb"))
-            & (F.col("a_id") != F.col("b_id"))
-            & (~F.col("is_b") | (F.col("a_id") > F.col("b_id"))),
-        )
-        .select(
-            F.greatest("a_id", "b_id").alias("vec_id"),
-            cosine_udf()(
-                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
-            ).alias("c"),
-        )
-        .filter(F.col("c") >= SEMDEDUP_EPS)
-        .select("vec_id")
-    )
+    # --- SemDeDup: the registered maintenance leg's pruned id set -----------
     pruned = (
-        _standing_sem_pruned(spark, sf_dir)
-        .unionByName(new_pruned)
-        .distinct()
+        _merged_semdedup(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
         .withColumn("sem_pruned", F.lit(True))
-        .withColumnRenamed("vec_id", "doc_id")
     )
 
     # --- budget over the merged survivor ledger -----------------------------
