@@ -288,6 +288,36 @@ def test_streaming_arrival_gate_equals_batch_composition(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_benchmark_rotation_actually_exercised(spark, sf_dir):
+    """The fixture must contain at least one re-edited/deleted BENCHMARK
+    document whose grams leave the benchmark set — otherwise the
+    subtractive leg of incremental_contamination_with_deletes is dead code
+    the oracle can't distinguish from the additive path."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ting_data_etl_spark.operators.curation import BENCHMARK_MOD
+    from ting_data_etl_spark.operators.dedup import _incr_mh_readded
+    from ting_data_etl_spark.operators.incremental import _standing_grams
+
+    bench_pred = F.col("doc_id") % BENCHMARK_MOD == 0
+    grams = _standing_grams(spark, sf_dir)
+    # a re-edited benchmark doc exists in the standing corpus ...
+    n_rotated = grams.filter(bench_pred & _incr_mh_readded()).count()
+    assert n_rotated > 0
+    # ... and its old grams are not all covered by surviving bench docs
+    old_only = (
+        grams.filter(bench_pred & _incr_mh_readded())
+        .select("h")
+        .join(
+            grams.filter(bench_pred & ~_incr_mh_readded()).select("h"),
+            "h",
+            "left_anti",
+        )
+        .count()
+    )
+    assert old_only > 0
+
+
 def test_stage_fingerprint_rotates_on_batch_split_retune(sf_dir):
     """A retune of the batch split (or any selection constant) must land on
     a FRESH standing stage — serving state built under the old split would

@@ -167,6 +167,10 @@ PINNED = [
     # r11 semantic leg: ONE Arrow assignment (checkpointed) + one
     # list_id-keyed pair shuffle + the staged-candidates union rollup
     "incremental_semdedup_update",
+    # r11 benchmark rotation: the subtractive update must stay broadcast
+    # set-difference probes of the staged gram index + one O(edits) text
+    # pass — a standing-corpus re-tokenization shows up as extra scans
+    "incremental_contamination_with_deletes",
     # r11 manifest: selection join + banded two-phase shard rank — the
     # regression is a rangepartitioning exchange (global sort) sneaking in
     # or the selection chain re-executing past its checkpoint

@@ -1049,3 +1049,171 @@ def streaming_incremental_arrival_gate(
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(base, "batch_*"))
+
+
+# --- contamination maintenance under deletes / re-edits (benchmark rotation) -
+def _sql_contam_after_deletes() -> str:
+    """From-scratch contamination over the post-edit standing corpus: docs2
+    carries the edited text, ``ctok`` tokenizes only standing+alive rows,
+    then the shared contamination CTE chain verbatim."""
+    from ting_data_etl_spark.operators.curation import _sql_contam_ctes
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        INCR_DELETE_MOD,
+        INCR_DELETE_REM,
+        INCR_READD_MOD,
+        INCR_READD_REM,
+    )
+    from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+
+    deleted = f"doc_id % {INCR_DELETE_MOD} = {INCR_DELETE_REM}"
+    readded = f"doc_id % {INCR_READD_MOD} = {INCR_READD_REM}"
+    standing = f"doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    alive = f"NOT (({deleted}) AND NOT ({readded}))"
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN {readded}
+              THEN text || ' edited ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+  WHERE ({standing}) AND ({alive})
+),
+ctok AS (
+  SELECT doc_id, text,
+         {SQL_TOKEN_LIST} AS toks
+  FROM docs2
+),
+{_sql_contam_ctes()}
+SELECT doc_id, n_grams, n_contaminated, contamination_frac, flagged FROM contam
+"""
+
+
+@register(
+    "incremental_contamination_with_deletes",
+    oracle=_sql_contam_after_deletes,
+)
+def incremental_contamination_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination maintenance under tombstones + re-edits — benchmark
+    ROTATION, the decontamination op additive updates can't express.
+
+    Where arrivals only ever ADD benchmark grams (disjoint hit sets, counts
+    add — ``incremental_contamination_update``), deleting or re-editing a
+    BENCHMARK document shrinks the benchmark gram set, so surviving corpus
+    documents' hit counts must go DOWN for grams no remaining benchmark doc
+    carries, and up for grams the re-edits introduce. The staged gram index
+    makes both exact without re-reading standing text:
+
+    * removed_h / added_h = the symmetric difference between the pre-edit
+      and post-edit benchmark gram sets (derived from the staged index +
+      one O(edits) text pass for re-edited docs) — both broadcast-small,
+      bounded by the edited/deleted benchmark docs' grams;
+    * a surviving UNEDITED corpus doc's gram set is unchanged, so its new
+      count = staged count − hits(removed_h) + hits(added_h), two
+      broadcast probes of the staged index;
+    * re-edited corpus docs rescore fresh against the post-edit benchmark
+      set (their gram set changed); deleted docs drop.
+
+    Oracle = the from-scratch sweep over the post-edit corpus, so the
+    set-difference arithmetic is hash-checked end to end.
+    """
+    from ting_data_etl_spark.functions.text import portable_hash31
+    from ting_data_etl_spark.operators.curation import (
+        BENCHMARK_MOD,
+        CONTAM_FLAG_FRAC,
+        CONTAM_NGRAM,
+    )
+    from ting_data_etl_spark.operators.dedup import (
+        _incr_mh_deleted,
+        _incr_mh_readded,
+        word_shingles_df,
+    )
+
+    bench_pred = F.col("doc_id") % BENCHMARK_MOD == 0
+    alive_pred = ~(_incr_mh_deleted() & ~_incr_mh_readded())
+    grams_st = _standing_grams(spark, sf_dir)
+
+    edited = (
+        load_table(spark, sf_dir, "documents")
+        .filter(_incr_mh_readded() & ~_batch_pred())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" edited "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    grams_e = (
+        word_shingles_df(edited, n=CONTAM_NGRAM)
+        .select("doc_id", portable_hash31(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)  # bench + corpus consumers
+    )
+
+    old_bench = (
+        grams_st.filter(bench_pred)
+        .select("h")
+        .distinct()
+        .filter(F.col("h").isNotNull())
+    )
+    new_bench = (
+        grams_st.filter(bench_pred & alive_pred & ~_incr_mh_readded())
+        .select("h")
+        .unionByName(grams_e.filter(bench_pred).select("h"))
+        .distinct()
+        .filter(F.col("h").isNotNull())
+    )
+    removed_h = old_bench.join(new_bench, "h", "left_anti")
+    added_h = new_bench.join(old_bench, "h", "left_anti")
+
+    surviving = grams_st.filter(
+        ~bench_pred & alive_pred & ~_incr_mh_readded()
+    )
+    minus = (
+        surviving.join(F.broadcast(removed_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_minus"))
+    )
+    plus = (
+        surviving.join(F.broadcast(added_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_plus"))
+    )
+    n_cont = (
+        F.col("n_contaminated")
+        - F.coalesce(F.col("n_minus"), F.lit(0))
+        + F.coalesce(F.col("n_plus"), F.lit(0))
+    ).cast("long")
+    frac = n_cont.cast("double") / F.col("n_grams")
+    updated = (
+        _standing_contam(spark, sf_dir)
+        .filter(alive_pred & ~_incr_mh_readded())
+        .join(minus, "doc_id", "left")
+        .join(plus, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            n_cont.alias("n_contaminated"),
+            frac.alias("contamination_frac"),
+            (frac >= CONTAM_FLAG_FRAC).cast("int").alias("flagged"),
+        )
+    )
+    bench_hit = new_bench.withColumn("hit", F.lit(1))
+    frac_e = F.count("hit").cast("double") / F.count("*")
+    rescored = (
+        grams_e.filter(~bench_pred)
+        .join(F.broadcast(bench_hit), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            frac_e.alias("contamination_frac"),
+            (frac_e >= CONTAM_FLAG_FRAC).cast("int").alias("flagged"),
+        )
+    )
+    return updated.unionByName(rescored)
