@@ -318,6 +318,50 @@ def test_benchmark_rotation_actually_exercised(spark, sf_dir):
     assert old_only > 0
 
 
+def test_budget_with_deletes_respects_edits(spark, sf_dir):
+    """Tombstoned docs never make the head; re-edited docs that do carry
+    their POST-edit token counts (stale staged counts would be the bug)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ting_data_etl_spark.functions.text import token_count
+    from ting_data_etl_spark.operators.dedup import (
+        _incr_mh_deleted,
+        _incr_mh_readded,
+    )
+    from ting_data_etl_spark.operators.incremental import (
+        _batch_pred,
+        incremental_budget_with_deletes,
+    )
+    from ting_data_etl_spark.sources.tables import load_table
+
+    head = incremental_budget_with_deletes(spark, sf_dir)
+    gone = head.filter(_incr_mh_deleted() & ~_incr_mh_readded()).count()
+    assert gone == 0
+    edited_in_head = {
+        r["doc_id"]: r["n_toks"]
+        for r in head.filter(_incr_mh_readded()).collect()
+    }
+    if edited_in_head:
+        d = load_table(spark, sf_dir, "documents")
+        fresh = {
+            r["doc_id"]: r["n"]
+            for r in d.filter(_incr_mh_readded() & ~_batch_pred())
+            .select(
+                "doc_id",
+                token_count(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" edited "),
+                        F.col("doc_id").cast("string"),
+                    )
+                ).alias("n"),
+            )
+            .collect()
+        }
+        for doc, n in edited_in_head.items():
+            assert n == fresh[doc], doc
+
+
 def test_stage_fingerprint_rotates_on_batch_split_retune(sf_dir):
     """A retune of the batch split (or any selection constant) must land on
     a FRESH standing stage — serving state built under the old split would

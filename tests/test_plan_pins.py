@@ -171,6 +171,10 @@ PINNED = [
     # set-difference probes of the staged gram index + one O(edits) text
     # pass — a standing-corpus re-tokenization shows up as extra scans
     "incremental_contamination_with_deletes",
+    # r11 budget maintenance: ledger union + the banded prefix scan only —
+    # a tokenizer over the standing corpus appearing here means the staged
+    # ledger stopped being used
+    "incremental_budget_with_deletes",
     # r11 manifest: selection join + banded two-phase shard rank — the
     # regression is a rangepartitioning exchange (global sort) sneaking in
     # or the selection chain re-executing past its checkpoint

@@ -1217,3 +1217,96 @@ def incremental_contamination_with_deletes(
         )
     )
     return updated.unionByName(rescored)
+
+
+# --- budget maintenance under deletes / re-edits ------------------------------
+def _sql_budget_after_deletes() -> str:
+    """Budget head over the post-edit standing corpus: ``tok`` built from
+    the docs2 prelude (standing + alive, edited text), then the SHARED
+    budget chain (``sql_budget_ctes_from_tok``) — one definition of the
+    rank/total/cumsum arithmetic on both engines."""
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        INCR_DELETE_MOD,
+        INCR_DELETE_REM,
+        INCR_READD_MOD,
+        INCR_READD_REM,
+    )
+    from ting_data_etl_spark.operators.sampling import (
+        BUDGET_PCT,
+        sql_budget_ctes_from_tok,
+    )
+    from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+
+    deleted = f"doc_id % {INCR_DELETE_MOD} = {INCR_DELETE_REM}"
+    readded = f"doc_id % {INCR_READD_MOD} = {INCR_READD_REM}"
+    standing = f"doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    alive = f"NOT (({deleted}) AND NOT ({readded}))"
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN {readded}
+              THEN text || ' edited ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+  WHERE ({standing}) AND ({alive})
+),
+tok AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         {SQL_TOKEN_LIST} AS toks
+  FROM docs2
+),
+{sql_budget_ctes_from_tok()}
+SELECT doc_id, n_checks, n_toks, cum_before
+FROM cum CROSS JOIN tt
+WHERE cum_before < total * {BUDGET_PCT} // 100
+"""
+
+
+@register("incremental_budget_with_deletes", oracle=_sql_budget_after_deletes)
+def incremental_budget_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Budget-head maintenance under tombstones + re-edits.
+
+    Deleting documents shrinks the corpus token total (the budget itself
+    moves — BUDGET_PCT of a smaller number) and re-edits change their own
+    rank keys, so the greedy head must be re-cut; but the cut is a
+    fixed-width pass: the staged standing ledger drops tombstoned rows,
+    re-edited docs re-score through the same O(edits) text pass arrivals
+    use, and the union feeds the shared banded prefix scan
+    (``budget_head_from_ledger``). No standing text is re-read. Oracle =
+    the budget statement over the post-edit corpus via the shared
+    ``sql_budget_ctes_from_tok`` chain on a docs2 relation.
+    """
+    from ting_data_etl_spark.operators.dedup import (
+        _incr_mh_deleted,
+        _incr_mh_readded,
+    )
+    from ting_data_etl_spark.operators.sampling import (
+        budget_head_from_ledger,
+        budget_ledger_df,
+    )
+
+    alive_pred = ~(_incr_mh_deleted() & ~_incr_mh_readded())
+    led = (
+        _standing_ledger(spark, sf_dir)
+        .filter(alive_pred & ~_incr_mh_readded())
+        .select("doc_id", "n_checks", "n_toks", "okey")
+    )
+    edited = (
+        load_table(spark, sf_dir, "documents")
+        .filter(_incr_mh_readded() & ~_batch_pred())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" edited "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    return budget_head_from_ledger(
+        led.unionByName(budget_ledger_df(edited))
+    )

@@ -1077,10 +1077,18 @@ def sql_budget_ctes(keep_rel: str | None = None) -> str:
     """
     from ting_data_etl_spark.operators.text_queries import _SQL_TOKS
 
-    keep = f" JOIN {keep_rel} USING (doc_id)" if keep_rel else ""
     return f"""
 {_SQL_TOKS},
-{_sql_quality_ctes()},
+{sql_budget_ctes_from_tok(keep_rel)}"""
+
+
+def sql_budget_ctes_from_tok(keep_rel: str | None = None) -> str:
+    """The budget chain below the tokenizer (m/c/h/tt/cum) — reads an
+    in-scope ``tok`` relation, so a caller can supply a MODIFIED document
+    universe (the delete/re-edit maintenance oracle builds ``tok`` from a
+    docs2 CTE) while the rank/total/cumsum arithmetic stays ONE definition."""
+    keep = f" JOIN {keep_rel} USING (doc_id)" if keep_rel else ""
+    return f"""{_sql_quality_ctes()},
 h AS (
   SELECT c.doc_id, c.n_checks, m.n_toks,
          CAST(3 - c.n_checks AS BIGINT) * {_BUDGET_KEY_BASE} + c.doc_id AS okey
