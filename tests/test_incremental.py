@@ -362,6 +362,58 @@ def test_budget_with_deletes_respects_edits(spark, sf_dir):
             assert n == fresh[doc], doc
 
 
+def test_selection_with_deletes_universe_and_domain(spark, sf_dir):
+    """The post-edit decision relation covers exactly the alive standing
+    docs, never a tombstoned or batch doc; and the fixture exercises the
+    semantic-maintenance path (at least one cluster holds a tombstoned
+    vector, so the un-prune recompute actually runs)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_DELETE_MOD,
+        INCR_DELETE_REM,
+        INCR_READD_MOD,
+        INCR_READD_REM,
+        _incr_mh_deleted,
+        _incr_mh_readded,
+    )
+    from ting_data_etl_spark.operators.incremental import (
+        _batch_pred,
+        _standing_sem,
+        corpus_selection_with_deletes,
+    )
+    from ting_data_etl_spark.sources.tables import load_table
+
+    out = corpus_selection_with_deletes(spark, sf_dir)
+    rows = out.collect()
+    alive_pred = ~(_incr_mh_deleted() & ~_incr_mh_readded())
+    expected_n = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~_batch_pred() & alive_pred)
+        .count()
+    )
+    assert len(rows) == expected_n
+    ids = {r["doc_id"] for r in rows}
+    assert all(
+        not (i % INCR_DELETE_MOD == INCR_DELETE_REM
+             and i % INCR_READD_MOD != INCR_READD_REM)
+        for i in ids
+    )
+    assert {r["decision"] for r in rows} <= {
+        "benchmark", "low_quality", "contaminated", "duplicate",
+        "semantic_duplicate", "over_budget", "selected",
+    }
+    assert any(r["decision"] == "selected" for r in rows)
+    vdeleted = (
+        F.pmod(F.col("vec_id"), F.lit(INCR_DELETE_MOD)) == INCR_DELETE_REM
+    ) & ~(F.pmod(F.col("vec_id"), F.lit(INCR_READD_MOD)) == INCR_READD_REM)
+    n_affected = (
+        _standing_sem(spark, sf_dir).filter(vdeleted).select("list_id")
+        .distinct().count()
+    )
+    assert n_affected > 0
+
+
 def test_stage_fingerprint_rotates_on_batch_split_retune(sf_dir):
     """A retune of the batch split (or any selection constant) must land on
     a FRESH standing stage — serving state built under the old split would

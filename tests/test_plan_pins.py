@@ -175,6 +175,10 @@ PINNED = [
     # a tokenizer over the standing corpus appearing here means the staged
     # ledger stopped being used
     "incremental_budget_with_deletes",
+    # r11 capstone-under-deletes: doc-keyed joins over staged/maintained
+    # relations + one O(edits) text pass; standing-corpus re-tokenization
+    # or a lost broadcast in the affected-cluster recompute shows up here
+    "corpus_selection_with_deletes",
     # r11 manifest: selection join + banded two-phase shard rank — the
     # regression is a rangepartitioning exchange (global sort) sneaking in
     # or the selection chain re-executing past its checkpoint

@@ -377,7 +377,7 @@ mh_pairs AS (
     return cte
 
 
-def _sql_closure_ctes(pairs_rel: str = "mh_pairs") -> str:
+def _sql_closure_ctes(pairs_rel: str = "mh_pairs", docs_rel: str = "documents") -> str:
     """Transitive-closure CTE chain over an (doc_a, doc_b) pair relation.
 
     Ends in ``labeled(doc_id, component)`` — every doc joined to the
@@ -385,6 +385,8 @@ def _sql_closure_ctes(pairs_rel: str = "mh_pairs") -> str:
     by the dedup cc, keep-canonical, e2e-status, and ensemble oracles (the
     enclosing WITH must be RECURSIVE; see ``_sql_minhash_pairs_cte``), so a
     labeling fix cannot land in one twin and silently miss the others.
+    *docs_rel* names the node universe (the delete-maintenance selection
+    labels a post-edit docs2 CTE instead of the full table).
     """
     return f"""und AS (
   SELECT doc_a AS a, doc_b AS b FROM {pairs_rel}
@@ -400,7 +402,7 @@ comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
 labeled AS (
   SELECT d.doc_id,
          LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
-  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  FROM {docs_rel} d LEFT JOIN comp c ON d.doc_id = c.doc_id
 )"""
 
 

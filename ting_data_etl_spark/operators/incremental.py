@@ -1310,3 +1310,301 @@ def incremental_budget_with_deletes(
     return budget_head_from_ledger(
         led.unionByName(budget_ledger_df(edited))
     )
+
+
+# --- the capstone under deletes: post-edit decisions, maintained --------------
+def _sql_selection_after_deletes() -> str:
+    """From-scratch final selection over the post-edit standing corpus.
+
+    Same three-stage nesting as ``curation._sql_final_selection`` — e2e
+    verdicts, SemDeDup, survivor budget — each stage's statement rebuilt
+    over the docs2 universe (standing + alive, edited text): the minhash
+    chain signs docs2 (``_minhash_sig_sql(doc_relation=...)``), the closure
+    labels docs2 (``_sql_closure_ctes(docs_rel=...)``), gopher/contam read
+    a docs2-based ``ctok``, SemDeDup keeps the FULL-corpus coarse fit but
+    tombstones membership (``_sql_semdedup(member_pred=...)`` — the
+    pinned-model contract of the staged index; re-edits don't change
+    stored embeddings), and the budget chain runs over a docs2-based
+    ``tok`` via ``sql_budget_ctes_from_tok``. Span accounting is omitted:
+    kept and kept_trimmed map to the same decisions, so the relation is
+    decision-identical to a span-aware run (the same argument the
+    incremental capstone's oracle rests on, verified there).
+    """
+    from ting_data_etl_spark.operators.curation import (
+        BENCHMARK_MOD,
+        _sql_contam_ctes,
+        _sql_gopher_ctes,
+    )
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        INCR_DELETE_MOD,
+        INCR_DELETE_REM,
+        INCR_READD_MOD,
+        INCR_READD_REM,
+        _minhash_sig_sql,
+        _sql_banding_ctes,
+        _sql_closure_ctes,
+    )
+    from ting_data_etl_spark.operators.sampling import (
+        BUDGET_PCT,
+        sql_budget_ctes_from_tok,
+    )
+    from ting_data_etl_spark.operators.similarity import _sql_semdedup
+    from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+
+    deleted = f"doc_id % {INCR_DELETE_MOD} = {INCR_DELETE_REM}"
+    readded = f"doc_id % {INCR_READD_MOD} = {INCR_READD_REM}"
+    standing = f"doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    alive = f"NOT (({deleted}) AND NOT ({readded}))"
+    vdeleted = f"vec_id % {INCR_DELETE_MOD} = {INCR_DELETE_REM}"
+    vreadded = f"vec_id % {INCR_READD_MOD} = {INCR_READD_REM}"
+    vstanding = f"vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    valive = f"NOT (({vdeleted}) AND NOT ({vreadded}))"
+    docs2 = f"""docs2 AS (
+  SELECT doc_id, source,
+         CASE WHEN {readded}
+              THEN text || ' edited ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+  WHERE ({standing}) AND ({alive})
+),
+"""
+    status_stmt = f"""
+{_minhash_sig_sql(doc_relation="docs2", prelude=docs2)},
+{_sql_banding_ctes()},
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.j = b.j AND a.doc_id < b.doc_id
+),
+{_sql_closure_ctes(docs_rel="docs2")},
+ctok AS (
+  SELECT doc_id, text,
+         {SQL_TOKEN_LIST} AS toks
+  FROM docs2
+),
+{_sql_gopher_ctes()},
+{_sql_contam_ctes()}
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % {BENCHMARK_MOD} = 0 THEN 'benchmark'
+            WHEN g.passes_gopher = 0 THEN 'low_quality'
+            WHEN COALESCE(ct.flagged, 0) = 1 THEN 'contaminated'
+            WHEN l.component <> d.doc_id THEN 'duplicate'
+            ELSE 'kept' END AS status
+FROM docs2 d
+JOIN gop g ON d.doc_id = g.doc_id
+LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+JOIN labeled l ON d.doc_id = l.doc_id
+""".replace("WITH docs2", "WITH RECURSIVE docs2", 1)
+    sem_stmt = _sql_semdedup(member_pred=f"({vstanding}) AND ({valive})")
+    return f"""
+WITH fss AS ({status_stmt}),
+fsem AS ({sem_stmt}),
+surv AS (
+  SELECT doc_id FROM fss
+  WHERE status = 'kept'
+    AND doc_id NOT IN (SELECT vec_id FROM fsem)
+),
+{docs2}tok AS (
+  SELECT doc_id, source, text,
+         {SQL_TOKEN_LIST} AS toks
+  FROM docs2
+),
+{sql_budget_ctes_from_tok("surv")},
+bud AS (
+  SELECT doc_id FROM cum CROSS JOIN tt
+  WHERE cum_before < total * {BUDGET_PCT} // 100
+)
+SELECT fss.doc_id,
+       CASE WHEN fss.status <> 'kept' THEN fss.status
+            WHEN fss.doc_id IN (SELECT vec_id FROM fsem)
+              THEN 'semantic_duplicate'
+            WHEN fss.doc_id NOT IN (SELECT doc_id FROM bud)
+              THEN 'over_budget'
+            ELSE 'selected' END AS decision
+FROM fss
+"""
+
+
+@register("corpus_selection_with_deletes", oracle=_sql_selection_after_deletes)
+def corpus_selection_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full decision relation after tombstones + re-edits — every
+    maintenance leg composed, no standing text re-read.
+
+    The other half of the standing-corpus contract
+    (``corpus_incremental_selection`` handles arrivals; this handles the
+    day's DELETIONS and re-crawls): per-document decisions over the
+    post-edit corpus, built entirely from the staged state plus one
+    O(edits) text pass —
+
+    * gopher/ledger: staged rows minus tombstones, re-edits rescored;
+    * contamination: the benchmark-rotation update (broadcast
+      set-difference probes — ``incremental_contamination_with_deletes``);
+    * near-dup: affected-bucket pair maintenance incl. cap re-admission
+      (``incremental_pairs_with_deletes``), closure over the maintained
+      pair set (labels staged under their own key);
+    * SemDeDup: re-edits don't change stored embeddings and the coarse
+      model is pinned, so only clusters holding a TOMBSTONED vector can
+      change — a deleted keeper can UN-prune its cluster-mates, so
+      affected clusters are re-paired from their alive members while
+      unaffected clusters keep their staged keeper rows verbatim (the
+      touched-bucket argument at cluster granularity);
+    * budget: the maintained ledger through the shared banded prefix scan
+      (the budget itself moves — BUDGET_PCT of the post-delete total).
+
+    Oracle = the from-scratch three-stage composition over the post-edit
+    corpus (docs2 universe, pinned-model membership filter), so every
+    maintenance argument above is hash-checked end to end in one relation.
+    """
+    from ting_data_etl_spark.operators.curation import (
+        BENCHMARK_MOD,
+        gopher_metrics_df,
+    )
+    from ting_data_etl_spark.operators.dedup import (
+        _incr_mh_deleted,
+        _incr_mh_readded,
+        staged_components,
+    )
+    from ting_data_etl_spark.operators.sampling import (
+        budget_head_from_ledger,
+        budget_ledger_df,
+    )
+    from ting_data_etl_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        cosine_udf,
+    )
+
+    alive_pred = ~(_incr_mh_deleted() & ~_incr_mh_readded())
+    d = load_table(spark, sf_dir, "documents")
+    universe = d.filter(~_batch_pred() & alive_pred).select("doc_id")
+    edited = (
+        d.filter(_incr_mh_readded() & ~_batch_pred())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" edited "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)  # gopher + ledger consumers
+    )
+
+    # gopher + budget ledger: staged minus tombstones, edits rescored
+    led_keep = _standing_ledger(spark, sf_dir).filter(
+        alive_pred & ~_incr_mh_readded()
+    )
+    gopher_all = led_keep.select("doc_id", "passes_gopher").unionByName(
+        gopher_metrics_df(edited).select("doc_id", "passes_gopher")
+    )
+    ledger_all = led_keep.select(
+        "doc_id", "n_checks", "n_toks", "okey"
+    ).unionByName(budget_ledger_df(edited))
+
+    # contamination: benchmark rotation (shares the registered leg's plan)
+    contam_all = incremental_contamination_with_deletes(
+        spark, sf_dir
+    ).select("doc_id", "flagged")
+
+    # near-dup: maintained pairs -> closure over the post-edit universe
+    labels = staged_components(
+        spark,
+        sf_dir,
+        "incrdel_cc",
+        universe,
+        incremental_pairs_with_deletes(spark, sf_dir),
+    )
+
+    status = (
+        F.when(F.col("doc_id") % BENCHMARK_MOD == 0, F.lit("benchmark"))
+        .when(F.col("passes_gopher") == 0, F.lit("low_quality"))
+        .when(
+            F.coalesce(F.col("flagged"), F.lit(0)) == 1, F.lit("contaminated")
+        )
+        .when(F.col("component") != F.col("doc_id"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    st = (
+        universe.join(gopher_all, "doc_id")
+        .join(contam_all, "doc_id", "left")
+        .join(labels, "doc_id")
+        .select("doc_id", status.alias("status"))
+    )
+
+    # SemDeDup: only clusters holding a tombstoned vector can change
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_DELETE_MOD,
+        INCR_DELETE_REM,
+        INCR_READD_MOD,
+        INCR_READD_REM,
+    )
+
+    sem = _standing_sem(spark, sf_dir)
+    vdeleted = (
+        F.pmod(F.col("vec_id"), F.lit(INCR_DELETE_MOD)) == INCR_DELETE_REM
+    ) & ~(F.pmod(F.col("vec_id"), F.lit(INCR_READD_MOD)) == INCR_READD_REM)
+    affected = (
+        sem.filter(vdeleted).select("list_id").distinct()
+    )
+    kept_rows = (
+        _standing_sem_pruned(spark, sf_dir)
+        .join(F.broadcast(affected), "list_id", "left_anti")
+        .select("vec_id")
+    )
+    alive_members = sem.filter(~vdeleted).join(
+        F.broadcast(affected), "list_id"
+    )
+    a = alive_members.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+        "list_id",
+    )
+    b = alive_members.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+        F.col("list_id").alias("lb"),
+    )
+    repaired = (
+        a.join(
+            b,
+            (F.col("list_id") == F.col("lb"))
+            & (F.col("a_id") < F.col("vec_id")),
+        )
+        .select(
+            "vec_id",
+            cosine_udf()(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= SEMDEDUP_EPS)
+        .select("vec_id")
+        .distinct()
+    )
+    pruned = (
+        kept_rows.unionByName(repaired)
+        .distinct()
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("sem_pruned", F.lit(True))
+    )
+
+    st = st.join(pruned, "doc_id", "left").localCheckpoint(eager=True)
+    kept = F.col("status") == "kept"
+    surv = st.filter(kept & F.col("sem_pruned").isNull()).select("doc_id")
+    bud = (
+        budget_head_from_ledger(ledger_all.join(surv, "doc_id"))
+        .select("doc_id")
+        .withColumn("in_budget", F.lit(True))
+    )
+    return st.join(bud, "doc_id", "left").select(
+        "doc_id",
+        F.when(~kept, F.col("status"))
+        .when(F.col("sem_pruned").isNotNull(), F.lit("semantic_duplicate"))
+        .when(F.col("in_budget").isNull(), F.lit("over_budget"))
+        .otherwise(F.lit("selected"))
+        .alias("decision"),
+    )

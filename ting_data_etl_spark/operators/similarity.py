@@ -2219,13 +2219,17 @@ SEMDEDUP_EPS = 0.3
 SEMDEDUP_MAX_CLUSTER = 100_000
 
 
-def _sql_semdedup() -> str:
+def _sql_semdedup(member_pred: str = "TRUE") -> str:
     # keeper rule "drop j iff some i<j in the same cluster is eps-close"
     # needs no transitive closure: the oracle is ONE self-join + MIN.
+    # *member_pred* restricts cluster MEMBERSHIP (the delete-maintenance
+    # selection tombstones vectors out) while the coarse fit always reads
+    # the full corpus — the pinned-model contract of the staged index.
     return f"""
 WITH {_SQL_QUANT},
 {sql_kmeans_search_ctes("FALSE")},
-sem AS MATERIALIZED (SELECT vec_id, q, list_id FROM assign WHERE rn = 1),
+sem AS MATERIALIZED (SELECT vec_id, q, list_id FROM assign
+                     WHERE rn = 1 AND ({member_pred})),
 sem_pairs AS (
   SELECT b.vec_id, CAST(b.list_id AS INTEGER) AS list_id,
          a.vec_id AS keep_id
