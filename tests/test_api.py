@@ -41,3 +41,5 @@ def test_facade_builders_expose_stage_relations(spark, sf_dir):
     assert "doc_id" in c.semantic_duplicates().columns
     head = c.budget_head()
     assert {"doc_id", "n_checks", "n_toks", "cum_before"} == set(head.columns)
+    assert set(c.selection_with_deletes().columns) == {"doc_id", "decision"}
+    assert set(c.incremental_selection().columns) == {"doc_id", "decision"}

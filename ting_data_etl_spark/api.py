@@ -163,3 +163,18 @@ class Corpus:
         )
 
         return corpus_incremental_selection(self.spark, self.sf_dir)
+
+    def selection_with_deletes(self) -> DataFrame:
+        """The maintenance form of :meth:`final_selection` after deletions.
+
+        Applies the tombstone/re-edit conventions to the standing corpus
+        and emits the post-edit decision for every surviving document —
+        equal to a from-scratch run on the edited corpus, but the only
+        document text the plan reads is the re-edits' (deleted keepers can
+        un-prune; the budget re-cuts; see ``operators.incremental``).
+        """
+        from ting_data_etl_spark.operators.incremental import (
+            corpus_selection_with_deletes,
+        )
+
+        return corpus_selection_with_deletes(self.spark, self.sf_dir)
