@@ -414,6 +414,37 @@ def test_selection_with_deletes_universe_and_domain(spark, sf_dir):
     assert n_affected > 0
 
 
+def test_two_day_evolution_via_split_retune(spark, sf_dir):
+    """Day-2 arrival over the day-1-absorbed corpus still reproduces the
+    from-scratch decisions.
+
+    The default split (mod 5, rem 1) plays day 1; after absorbing it, the
+    standing corpus is everything except tomorrow's drop — exactly the
+    (mod 10, rem 6) split, since doc%5==1 ⇔ doc%10 ∈ {1, 6}. Retuning to
+    that split therefore IS the day-2 run over the post-day-1 standing
+    state (rebuilt from source, as every incremental op in this repo
+    stages for test determinism), and the fingerprint rotation gives it a
+    fresh stage. Decisions must again equal the full pipeline — the
+    split-agnosticism that makes the daily cadence sound.
+    """
+    import ting_data_etl_spark.operators.dedup as D
+    from ting_data_etl_spark.operators.curation import corpus_final_selection
+    from ting_data_etl_spark.operators.incremental import (
+        corpus_incremental_selection,
+    )
+
+    full = sorted(map(tuple, corpus_final_selection(spark, sf_dir).collect()))
+    prev = (D.INCR_BATCH_MOD, D.INCR_BATCH_REM)
+    D.INCR_BATCH_MOD, D.INCR_BATCH_REM = 10, 6
+    try:
+        day2 = sorted(
+            map(tuple, corpus_incremental_selection(spark, sf_dir).collect())
+        )
+    finally:
+        D.INCR_BATCH_MOD, D.INCR_BATCH_REM = prev
+    assert day2 == full
+
+
 def test_stage_fingerprint_rotates_on_batch_split_retune(sf_dir):
     """A retune of the batch split (or any selection constant) must land on
     a FRESH standing stage — serving state built under the old split would
