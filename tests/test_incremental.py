@@ -482,3 +482,49 @@ def test_stage_artifacts_are_standing_only(spark, sf_dir):
             F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_REM
         ).count()
         assert n == 0
+
+
+def test_stage_fingerprint_rotates_on_stopword_content_swap(sf_dir):
+    """An equal-LENGTH stopword swap must rotate the standing-state
+    fingerprint — the staged quality ledger reads the word LIST, so a
+    length-only fingerprint would serve stale state (the exact failure
+    class _incr_token exists to prevent)."""
+    import ting_data_etl_spark.functions.text as T
+    from ting_data_etl_spark.operators.incremental import _incr_stage_path
+
+    base = _incr_stage_path(sf_dir, "ledger", ("documents",))
+    prev = list(T.STOPWORDS["en"])
+    T.STOPWORDS["en"] = prev[:-1] + ["zzz"]  # same count, new content
+    try:
+        swapped = _incr_stage_path(sf_dir, "ledger", ("documents",))
+    finally:
+        T.STOPWORDS["en"] = prev
+    assert swapped != base
+    assert _incr_stage_path(sf_dir, "ledger", ("documents",)) == base
+
+
+def test_closure_stage_keys_rotate_on_retune(sf_dir):
+    """The staged closure labels (incr_sel_cc / incrdel_cc) depend on the
+    batch/delete/re-add splits via their pair sets and node universes, so
+    their stage paths must fold _incr_token() — staged_components' own
+    fingerprint sees only dedup constants + source mtimes."""
+    import ting_data_etl_spark.operators.dedup as D
+    from ting_data_etl_spark.operators.dedup import component_stage_path
+    from ting_data_etl_spark.operators.incremental import _incr_token
+
+    def paths():
+        tok = _incr_token()
+        return (
+            component_stage_path(sf_dir, f"incr_sel_cc_{tok}"),
+            component_stage_path(sf_dir, f"incrdel_cc_{tok}"),
+        )
+
+    base = paths()
+    for attr in ("INCR_BATCH_MOD", "INCR_DELETE_MOD", "INCR_READD_MOD"):
+        prev = getattr(D, attr)
+        setattr(D, attr, prev * 10)
+        try:
+            assert paths() != base, attr
+        finally:
+            setattr(D, attr, prev)
+    assert paths() == base

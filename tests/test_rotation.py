@@ -134,27 +134,48 @@ class TestRotationInvariants:
         assert rotation.is_due({}, 6, False)  # never seen
         assert rotation.is_due({4: "green", 5: "fail"}, 6, False)  # failed
         assert rotation.is_due({4: "fail", 5: "green"}, 6, False)  # 1 green
-        assert rotation.is_due({2: "green", 3: "green"}, 6, False)  # stale
+        # staleness boundary: due strictly past MAX_ROW_AGE rounds
+        age = rotation.MAX_ROW_AGE
+        assert rotation.is_due({1: "green", 6 - age - 1: "green"}, 6, False)
+        assert not rotation.is_due({1: "green", 6 - age: "green"}, 6, False)
         assert rotation.is_due({4: "green", 5: "green"}, 6, True)  # changed
         assert not rotation.is_due({4: "green", 5: "green"}, 6, False)
 
     def test_driver_cadence_bounded(self, plan):
-        """Every registered query gets a driver row at least every K=3
-        rounds under the current policy (VERDICT r9 #6).
+        """Every registered query gets a driver row at least every K=4
+        rounds under the current policy (re-derived at r12 for the
+        149-query registry, VERDICT r11 #1).
 
-        The due list (86 at r9 close) outgrew the 50-row driver budget, so
-        the worry was unbounded cadence stretch as the registry grows.
-        This replays the derivation forward 10 rounds from the REAL
+        The r10 simulation proved K=3 at 139 queries, but MAX_ROW_AGE=2
+        (due at age 3, N/3 rows/round steady demand) only fits the 50-row
+        budget to N=150 — the registry hit 149 at r11 with 93 due. r12
+        raised MAX_ROW_AGE to 3: due at age 4, N/4 demand, headroom to
+        N=200. This replays the derivation forward 12 rounds from the REAL
         committed history (all-green, no module changes) and bounds the
-        worst wait. K = 3 is the policy's design point: MAX_ROW_AGE=2
-        forces due at age 3, and 139 queries / 50-row budget needs only
-        ~46.3 rows/round of steady-state demand, so overflow clears. If
-        this fires, either raise DRIVER_BUDGET or lower MAX_ROW_AGE."""
+        worst wait. If this fires, raise DRIVER_BUDGET or split the
+        registry."""
         hist, _ = rotation.correctness_history(REPO)
-        gap = rotation.simulate_max_gap(hist, plan["order"], plan["round"], 10)
-        assert gap <= 3, (
+        gap = rotation.simulate_max_gap(hist, plan["order"], plan["round"], 12)
+        assert gap <= 4, (
             f"simulated driver cadence stretched to {gap} rounds between "
             "rows — the registry has outgrown the rotation policy"
+        )
+
+    def test_cadence_headroom_for_registry_growth(self, plan):
+        """The K=4 bound must survive registry growth to the policy's
+        design ceiling (200 = MAX_ROW_AGE+1 budgets), so a round that adds
+        queries doesn't silently stretch the driver cadence — the exact
+        failure r12 absorbed (149 queries broke the N=150 ceiling of
+        MAX_ROW_AGE=2)."""
+        hist, _ = rotation.correctness_history(REPO)
+        ceiling = (rotation.MAX_ROW_AGE + 1) * rotation.DRIVER_BUDGET
+        grown = plan["order"] + [
+            f"_headroom_probe_{i}" for i in range(ceiling - len(plan["order"]))
+        ]
+        gap = rotation.simulate_max_gap(hist, grown, plan["round"], 12)
+        assert gap <= rotation.MAX_ROW_AGE + 1, (
+            f"at the {ceiling}-query design ceiling the simulated gap is "
+            f"{gap} — the headroom claim in rotation.MAX_ROW_AGE is stale"
         )
 
     def test_overflow_is_bounded(self, plan):

@@ -121,12 +121,18 @@ def _incr_token() -> str:
         _cur.GOPHER_MIN_ALPHA_FRAC,
         _dd.INCR_BATCH_MOD,
         _dd.INCR_BATCH_REM,
+        _dd.INCR_DELETE_MOD,
+        _dd.INCR_DELETE_REM,
+        _dd.INCR_READD_MOD,
+        _dd.INCR_READD_REM,
         _samp.BUDGET_PCT,
         _sim.SEMDEDUP_EPS,
         _sim.KMEANS_LISTS,
         _sim.KMEANS_ITERS,
         _sim.KMEANS_SAMPLE_MOD,
-        len(_text.STOPWORDS.get("en", ())),
+        # Content digest, not len(): an equal-length stopword swap must
+        # rotate the fingerprint (the staged quality ledger reads the list).
+        hashlib.md5(",".join(_text.STOPWORDS.get("en", ())).encode()).hexdigest()[:10],
     )
     return hashlib.md5("_".join(str(p) for p in parts).encode()).hexdigest()[:10]
 
@@ -776,10 +782,14 @@ def _merged_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ting_data_etl_spark.operators.dedup import staged_components
 
     d = load_table(spark, sf_dir, "documents")
+    # Key folds _incr_token(): the merged pair set depends on INCR_BATCH_*
+    # (and the node universe on the batch predicate), so a retune must
+    # rotate this stage too — staged_components' own fingerprint sees only
+    # dedup constants + source mtimes.
     return staged_components(
         spark,
         sf_dir,
-        "incr_sel_cc",
+        f"incr_sel_cc_{_incr_token()}",
         d.select("doc_id"),
         _merged_pairs(spark, sf_dir),
     )
@@ -1510,10 +1520,13 @@ def corpus_selection_with_deletes(
     ).select("doc_id", "flagged")
 
     # near-dup: maintained pairs -> closure over the post-edit universe
+    # Key folds _incr_token() (which carries INCR_BATCH/DELETE/READD):
+    # the post-edit universe and maintained pair set depend on those
+    # constants, and staged_components' own fingerprint does not see them.
     labels = staged_components(
         spark,
         sf_dir,
-        "incrdel_cc",
+        f"incrdel_cc_{_incr_token()}",
         universe,
         incremental_pairs_with_deletes(spark, sf_dir),
     )
