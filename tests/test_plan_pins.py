@@ -183,6 +183,11 @@ PINNED = [
     # regression is a rangepartitioning exchange (global sort) sneaking in
     # or the selection chain re-executing past its checkpoint
     "corpus_selection_manifest",
+    # r12 physical shard sink: the returned relation is the READ-BACK
+    # rollup over the written shard files — the regression is the ranked
+    # relation re-deriving the nested selection past its checkpoint, or
+    # the read-back rollup growing extra exchanges
+    "corpus_manifest_shard_sink",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The

