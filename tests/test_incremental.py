@@ -686,3 +686,32 @@ def test_multiday_interleaved_evolution(spark, sf_dir):
         assert n == 0
     finally:
         D.INCR_BATCH_MOD, D.INCR_BATCH_REM = prev_b
+
+
+def test_arrival_gate_small_drop_prunes_index_scan(spark, sf_dir):
+    """A small drop's probe must push its band In-set into the bucketed
+    index SCAN (row-group skipping at production file sizes) — the
+    'reads only touched index, not the index' half of the r12 gate fix;
+    the shuffle-free half is pinned by the plan-walk test above."""
+    import re
+
+    from ting_data_etl_spark.operators.incremental import (
+        PROBE_PRUNE_KEYS,
+        _standing_capped_index,
+    )
+
+    idx = _standing_capped_index(spark, sf_dir)
+    vals = [r["band"] for r in idx.select("band").limit(20).collect()]
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(PROBE_PRUNE_KEYS + 1))
+    try:
+        plan = (
+            idx.filter(F.col("band").isin(vals))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset(key) if prev is None else spark.conf.set(key, prev)
+    assert re.search(r"PushedFilters: \[In\(band", plan), plan[:2000]

@@ -658,3 +658,43 @@ class TestManifestShardSink:
         for d in shard_dirs:
             parts = glob.glob(os.path.join(d, "part-*.parquet"))
             assert len(parts) == 1, d
+
+    def test_manifest_readback_detects_corruption(self, spark, sf_dir):
+        """The read-back rollup must FLIP when the written tree is torn —
+        drop one shard's part-file and the missing shard plus its md5
+        divergence must show (the auditor property; the positive test
+        alone can't prove the checksum does anything)."""
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from ting_data_etl_spark.operators.sampling import (
+            _manifest_rollup,
+            corpus_manifest_shard_sink,
+            corpus_selection_manifest,
+        )
+
+        corpus_manifest_shard_sink(spark, sf_dir)  # writes a fresh run dir
+        root = os.path.join(tempfile.gettempdir(), "ting_manifest_sink")
+        run = max(glob.glob(os.path.join(root, "*")), key=os.path.getmtime)
+        torn = run + ".torn"
+        shutil.copytree(run, torn)
+        try:
+            victim = os.path.join(torn, "shard=3")
+            os.remove(glob.glob(os.path.join(victim, "part-*.parquet"))[0])
+            back = _manifest_rollup(
+                spark.read.option("basePath", torn)
+                .parquet(os.path.join(torn, "shard=*"))
+                .select("doc_id", "n_toks", "shard")
+            )
+            manifest = {
+                r["shard"]: r["doc_ids_md5"]
+                for r in corpus_selection_manifest(spark, sf_dir).collect()
+            }
+            got = {r["shard"]: r["doc_ids_md5"] for r in back.collect()}
+            assert set(got) == set(manifest) - {3}
+            for s, md5 in got.items():
+                assert md5 == manifest[s], s
+        finally:
+            shutil.rmtree(torn, ignore_errors=True)

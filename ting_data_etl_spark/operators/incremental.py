@@ -262,6 +262,20 @@ def _standing_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: capacity rules. Folded into the table fingerprint below.
 INDEX_BUCKETS = 32
 
+#: Max band rows a micro-batch drop may carry for the arrival gate to
+#: key-prune the standing-index SCAN (an In-filter the parquet reader can
+#: row-group-skip on). Above it the drop touches ~every band and the
+#: no-shuffle bucketed join alone is the right plan.
+PROBE_PRUNE_KEYS = 1024
+
+#: Parquet row-group size for the standing index — the unit the reader can
+#: SKIP. Default 128 MB gives a fixture-scale bucket file exactly one row
+#: group (nothing skippable); 4 MB pins the production row-group-to-file
+#: ratio (O(100+) groups per multi-GB production bucket) at every scale,
+#: so the small-drop In-pushdown prunes real I/O here too. Folded into the
+#: stage fingerprint like every constant the stage bakes in.
+INDEX_ROWGROUP_BYTES = 4 * 1024 * 1024
+
 
 def _standing_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPPED standing band index as a Spark BUCKETED table on (j, band).
@@ -310,6 +324,7 @@ def _standing_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             _stage_version_token(),
             _incr_token(),
             str(INDEX_BUCKETS),
+            str(INDEX_ROWGROUP_BYTES),
             _source_fp(sf_dir, "documents"),
         ],
     )
@@ -324,7 +339,9 @@ def _standing_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(os.path.dirname(out), exist_ok=True)
         df.write.bucketBy(INDEX_BUCKETS, "j", "band").sortBy(
             "j", "band"
-        ).option("path", tmp).mode("overwrite").saveAsTable(tmp_name)
+        ).option("path", tmp).option(
+            "parquet.block.size", str(INDEX_ROWGROUP_BYTES)
+        ).mode("overwrite").saveAsTable(tmp_name)
         spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # keeps the files
         try:
             os.rename(tmp, out)
@@ -1157,14 +1174,32 @@ def streaming_incremental_arrival_gate(
     os.makedirs(base, exist_ok=True)
 
     def gate(batch_df, batch_id: int) -> None:
+        from ting_data_etl_spark.operators.dedup import MINHASH_BANDS
+
         g = gopher_metrics_df(batch_df).select("doc_id", "passes_gopher")
         bands_b = minhash_signatures_df(batch_df).select(
             "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
         )
+        # SMALL drops (the land-and-gate-immediately case) additionally
+        # key-prune the index SCAN: the drop's distinct band values are a
+        # bounded collect (<= PROBE_PRUNE_KEYS by the count gate), pushed
+        # into the bucketed scan as an In filter — with the index sorted
+        # by (j, band) within buckets, parquet row-group stats skip
+        # everything the drop doesn't touch, so a tiny drop's probe reads
+        # index-touched row groups, not the index. Large drops touch
+        # ~every band; for them the no-shuffle bucketed join is the win
+        # and the extra signature pass would cost more than it prunes.
+        idx = standing_capped
+        if batch_df.count() * MINHASH_BANDS <= PROBE_PRUNE_KEYS:
+            bands_b = bands_b.localCheckpoint(eager=True)
+            vals = [
+                r["band"] for r in bands_b.select("band").distinct().collect()
+            ]
+            idx = standing_capped.filter(F.col("band").isin(vals))
         hits = (
             bands_b.alias("b")
             .join(
-                standing_capped.alias("c"),
+                idx.alias("c"),
                 (F.col("b.j") == F.col("c.j"))
                 & (F.col("b.band") == F.col("c.band")),
             )
@@ -1188,12 +1223,24 @@ def streaming_incremental_arrival_gate(
             os.path.join(base, f"batch_{batch_id}")
         )
 
-    q = (
-        stream.writeStream.foreachBatch(gate)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the small-drop path pushes an In-set of up to PROBE_PRUNE_KEYS bands
+    # into the parquet scan; past the default threshold (10) Spark would
+    # degrade it to a min/max range filter, which random band values defeat
+    conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    prev_thresh = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(PROBE_PRUNE_KEYS + 1))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_thresh is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_thresh)
     return spark.read.parquet(os.path.join(base, "batch_*"))
 
 
