@@ -715,3 +715,18 @@ def test_arrival_gate_small_drop_prunes_index_scan(spark, sf_dir):
     finally:
         spark.conf.unset(key) if prev is None else spark.conf.set(key, prev)
     assert re.search(r"PushedFilters: \[In\(band", plan), plan[:2000]
+
+
+def test_bucketed_index_survives_purge_under_live_session(spark, sf_dir):
+    """purge_stages deletes stage FILES but not the session catalog's
+    table entry — the index helper must detect the dangling registration
+    and rebuild instead of serving a table whose files are gone."""
+    from ting_data_etl_spark.operators.dedup import purge_stages
+    from ting_data_etl_spark.operators.incremental import (
+        _standing_capped_index,
+    )
+
+    n_before = _standing_capped_index(spark, sf_dir).count()
+    purge_stages(sf_dir)
+    rebuilt = _standing_capped_index(spark, sf_dir)
+    assert rebuilt.count() == n_before

@@ -330,7 +330,12 @@ def _standing_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"incr_bandsidx_{hashlib.md5(out.encode()).hexdigest()[:16]}"
     if spark.catalog.tableExists(name):
-        return spark.table(name)
+        # a purge_stages under a LIVE session deletes the files but not
+        # the session catalog entry — serving the dangling table would
+        # fail at execution; drop and fall through to rebuild instead
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return spark.table(name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         df = band_frequency_cap(_standing_bands(spark, sf_dir))
         tmp = f"{out}.tmp.{os.getpid()}"
