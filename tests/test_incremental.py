@@ -730,3 +730,39 @@ def test_bucketed_index_survives_purge_under_live_session(spark, sf_dir):
     purge_stages(sf_dir)
     rebuilt = _standing_capped_index(spark, sf_dir)
     assert rebuilt.count() == n_before
+
+
+def test_bucketed_index_self_heals_stale_partial(spark, sf_dir):
+    """A crashed writer's torn stage dir (files present, no _SUCCESS) must
+    be swept and republished, not wedge every later build on ENOTEMPTY —
+    the same self-heal contract as dedup._publish_stage."""
+    import os
+    import shutil
+
+    from ting_data_etl_spark.operators.dedup import purge_stages
+    from ting_data_etl_spark.operators.incremental import (
+        _standing_capped_index,
+    )
+
+    n = _standing_capped_index(spark, sf_dir).count()
+    # fabricate the crash: strip _SUCCESS from the published artifact and
+    # drop the catalog entry so the helper takes the cold-build path
+    import glob
+    import tempfile
+
+    stage_root = os.path.join(tempfile.gettempdir(), "ting_cc_stage")
+    dirs = [
+        d
+        for d in glob.glob(os.path.join(stage_root, "*", "incr_bandsidx_*"))
+        if os.path.isdir(d) and not d.endswith(".torn")
+    ]
+    assert dirs, "no published index stage found"
+    for d in dirs:
+        s = os.path.join(d, "_SUCCESS")
+        if os.path.exists(s):
+            os.remove(s)
+    for t in spark.catalog.listTables():
+        if t.name.startswith("incr_bandsidx_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    rebuilt = _standing_capped_index(spark, sf_dir)
+    assert rebuilt.count() == n

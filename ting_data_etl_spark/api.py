@@ -32,7 +32,6 @@ Quick start::
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ting_data_etl_spark.sources.tables import load_table
 

@@ -351,9 +351,20 @@ def _standing_capped_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp, out)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(os.path.join(out, "_SUCCESS")):
-                raise
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                # concurrent publisher won with a complete artifact
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # stale partial from a crashed writer: sweep + retry, else
+                # every later build wedges on ENOTEMPTY forever (the same
+                # self-heal _publish_stage documents)
+                shutil.rmtree(out, ignore_errors=True)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                        raise
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in
                     spark.read.parquet(out).schema.fields)
     spark.sql(
