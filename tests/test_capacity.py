@@ -51,3 +51,25 @@ class TestChunkHashRule:
         assert chunk_hash_bits(CHUNK_HASH31_MAX_CHUNKS + 1) == 64
         assert recommend(5_000, 2_000)["chunk_hash_bits"] == 31
         assert recommend(5_000_000, 2_000)["chunk_hash_bits"] == 64
+
+
+class TestIndexBuckets:
+    def test_registered_value_at_test_scale(self):
+        # every fixture corpus floors to the registered INDEX_BUCKETS
+        from ting_data_etl_spark.operators.incremental import INDEX_BUCKETS
+
+        assert capacity.index_buckets(60_000) == INDEX_BUCKETS
+        assert capacity.index_buckets(5_000_000) == INDEX_BUCKETS
+
+    def test_bucket_bytes_bounded_and_power_of_two(self):
+        for n in (10**6, 10**8, 10**9, 10**10):
+            b = capacity.index_buckets(n)
+            assert b & (b - 1) == 0  # power of two
+            per_bucket = n * 8 * capacity.INDEX_ROW_BYTES / b
+            assert per_bucket <= capacity.INDEX_TARGET_BUCKET_BYTES * 1.01
+
+    def test_monotone(self):
+        sizes = [10**5, 10**7, 10**9, 10**10]
+        vals = [capacity.index_buckets(n) for n in sizes]
+        assert vals == sorted(vals)
+        assert vals[-1] >= 2048

@@ -62,6 +62,29 @@ def chunk_hash_bits(n_chunks: int) -> int:
     return 31 if n_chunks <= CHUNK_HASH31_MAX_CHUNKS else 64
 
 
+#: Target bytes per bucket FILE of the standing band index
+#: (``incremental._standing_capped_index``): one bucket should stream
+#: through an executor comfortably (scan + hash-build for the probe join),
+#: so size buckets to ~512 MB — small enough to be memory-resident,
+#: large enough that file/bucket count stays manageable at 100 TB.
+INDEX_TARGET_BUCKET_BYTES = 512 * 1024 * 1024
+#: ~bytes per (doc_id, j, band) index row in encoded parquet.
+INDEX_ROW_BYTES = 16
+
+
+def index_buckets(n_docs: int, bands_per_doc: int = 8) -> int:
+    """Bucket count for the standing band index (power of two ≥ 32).
+
+    rows × row-bytes / target-bucket-bytes, rounded UP to a power of two
+    (bucket joins repartition the probe side to the bucket count — a
+    power of two keeps that exchange friendly to AQE coalescing). At the
+    test corpora this floors to the registered 32; at 10B docs × 8 bands
+    it recommends ~4096 buckets of ~300 MB.
+    """
+    raw = n_docs * bands_per_doc * INDEX_ROW_BYTES / INDEX_TARGET_BUCKET_BYTES
+    return max(32, 2 ** math.ceil(math.log2(max(1.0, raw))))
+
+
 def recommend(n_docs: int, n_vecs: int) -> dict[str, int]:
     """Knob settings for a corpus of this size (see module docstring)."""
     return {
@@ -70,4 +93,5 @@ def recommend(n_docs: int, n_vecs: int) -> dict[str, int]:
         "kmeans_lists": kmeans_lists(n_vecs),
         # ~1.5 chunks per avg document at the synthetic corpus shape
         "chunk_hash_bits": chunk_hash_bits(int(n_docs * 1.5)),
+        "index_buckets": index_buckets(n_docs),
     }

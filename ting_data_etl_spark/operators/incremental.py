@@ -257,9 +257,11 @@ def _standing_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Bucket count for the standing band-index TABLE the arrival gate probes.
-#: Sized so one bucket of a 100 TB corpus's index (docs x MINHASH_BANDS x
-#: ~16 B / INDEX_BUCKETS) stays executor-memory-resident; retune with the
-#: capacity rules. Folded into the table fingerprint below.
+#: Sized so one bucket file streams through an executor comfortably;
+#: the corpus-sized rule is ``capacity.index_buckets`` (rows × ~16 B /
+#: 512 MB target, power of two — ~4096 at 10B docs), and every test
+#: corpus floors to this registered value (pytest-pinned). Folded into
+#: the table fingerprint below.
 INDEX_BUCKETS = 32
 
 #: Max band rows a micro-batch drop may carry for the arrival gate to
