@@ -766,3 +766,114 @@ def test_bucketed_index_self_heals_stale_partial(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     rebuilt = _standing_capped_index(spark, sf_dir)
     assert rebuilt.count() == n
+
+
+def test_manifest_update_equals_fromscratch_rollup(spark, sf_dir):
+    """The XOR-delta update == the from-scratch digest rollup over the
+    post-merge selection — the algebra check, engine-internal (the DuckDB
+    twin is the registered oracle; this pins Spark against Spark so a
+    rollup/update drift is localized to the delta algebra)."""
+    from ting_data_etl_spark.operators.incremental import (
+        _batch_pred,
+        _digest_rollup_df,
+        _standing_ledger,
+        corpus_incremental_selection,
+        incremental_manifest_update,
+    )
+    from ting_data_etl_spark.operators.sampling import budget_ledger_df
+    from ting_data_etl_spark.sources.tables import load_table
+
+    post = corpus_incremental_selection(spark, sf_dir).filter(
+        F.col("decision") == "selected"
+    )
+    batch = load_table(spark, sf_dir, "documents").filter(_batch_pred())
+    prices = _standing_ledger(spark, sf_dir).select(
+        "doc_id", "n_toks"
+    ).unionByName(budget_ledger_df(batch).select("doc_id", "n_toks"))
+    full = _digest_rollup_df(post.select("doc_id").join(prices, "doc_id"))
+    upd = incremental_manifest_update(spark, sf_dir)
+    assert sorted(map(tuple, upd.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert upd.count() > 0
+
+
+def test_manifest_xor_algebra_planted(spark):
+    """Planted set-digest algebra: remove two members (one emptying its
+    shard), add one, adjust one's tokens — the folded digest must equal the
+    from-scratch rollup of the edited set, and the emptied shard must drop
+    out of the relation entirely."""
+    from ting_data_etl_spark.operators.incremental import (
+        _apply_manifest_delta,
+        _digest_rollup_df,
+        _manifest_shard_col,
+    )
+
+    rows = [(i, 100 + i) for i in range(1, 41)]
+    base = spark.createDataFrame(rows, "doc_id long, n_toks long")
+    # pick a doc alone in its shard so its removal empties the shard
+    shards = {
+        r["doc_id"]: r["s"]
+        for r in base.select(
+            "doc_id", _manifest_shard_col(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(shards.values())
+    lone = next(d for d, s in shards.items() if counts[s] == 1)
+    other = next(d for d in shards if d != lone)
+    retuned = next(d for d in shards if d not in (lone, other))
+
+    removes = base.filter(F.col("doc_id").isin([lone, other]))
+    adds = spark.createDataFrame([(999, 555)], "doc_id long, n_toks long")
+    retoken = spark.createDataFrame(
+        [(retuned, 7)], "doc_id long, d_toks long"
+    )
+    folded = _apply_manifest_delta(
+        _digest_rollup_df(base), adds, removes, retoken
+    )
+    edited = (
+        base.filter(~F.col("doc_id").isin([lone, other]))
+        .withColumn(
+            "n_toks",
+            F.when(F.col("doc_id") == retuned, F.col("n_toks") + 7).otherwise(
+                F.col("n_toks")
+            ),
+        )
+        .unionByName(adds)
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, _digest_rollup_df(edited).collect())
+    )
+    assert shards[lone] not in [r["shard"] for r in folded.collect()]
+
+
+def test_manifest_standing_state_is_standing_only(spark, sf_dir):
+    """The staged standing selection (and therefore the digest) must not
+    contain batch docs, and the day's delta must be batch-scale — the
+    O(delta) claim's two preconditions."""
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+    )
+    from ting_data_etl_spark.operators.incremental import (
+        _standing_selection,
+        corpus_incremental_selection,
+    )
+
+    st = _standing_selection(spark, sf_dir)
+    assert (
+        st.filter(
+            F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_REM
+        ).count()
+        == 0
+    )
+    post = corpus_incremental_selection(spark, sf_dir).filter(
+        F.col("decision") == "selected"
+    )
+    n_corpus = post.count()
+    adds = post.select("doc_id").join(st, "doc_id", "left_anti").count()
+    removes = st.join(post.select("doc_id"), "doc_id", "left_anti").count()
+    # a 10% arrival batch cannot flip more than a fraction of the corpus
+    assert 0 < adds + removes < n_corpus // 2

@@ -1822,3 +1822,409 @@ def corpus_selection_with_deletes(
         .otherwise(F.lit("selected"))
         .alias("decision"),
     )
+
+
+# --- incremental manifest maintenance ----------------------------------------
+# ``corpus_selection_manifest`` shards by the GLOBAL longest-first rank —
+# exact token balance, but rank % N_SHARDS is rank-dependent: one arrival
+# shifts every later doc's shard, so that manifest can only be recomputed,
+# never maintained. The incremental manifest trades exact balance for
+# STABILITY: shard = portable hash(doc_id) % N_SHARDS (statistically
+# token-balanced, churn-invariant), and the per-shard membership checksum
+# is an ORDER-INDEPENDENT XOR set digest over a portable 60-bit id hash
+# (the incremental set-digest idea behind homomorphic set hashes, e.g.
+# LtHash) instead of the md5-of-sorted-ids — so applying a day's selection
+# delta is pure algebra on N_SHARDS fixed rows:
+#
+#   n_docs'       = n_docs + |adds in shard| - |removes in shard|
+#   total_tokens' = total_tokens + sum(tok(adds)) - sum(tok(removes))
+#   ids_xor'      = ids_xor XOR hash(adds) XOR hash(removes)
+#
+# (XOR removal = XOR again). The update never re-lists a shard's members
+# and never re-reads standing text: delta token counts come from the
+# staged ledger (standing docs) or the batch's own scoring (O(batch)).
+# A mis-applied add/remove still flips ids_xor, so the digest keeps the
+# manifest's audit property. Oracle: the from-scratch rollup over the
+# post-merge corpus's full selection statement.
+
+
+def _manifest_shard_col(col: F.Column) -> F.Column:
+    """Churn-stable shard id in [0, N_SHARDS): md5-derived, engine-portable
+    (same idiom as ``sampling._bucket``; salt names the decision)."""
+    from ting_data_etl_spark.operators.sampling import N_SHARDS
+
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard|"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .try_cast("long")
+        % N_SHARDS
+    ).cast("int")
+
+
+def _manifest_hash_col(col: F.Column) -> F.Column:
+    """60-bit portable doc hash — the XOR set digest's member term (15 hex
+    digits keeps it positive and exactly representable in both engines)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("manifest|"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).try_cast("long")
+
+
+def _sql_manifest_shard(expr: str) -> str:
+    from ting_data_etl_spark.operators.sampling import N_SHARDS
+
+    return (
+        f"(CAST('0x' || substr(md5('shard|' || CAST({expr} AS VARCHAR)), "
+        f"1, 8) AS BIGINT) % {N_SHARDS})"
+    )
+
+
+def _sql_manifest_hash(expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('manifest|' || CAST({expr} AS VARCHAR)), "
+        "1, 15) AS BIGINT)"
+    )
+
+
+def _sql_digest_rollup() -> str:
+    return f"""
+SELECT CAST({_sql_manifest_shard("doc_id")} AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(bit_xor({_sql_manifest_hash("doc_id")}) AS BIGINT) AS ids_xor
+FROM tok GROUP BY 1
+"""
+
+
+def _standing_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected doc_ids of the PRE-batch standing corpus's own from-scratch
+    selection — the membership the standing manifest digest is over.
+
+    Built once per fingerprint from the already-staged standing states
+    (ledger, contamination counts, bucket pair contributions, SemDeDup
+    pruned set) composed exactly like the capstones compose their merged
+    states — no batch state can leak in because none of the inputs see the
+    batch.
+    """
+    from ting_data_etl_spark.operators.curation import (
+        BENCHMARK_MOD,
+        CONTAM_FLAG_FRAC,
+    )
+    from ting_data_etl_spark.operators.dedup import staged_components
+    from ting_data_etl_spark.operators.sampling import budget_head_from_ledger
+
+    def build() -> DataFrame:
+        led = _standing_ledger(spark, sf_dir)
+        universe = led.select("doc_id")
+        frac = F.col("n_contaminated").cast("double") / F.col("n_grams")
+        contam = _standing_contam(spark, sf_dir).select(
+            "doc_id", (frac >= CONTAM_FLAG_FRAC).cast("int").alias("flagged")
+        )
+        pairs = (
+            _standing_bucket_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        labels = staged_components(
+            spark,
+            sf_dir,
+            f"incrman_cc_{_incr_token()}",
+            universe,
+            pairs,
+        )
+        status = (
+            F.when(F.col("doc_id") % BENCHMARK_MOD == 0, F.lit("benchmark"))
+            .when(F.col("passes_gopher") == 0, F.lit("low_quality"))
+            .when(
+                F.coalesce(F.col("flagged"), F.lit(0)) == 1,
+                F.lit("contaminated"),
+            )
+            .when(F.col("component") != F.col("doc_id"), F.lit("duplicate"))
+            .otherwise(F.lit("kept"))
+        )
+        pruned = (
+            _standing_sem_pruned(spark, sf_dir)
+            .select(F.col("vec_id").alias("doc_id"))
+            .withColumn("sem_pruned", F.lit(True))
+        )
+        st = (
+            led.select("doc_id", "passes_gopher")
+            .join(contam, "doc_id", "left")
+            .join(labels, "doc_id")
+            .select("doc_id", status.alias("status"))
+            .join(pruned, "doc_id", "left")
+            .localCheckpoint(eager=True)
+        )
+        surv = st.filter(
+            (F.col("status") == "kept") & F.col("sem_pruned").isNull()
+        ).select("doc_id")
+        return budget_head_from_ledger(
+            led.select("doc_id", "n_checks", "n_toks", "okey").join(
+                surv, "doc_id"
+            )
+        ).select("doc_id")
+
+    return _stage(
+        spark, sf_dir, "standingsel", build, tables=("documents", "embeddings")
+    )
+
+
+def _digest_rollup_df(rows: DataFrame) -> DataFrame:
+    """The from-scratch digest rollup over (doc_id, n_toks) rows — shared
+    by the standing-digest build and any read-back verifier."""
+    return (
+        rows.select(
+            _manifest_shard_col(F.col("doc_id")).alias("shard"),
+            F.col("n_toks").cast("long").alias("n_toks"),
+            _manifest_hash_col(F.col("doc_id")).alias("dh"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.expr("bit_xor(dh)").alias("ids_xor"),
+        )
+    )
+
+
+def _standing_manifest_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, total_tokens, ids_xor) over the standing selection —
+    the N_SHARDS-row relation that is the ONLY standing manifest state the
+    daily update reads."""
+
+    def build() -> DataFrame:
+        rows = _standing_selection(spark, sf_dir).join(
+            _standing_ledger(spark, sf_dir).select("doc_id", "n_toks"),
+            "doc_id",
+        )
+        return _digest_rollup_df(rows)
+
+    return _stage(
+        spark, sf_dir, "mandigest", build, tables=("documents", "embeddings")
+    )
+
+
+def _apply_manifest_delta(
+    digest: DataFrame,
+    adds: DataFrame,
+    removes: DataFrame,
+    retoken: DataFrame | None = None,
+) -> DataFrame:
+    """Fold (adds, removes[, retoken]) into a standing digest — the pure
+    O(delta) algebra both registered updates share.
+
+    *adds*/*removes* carry (doc_id, n_toks) — n_toks being the value the
+    digest gains/loses; *retoken* carries (doc_id, d_toks) for docs whose
+    membership is unchanged but whose token count moved (re-edits): a
+    token adjustment with NO xor term and no count term. Shards the digest
+    never saw appear via the union; shards emptied by removals drop out
+    via the n_docs > 0 filter.
+    """
+    base = digest.select(
+        "shard",
+        F.col("n_docs").alias("dn"),
+        F.col("total_tokens").alias("dt"),
+        F.col("ids_xor").alias("dh"),
+    )
+
+    def leg(df: DataFrame, sign: int) -> DataFrame:
+        return df.select(
+            _manifest_shard_col(F.col("doc_id")).alias("shard"),
+            F.lit(sign).cast("long").alias("dn"),
+            (F.lit(sign) * F.col("n_toks")).cast("long").alias("dt"),
+            _manifest_hash_col(F.col("doc_id")).alias("dh"),
+        )
+
+    parts = base.unionByName(leg(adds, 1)).unionByName(leg(removes, -1))
+    if retoken is not None:
+        parts = parts.unionByName(
+            retoken.select(
+                _manifest_shard_col(F.col("doc_id")).alias("shard"),
+                F.lit(0).cast("long").alias("dn"),
+                F.col("d_toks").cast("long").alias("dt"),
+                F.lit(None).cast("long").alias("dh"),  # membership unchanged
+            )
+        )
+    return (
+        parts.groupBy("shard")
+        .agg(
+            F.sum("dn").cast("long").alias("n_docs"),
+            F.sum("dt").cast("long").alias("total_tokens"),
+            F.expr("bit_xor(dh)").alias("ids_xor"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+def _sql_manifest_update() -> str:
+    """From-scratch digest over the post-merge corpus's full selection —
+    the nested-statement trick of ``_sql_selection_manifest``, with the
+    hash shard + XOR digest in place of the rank shard + md5 list."""
+    from ting_data_etl_spark.operators.curation import _sql_final_selection
+    from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+
+    return f"""
+WITH sel AS (
+  SELECT doc_id FROM ({_sql_final_selection()}) f WHERE decision = 'selected'
+),
+tok AS (
+  SELECT d.doc_id, len({SQL_TOKEN_LIST}) AS n_toks
+  FROM documents d JOIN sel USING (doc_id)
+)
+{_sql_digest_rollup()}
+"""
+
+
+@register("incremental_manifest_update", oracle=_sql_manifest_update)
+def incremental_manifest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily manifest maintenance: fold the batch's selection delta into the
+    standing per-shard digest — O(delta) rows touched, no shard re-listed.
+
+    Consumes ``corpus_incremental_selection``'s post-merge decisions (the
+    oracle-checked O(batch-text) path), anti-joins them against the staged
+    standing selection to get the day's adds/removes, prices the delta from
+    the staged ledger (standing flips) and the batch's own scoring (new
+    docs), and applies the XOR-digest algebra to the N_SHARDS staged rows.
+    The from-scratch oracle re-derives the whole digest from the full
+    selection statement, so a wrong shard hash, a dropped delta row, a
+    stale token price, or broken XOR algebra all hash-mismatch.
+    """
+    from ting_data_etl_spark.operators.sampling import budget_ledger_df
+
+    post = (
+        corpus_incremental_selection(spark, sf_dir)
+        .filter(F.col("decision") == "selected")
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # two anti-join consumers
+    )
+    standing_sel = _standing_selection(spark, sf_dir)
+    # token prices: staged for standing docs, one O(batch) pass for batch
+    # docs — the only text this plan reads is the batch's
+    batch = load_table(spark, sf_dir, "documents").filter(_batch_pred())
+    prices = _standing_ledger(spark, sf_dir).select(
+        "doc_id", "n_toks"
+    ).unionByName(budget_ledger_df(batch).select("doc_id", "n_toks"))
+    adds = post.join(standing_sel, "doc_id", "left_anti").join(
+        prices, "doc_id"
+    )
+    removes = standing_sel.join(post, "doc_id", "left_anti").join(
+        prices, "doc_id"
+    )
+    return _apply_manifest_delta(
+        _standing_manifest_digest(spark, sf_dir), adds, removes
+    )
+
+
+def _sql_manifest_with_deletes() -> str:
+    """From-scratch digest over the post-edit standing corpus — selection
+    from ``_sql_selection_after_deletes``, token prices from the EDITED
+    text (docs2), rollup shared with the arrivals twin."""
+    from ting_data_etl_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        INCR_DELETE_MOD,
+        INCR_DELETE_REM,
+        INCR_READD_MOD,
+        INCR_READD_REM,
+    )
+    from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+
+    deleted = f"doc_id % {INCR_DELETE_MOD} = {INCR_DELETE_REM}"
+    readded = f"doc_id % {INCR_READD_MOD} = {INCR_READD_REM}"
+    standing = f"doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"
+    alive = f"NOT (({deleted}) AND NOT ({readded}))"
+    return f"""
+WITH seld AS (
+  SELECT doc_id FROM ({_sql_selection_after_deletes()}) f
+  WHERE decision = 'selected'
+),
+docs2 AS (
+  SELECT doc_id,
+         CASE WHEN {readded}
+              THEN text || ' edited ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+  WHERE ({standing}) AND ({alive})
+),
+tok AS (
+  SELECT d.doc_id, len({SQL_TOKEN_LIST}) AS n_toks
+  FROM docs2 d JOIN seld USING (doc_id)
+)
+{_sql_digest_rollup()}
+"""
+
+
+@register(
+    "incremental_manifest_with_deletes", oracle=_sql_manifest_with_deletes
+)
+def incremental_manifest_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest maintenance under the day's tombstones + re-edits.
+
+    Deletes are where the XOR digest earns its keep: removing a member is
+    the SAME operation as adding one (hash and XOR again), so a tombstoned
+    doc leaves the digest without its shard being re-listed — the md5-of-
+    sorted-ids checksum would re-aggregate every surviving member. Three
+    delta legs: adds priced at POST-edit tokens (an edited doc's new text),
+    removes priced at the STAGED tokens (exactly the terms the standing
+    digest holds — subtracting anything else would corrupt the sum), and a
+    token-only adjustment for docs selected on both days whose text was
+    re-edited (membership unchanged → no xor term, count unchanged, token
+    delta only).
+    """
+    from ting_data_etl_spark.operators.dedup import (
+        _incr_mh_deleted,
+        _incr_mh_readded,
+    )
+    from ting_data_etl_spark.operators.sampling import budget_ledger_df
+
+    post = (
+        corpus_selection_with_deletes(spark, sf_dir)
+        .filter(F.col("decision") == "selected")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    standing_sel = _standing_selection(spark, sf_dir)
+    staged_led = _standing_ledger(spark, sf_dir).select("doc_id", "n_toks")
+    d = load_table(spark, sf_dir, "documents")
+    edited = d.filter(_incr_mh_readded() & ~_batch_pred()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" edited "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    edited_led = (
+        budget_ledger_df(edited)
+        .select("doc_id", "n_toks")
+        .localCheckpoint(eager=True)  # adds prices + the retoken leg
+    )
+    # post-corpus prices: staged rows for unedited docs, fresh for edits
+    post_prices = staged_led.join(
+        edited_led, "doc_id", "left_anti"
+    ).unionByName(edited_led)
+    adds = post.join(standing_sel, "doc_id", "left_anti").join(
+        post_prices, "doc_id"
+    )
+    removes = standing_sel.join(post, "doc_id", "left_anti").join(
+        staged_led, "doc_id"
+    )
+    retoken = (
+        post.join(standing_sel, "doc_id")  # selected on both days
+        .join(edited_led.withColumnRenamed("n_toks", "new_toks"), "doc_id")
+        .join(staged_led, "doc_id")
+        .select(
+            "doc_id", (F.col("new_toks") - F.col("n_toks")).alias("d_toks")
+        )
+    )
+    return _apply_manifest_delta(
+        _standing_manifest_digest(spark, sf_dir), adds, removes, retoken
+    )
