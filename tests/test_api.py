@@ -87,3 +87,35 @@ def test_pipeline_fanout_roundtrip_is_clean(spark, tmp_path):
     assert report["extra_store_files"] == 0
     assert report["key_value_violations"] == 0
     assert report["rows_checked"] == src.count()
+
+
+def test_facade_manifests_are_the_registered_queries(spark, sf_dir):
+    """Manifest verbs delegate: rank-sharded manifest and both incremental
+    digest flavors are bit-identical to their registered twins."""
+    from ting_data_etl_spark.api import Corpus
+    from ting_data_etl_spark.operators.incremental import (
+        incremental_manifest_update,
+        incremental_manifest_with_deletes,
+    )
+    from ting_data_etl_spark.operators.sampling import (
+        corpus_selection_manifest,
+    )
+
+    c = Corpus(spark, sf_dir)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(c.manifest()) == rows(corpus_selection_manifest(spark, sf_dir))
+    assert rows(c.incremental_manifest()) == rows(
+        incremental_manifest_update(spark, sf_dir)
+    )
+    assert rows(c.incremental_manifest(with_deletes=True)) == rows(
+        incremental_manifest_with_deletes(spark, sf_dir)
+    )
+    assert set(c.incremental_manifest().columns) == {
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "ids_xor",
+    }

@@ -159,6 +159,43 @@ class Corpus:
 
         return corpus_selection_with_deletes(self.spark, self.sf_dir)
 
+    def manifest(self) -> DataFrame:
+        """The training-corpus manifest: selected docs sharded, checksummed.
+
+        Per output shard: doc count, token total, and an md5 over member
+        ids in id order — the lineage record a training run (or an
+        auditor) verifies it read EXACTLY the selected corpus. Shards are
+        token-balanced by the longest-first round-robin rank; see
+        :meth:`incremental_manifest` for the maintainable flavor.
+        """
+        from ting_data_etl_spark.operators.sampling import (
+            corpus_selection_manifest,
+        )
+
+        return corpus_selection_manifest(self.spark, self.sf_dir)
+
+    def incremental_manifest(self, with_deletes: bool = False) -> DataFrame:
+        """The daily-maintained manifest: hash shards + XOR set digests.
+
+        The rank-sharded :meth:`manifest` cannot absorb churn (one arrival
+        shifts every later rank); this flavor shards by a stable doc_id
+        hash and keeps an order-independent XOR membership digest, so the
+        day's selection delta folds into N_SHARDS staged rows in O(delta)
+        (arrivals by default; ``with_deletes`` applies the tombstone/
+        re-edit conventions — see ``operators.incremental``).
+        """
+        from ting_data_etl_spark.operators.incremental import (
+            incremental_manifest_update,
+            incremental_manifest_with_deletes,
+        )
+
+        fn = (
+            incremental_manifest_with_deletes
+            if with_deletes
+            else incremental_manifest_update
+        )
+        return fn(self.spark, self.sf_dir)
+
 
 class Pipeline:
     """The reference-side reporting surface as a public API (VERDICT r11 #7).
