@@ -698,3 +698,43 @@ class TestManifestShardSink:
                 assert md5 == manifest[s], s
         finally:
             shutil.rmtree(torn, ignore_errors=True)
+
+
+def test_source_budget_head_per_source_prefix_rule(spark, sf_dir):
+    """Every source independently obeys the greedy prefix rule: kept
+    tokens fit its own integer budget, and the cut is tight (adding the
+    next-ranked doc would exceed it) — plus every source is represented."""
+    import pyspark.sql.functions as F
+
+    from ting_data_etl_spark.operators.sampling import (
+        BUDGET_PCT,
+        budget_ledger_df,
+        corpus_source_budget_head,
+    )
+    from ting_data_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["t"]
+        for r in budget_ledger_df(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("t"))
+        .collect()
+    }
+    kept = (
+        corpus_source_budget_head(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("n_toks").alias("kept"),
+            F.max(F.col("cum_before") + F.col("n_toks")).alias("head_end"),
+        )
+        .collect()
+    )
+    assert {r["source"] for r in kept} == set(totals)
+    for r in kept:
+        budget = totals[r["source"]] * BUDGET_PCT // 100
+        # prefix rule: last kept doc STARTED under budget; the head can
+        # overshoot by at most that one doc, and must reach the budget
+        assert r["head_end"] >= budget > 0
+        assert r["kept"] - r["head_end"] <= 0  # cum accounting consistent

@@ -1218,6 +1218,121 @@ def budget_head_from_ledger(h: DataFrame, n_bands: int = 8) -> DataFrame:
         banded.unpersist()
 
 
+def _sql_source_budget_head() -> str:
+    from ting_data_etl_spark.operators.text_queries import _SQL_TOKS
+
+    return f"""
+WITH {_SQL_TOKS},
+{_sql_quality_ctes()},
+h AS (
+  SELECT c.doc_id, c.source, c.n_checks, m.n_toks,
+         CAST(3 - c.n_checks AS BIGINT) * {_BUDGET_KEY_BASE} + c.doc_id
+           AS okey
+  FROM c JOIN m USING (doc_id)
+),
+st AS (
+  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS total FROM h GROUP BY source
+),
+cum AS (
+  SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY okey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+              AS BIGINT) AS cum_before
+  FROM h
+)
+SELECT cum.doc_id, cum.source, cum.n_toks, cum.cum_before
+FROM cum JOIN st USING (source)
+WHERE cum_before < total * {BUDGET_PCT} // 100
+"""
+
+
+@register("corpus_source_budget_head", oracle=_sql_source_budget_head)
+def corpus_source_budget_head(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """Best-first selection under PER-SOURCE token budgets.
+
+    The domain-balanced form of :func:`corpus_budget_head`: each source
+    keeps BUDGET_PCT of its OWN token total (greedy quality-first prefix
+    within the source), so one dominant domain cannot eat the corpus-wide
+    budget and every domain's retention is the same fraction — the
+    per-domain budget rule mixture-constrained pretraining runs apply
+    before cross-domain weighting. Rank key, budget arithmetic (integer
+    ``total·PCT DIV 100``), and the greedy prefix rule are shared with the
+    global head — one definition of "best under a budget".
+
+    Scale shape: the per-source cumulative sum CANNOT be a plain
+    ``Window.partitionBy(source)`` — a source holding 30% of a 100 TB
+    corpus would collapse onto one reducer (the exact straggler
+    `skew_banded_running_value` measured at 18×). Instead the shared
+    two-phase banded scan runs per source: band by the GLOBAL okey
+    quantile cuts (a band slices each source's okey-ordered stream into
+    contiguous runs), window within (source, band) — B× more, bounded
+    partitions — and prefix-sum the (source, band) token totals on the
+    driver (sources × bands scalars, never data; the same shape
+    `corpus_epoch_order` uses per shard). Source totals ride a broadcast
+    #sources-row aggregate. The ledger is built once (one text pass);
+    the source column rides a second scan pruned to (doc_id, source).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = budget_ledger_df(d).join(d.select("doc_id", "source"), "doc_id")
+    banded = h.withColumn(
+        "__band", _quantile_bands(h, "okey", n_bands)
+    ).persist()
+    try:
+        per = (
+            banded.groupBy("source", "__band")
+            .agg(F.sum("n_toks").alias("n"))
+            .orderBy("source", "__band")
+            .collect()
+        )  # sources × bands rows — the only driver involvement
+        offsets, acc = [], {}
+        for r in per:
+            off = acc.get(r["source"], 0)
+            offsets.append((r["source"], r["__band"], off))
+            acc[r["source"]] = off + (r["n"] or 0)
+        odf = F.broadcast(
+            spark.createDataFrame(
+                offsets, "source string, __band int, token_offset long"
+            )
+        )
+        tot = F.broadcast(
+            banded.groupBy("source").agg(
+                F.sum("n_toks").cast("long").alias("total")
+            )
+        )
+        local = (
+            Window.partitionBy("source", "__band")
+            .orderBy("okey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            banded.withColumn("__lc", F.sum("n_toks").over(local))
+            .join(odf, ["source", "__band"])
+            .select(
+                "doc_id",
+                "source",
+                F.col("n_toks").cast("long").alias("n_toks"),
+                (F.col("token_offset") + F.col("__lc") - F.col("n_toks"))
+                .cast("long")
+                .alias("cum_before"),
+            )
+        )
+        out = (
+            cum.join(tot, "source")
+            .filter(
+                F.col("cum_before") < F.expr(f"total * {BUDGET_PCT} DIV 100")
+            )
+            .select("doc_id", "source", "n_toks", "cum_before")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        banded.unpersist()
+
+
 # --- multi-epoch oversampling mixture ----------------------------------------
 #: Rates in PERCENT of one epoch; > 100 means true oversampling (the
 #: "2 epochs of Wikipedia, 0.5 epochs of CommonCrawl" recipe): a source at
