@@ -73,3 +73,24 @@ class TestIndexBuckets:
         vals = [capacity.index_buckets(n) for n in sizes]
         assert vals == sorted(vals)
         assert vals[-1] >= 2048
+
+
+class TestManifestShards:
+    def test_registered_value_at_test_scale(self):
+        from ting_data_etl_spark.operators.sampling import N_SHARDS
+
+        assert capacity.manifest_shards(60_000) == N_SHARDS
+        assert capacity.manifest_shards(5_000_000) == N_SHARDS
+
+    def test_shard_bytes_bounded_and_power_of_two(self):
+        for n in (10**8, 10**9, 10**10):
+            s = capacity.manifest_shards(n)
+            assert s & (s - 1) == 0
+            per_shard = n * capacity.SHARD_DOC_BYTES / s
+            assert per_shard <= capacity.SHARD_TARGET_BYTES * 1.01
+
+    def test_monotone(self):
+        sizes = [10**5, 10**7, 10**9, 10**10]
+        vals = [capacity.manifest_shards(n) for n in sizes]
+        assert vals == sorted(vals)
+        assert vals[-1] >= 4096

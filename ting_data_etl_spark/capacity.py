@@ -85,6 +85,31 @@ def index_buckets(n_docs: int, bands_per_doc: int = 8) -> int:
     return max(32, 2 ** math.ceil(math.log2(max(1.0, raw))))
 
 
+#: Target bytes per physical TRAINING SHARD file (manifest / shard sink):
+#: a few GB streams well from object storage and keeps reader parallelism;
+#: far larger files serialize trainer startup, far smaller ones explode
+#: listing and open costs.
+SHARD_TARGET_BYTES = 4 * 1024 * 1024 * 1024
+#: ~bytes of stored text per selected document at the synthetic corpus
+#: shape (the scale harness' generator) — a deployment re-measures this.
+SHARD_DOC_BYTES = 2048
+
+
+def manifest_shards(n_docs: int, doc_bytes: int = SHARD_DOC_BYTES) -> int:
+    """Shard count for the selection manifest / physical shard sink.
+
+    selected-bytes / target-shard-bytes, rounded UP to a power of two
+    (hash-mod sharding stays balanced at any count; a power of two keeps
+    downstream repartitions AQE-friendly), floor 16 = the registered
+    ``sampling.N_SHARDS`` every test corpus floors to. At 10B docs × 2 KB
+    it recommends 8192 shards of ~2.5 GB. The incremental manifest's
+    update cost is per-DELTA-row, not per-shard, so raising the count
+    only shrinks the blast radius of a copy-on-write shard rewrite.
+    """
+    raw = n_docs * doc_bytes / SHARD_TARGET_BYTES
+    return max(16, 2 ** math.ceil(math.log2(max(1.0, raw))))
+
+
 def recommend(n_docs: int, n_vecs: int) -> dict[str, int]:
     """Knob settings for a corpus of this size (see module docstring)."""
     return {
@@ -94,4 +119,5 @@ def recommend(n_docs: int, n_vecs: int) -> dict[str, int]:
         # ~1.5 chunks per avg document at the synthetic corpus shape
         "chunk_hash_bits": chunk_hash_bits(int(n_docs * 1.5)),
         "index_buckets": index_buckets(n_docs),
+        "manifest_shards": manifest_shards(n_docs),
     }

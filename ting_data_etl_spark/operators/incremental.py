@@ -1850,7 +1850,13 @@ def corpus_selection_with_deletes(
 
 def _manifest_shard_col(col: F.Column) -> F.Column:
     """Churn-stable shard id in [0, N_SHARDS): md5-derived, engine-portable
-    (same idiom as ``sampling._bucket``; salt names the decision)."""
+    (same idiom as ``sampling._bucket``; salt names the decision).
+
+    Shard-count retune rule: ``capacity.manifest_shards`` (selected bytes /
+    4 GB target, power of two — ~8192 at 10B docs; every test corpus
+    floors to the registered N_SHARDS). The digest update is per-DELTA-row,
+    so the count only sizes the physical files, never the maintenance cost.
+    """
     from ting_data_etl_spark.operators.sampling import N_SHARDS
 
     return (
