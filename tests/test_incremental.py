@@ -877,3 +877,81 @@ def test_manifest_standing_state_is_standing_only(spark, sf_dir):
     removes = st.join(post.select("doc_id"), "doc_id", "left_anti").count()
     # a 10% arrival batch cannot flip more than a fraction of the corpus
     assert 0 < adds + removes < n_corpus // 2
+
+
+def test_shard_sink_delta_copy_on_write(spark, sf_dir):
+    """The COW snapshot writes ONLY delta-touched shards (one part-file
+    each), references untouched standing files verbatim, and its read-back
+    digest is bit-equal to the maintained manifest."""
+    import glob
+    import os
+    import tempfile
+
+    from ting_data_etl_spark.operators.incremental import (
+        _manifest_shard_col,
+        _standing_selection,
+        corpus_incremental_selection,
+        incremental_manifest_update,
+        incremental_shard_sink_delta,
+    )
+
+    sink = incremental_shard_sink_delta(spark, sf_dir)
+    man = incremental_manifest_update(spark, sf_dir)
+    assert sorted(map(tuple, sink.collect())) == sorted(
+        map(tuple, man.collect())
+    )
+
+    post = corpus_incremental_selection(spark, sf_dir).filter(
+        F.col("decision") == "selected"
+    )
+    st = _standing_selection(spark, sf_dir)
+    delta = post.select("doc_id").join(st, "doc_id", "left_anti").unionByName(
+        st.join(post.select("doc_id"), "doc_id", "left_anti")
+    )
+    touched = {
+        r["s"]
+        for r in delta.select(
+            _manifest_shard_col(F.col("doc_id")).alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    run = max(
+        glob.glob(os.path.join(tempfile.gettempdir(), "ting_shard_cow", "*")),
+        key=os.path.getmtime,
+    )
+    written = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(run, "shard=*"))
+    }
+    assert written <= touched  # never rewrites an untouched shard
+    for d in glob.glob(os.path.join(run, "shard=*")):
+        assert len(glob.glob(os.path.join(d, "part-*.parquet"))) == 1
+
+
+def test_manifest_stage_keys_rotate_on_shard_retune(sf_dir):
+    """The digest and shard-file stages bake the shard column into their
+    rows/layout, and _incr_token() does not carry N_SHARDS — so a
+    shard-count retune must rotate BOTH stage paths (else a retuned run
+    serves 16-shard staged state)."""
+    import ting_data_etl_spark.operators.sampling as SA
+    from ting_data_etl_spark.operators.incremental import (
+        _incr_stage_path,
+        _n_shards,
+    )
+
+    tables = ("documents", "embeddings")
+    base = [
+        _incr_stage_path(sf_dir, f"{n}_{_n_shards()}", tables)
+        for n in ("mandigest", "shardfiles")
+    ]
+    prev = SA.N_SHARDS
+    SA.N_SHARDS = 256
+    try:
+        retuned = [
+            _incr_stage_path(sf_dir, f"{n}_{_n_shards()}", tables)
+            for n in ("mandigest", "shardfiles")
+        ]
+    finally:
+        SA.N_SHARDS = prev
+    assert all(a != b for a, b in zip(base, retuned))

@@ -1848,6 +1848,13 @@ def corpus_selection_with_deletes(
 # post-merge corpus's full selection statement.
 
 
+def _n_shards() -> int:
+    """Call-time N_SHARDS (retunes must reach staged keys AND oracles)."""
+    from ting_data_etl_spark.operators.sampling import N_SHARDS
+
+    return N_SHARDS
+
+
 def _manifest_shard_col(col: F.Column) -> F.Column:
     """Churn-stable shard id in [0, N_SHARDS): md5-derived, engine-portable
     (same idiom as ``sampling._bucket``; salt names the decision).
@@ -2014,7 +2021,15 @@ def _standing_manifest_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _digest_rollup_df(rows)
 
     return _stage(
-        spark, sf_dir, "mandigest", build, tables=("documents", "embeddings")
+        # Key folds N_SHARDS: the shard column is baked into the staged
+        # rows and _incr_token() does not carry it — a shard-count retune
+        # must rotate this stage, not serve 16-shard rows (the same
+        # invalidation contract as the closure stages).
+        spark,
+        sf_dir,
+        f"mandigest_{_n_shards()}",
+        build,
+        tables=("documents", "embeddings"),
     )
 
 
@@ -2233,4 +2248,147 @@ def incremental_manifest_with_deletes(
     )
     return _apply_manifest_delta(
         _standing_manifest_digest(spark, sf_dir), adds, removes, retoken
+    )
+
+
+def _standing_shard_files(spark: SparkSession, sf_dir: str) -> str:
+    """Stage path of the PHYSICAL standing shard files: the standing
+    selection's (doc_id, n_toks) rows written partitioned by the manifest
+    hash shard — the data files a training run mounts, in the layout the
+    copy-on-write refresh rewrites per shard. One task per shard
+    (repartition on the partition key) keeps the layout O(shards) files,
+    the fanout sink's clustered contract."""
+    from ting_data_etl_spark.operators.dedup import _publish_stage
+
+    # N_SHARDS folded for the same reason as the digest stage: the shard
+    # directories ARE the staged layout.
+    out = _incr_stage_path(
+        sf_dir, f"shardfiles_{_n_shards()}", ("documents", "embeddings")
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        rows = (
+            _standing_selection(spark, sf_dir)
+            .join(
+                _standing_ledger(spark, sf_dir).select("doc_id", "n_toks"),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                "n_toks",
+                _manifest_shard_col(F.col("doc_id")).alias("shard"),
+            )
+            .repartition(F.col("shard"))
+        )
+        _publish_stage(rows, out, partition_by=("shard",))
+    return out
+
+
+@register("incremental_shard_sink_delta", oracle=_sql_manifest_update)
+def incremental_shard_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write daily shard refresh: rewrite ONLY delta-touched shards.
+
+    The physical half of :func:`incremental_manifest_update` — the
+    lakehouse snapshot move: the day's adds/removes touch a subset of
+    shards; those shards are rewritten (standing rows minus removes plus
+    adds) into a new snapshot directory while every untouched shard is
+    REFERENCED from the standing stage verbatim (zero bytes rewritten —
+    at ``capacity.manifest_shards`` production counts the touched
+    fraction, not the corpus, is the day's write bill). The returned
+    relation is the digest recomputed FROM THE FILES the snapshot
+    references — with the shard taken from the FILE LAYOUT, not re-hashed
+    — so the from-scratch oracle hash-checks selection delta → shard
+    routing → partitioned rewrite → read-back end to end: a row dropped,
+    duplicated, or written to the wrong shard directory flips that
+    shard's XOR digest against the oracle's id-derived sharding.
+    """
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from ting_data_etl_spark.operators.sampling import budget_ledger_df
+
+    staged_dir = _standing_shard_files(spark, sf_dir)
+    standing = spark.read.parquet(staged_dir)
+
+    post = (
+        corpus_incremental_selection(spark, sf_dir)
+        .filter(F.col("decision") == "selected")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    standing_sel = _standing_selection(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").filter(_batch_pred())
+    prices = _standing_ledger(spark, sf_dir).select(
+        "doc_id", "n_toks"
+    ).unionByName(budget_ledger_df(batch).select("doc_id", "n_toks"))
+    adds = (
+        post.join(standing_sel, "doc_id", "left_anti")
+        .join(prices, "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            _manifest_shard_col(F.col("doc_id")).alias("shard"),
+        )
+        .localCheckpoint(eager=True)  # touched-set collect + rewrite
+    )
+    removes = (
+        standing_sel.join(post, "doc_id", "left_anti")
+        .select(
+            "doc_id", _manifest_shard_col(F.col("doc_id")).alias("shard")
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r["shard"]
+        for r in adds.select("shard")
+        .unionByName(removes.select("shard"))
+        .distinct()
+        .collect()
+    )
+
+    untouched = standing.filter(~F.col("shard").isin(touched)).select(
+        "doc_id", "n_toks", F.col("shard").cast("int").alias("shard")
+    )
+    if not touched:
+        back = untouched
+    else:
+        root = os.path.join(tempfile.gettempdir(), "ting_shard_cow")
+        if os.path.isdir(root):  # bound the disk repeated runs leak
+            cutoff = time.time() - 3600
+            for dname in os.listdir(root):
+                p = os.path.join(root, dname)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+        run = os.path.join(root, uuid.uuid4().hex)
+        (
+            standing.filter(F.col("shard").isin(touched))  # partition-pruned
+            .select("doc_id", "n_toks")
+            .join(removes.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("shard", _manifest_shard_col(F.col("doc_id")))
+            .unionByName(adds)
+            .repartition(F.col("shard"))  # one task per shard
+            .write.partitionBy("shard")
+            .parquet(run)
+        )
+        back = (
+            spark.read.parquet(run)
+            .select("doc_id", "n_toks", F.col("shard").cast("int").alias("shard"))
+            .unionByName(untouched)
+        )
+    return (
+        back.select(
+            "shard",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            _manifest_hash_col(F.col("doc_id")).alias("dh"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.expr("bit_xor(dh)").alias("ids_xor"),
+        )
     )
