@@ -188,6 +188,21 @@ PINNED = [
     # relation re-deriving the nested selection past its checkpoint, or
     # the read-back rollup growing extra exchanges
     "corpus_manifest_shard_sink",
+    # r12 incremental manifests: the XOR-digest fold must stay a union of
+    # the N_SHARDS staged rows + delta legs into ONE shard-keyed rollup —
+    # extra document scans mean a delta leg re-derived the selection past
+    # its checkpoint, or token prices stopped coming from the staged ledger
+    "incremental_manifest_update",
+    "incremental_manifest_with_deletes",
+    # r12 COW sink: read-back = touched-run files + partition-PRUNED
+    # standing scan — a full standing-layout scan (lost partition filter)
+    # or an extra exchange in the fold is the regression
+    "incremental_shard_sink_delta",
+    # r12 per-source budget: the (source, band) windowed prefix + TWO
+    # broadcast joins (offsets, totals) — a rangepartitioning exchange or
+    # a lost broadcast here means the skew-safe shape regressed to a
+    # per-source single-reducer window
+    "corpus_source_budget_head",
 ]
 
 #: feature name -> regex counted over the formatted physical plan. The
