@@ -955,3 +955,36 @@ def test_manifest_stage_keys_rotate_on_shard_retune(sf_dir):
     finally:
         SA.N_SHARDS = prev
     assert all(a != b for a, b in zip(base, retuned))
+
+
+def test_manifest_digest_folds_forward_across_days(spark):
+    """Two chained delta folds over planted selections: day 2 folds onto
+    DAY 1'S OUTPUT (not a rebuilt standing digest), and the result equals
+    the from-scratch rollup of the day-2 selection — the forward-fold
+    property that makes the digest a running state, with a doc removed on
+    day 1 RE-ADDED on day 2 (XOR self-inverse twice over)."""
+    from ting_data_etl_spark.operators.incremental import (
+        _apply_manifest_delta,
+        _digest_rollup_df,
+    )
+
+    def df(ids):
+        return spark.createDataFrame(
+            [(i, 100 + i) for i in sorted(ids)], "doc_id long, n_toks long"
+        )
+
+    s0 = set(range(1, 31))
+    # day 1: add 31-35, remove 3 and 7
+    adds1, rem1 = {31, 32, 33, 34, 35}, {3, 7}
+    s1 = (s0 | adds1) - rem1
+    d1 = _apply_manifest_delta(_digest_rollup_df(df(s0)), df(adds1), df(rem1))
+    assert sorted(map(tuple, d1.collect())) == sorted(
+        map(tuple, _digest_rollup_df(df(s1)).collect())
+    )
+    # day 2 folds onto d1: re-add 7, add 36, remove 31 (a day-1 add)
+    adds2, rem2 = {7, 36}, {31}
+    s2 = (s1 | adds2) - rem2
+    d2 = _apply_manifest_delta(d1, df(adds2), df(rem2))
+    assert sorted(map(tuple, d2.collect())) == sorted(
+        map(tuple, _digest_rollup_df(df(s2)).collect())
+    )
