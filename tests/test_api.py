@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from tests.conftest import SF_DIR
+
 
 def test_facade_final_selection_is_the_registered_capstone(spark, sf_dir):
     """The registered query delegates to the façade — row-identical by
@@ -52,7 +54,7 @@ def test_pipeline_facade_is_the_registered_jobs(spark):
     from ting_data_etl_spark.api import Pipeline
     from ting_data_etl_spark.plans import jobs
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     p = Pipeline(spark, sf)
     pairs = [
         (p.annual_referral_kpi, jobs.job_23_1),
@@ -76,7 +78,7 @@ def test_pipeline_fanout_roundtrip_is_clean(spark, tmp_path):
     from ting_data_etl_spark.api import Pipeline
     from ting_data_etl_spark.operators.verify import fanout_source
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     p = Pipeline(spark, sf)
     src = fanout_source(spark, sf)
     report = {

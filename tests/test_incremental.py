@@ -588,9 +588,12 @@ def test_sem_drift_guard_fires_on_planted_drift(spark):
     import warnings
 
     from ting_data_etl_spark.operators.incremental import _sem_drift_guard
+    from ting_data_etl_spark.operators.similarity import occupancy_shares
 
-    standing = spark.createDataFrame(
-        [(i, i % 4) for i in range(400)], "vec_id long, list_id int"
+    standing = occupancy_shares(
+        spark.createDataFrame(
+            [(i, i % 4) for i in range(400)], "vec_id long, list_id int"
+        )
     )
     drifted = spark.createDataFrame(
         [(1000 + i, 0) for i in range(100)], "vec_id long, list_id int"

@@ -198,10 +198,11 @@ PINNED = [
     # standing scan — a full standing-layout scan (lost partition filter)
     # or an extra exchange in the fold is the regression
     "incremental_shard_sink_delta",
-    # r12 per-source budget: the (source, band) windowed prefix + TWO
-    # broadcast joins (offsets, totals) — a rangepartitioning exchange or
-    # a lost broadcast here means the skew-safe shape regressed to a
-    # per-source single-reducer window
+    # r12 per-source budget: the return is eagerly checkpointed (budget-
+    # head precedent), so the digest is the all-zero post-checkpoint pin —
+    # it guards only against operators appearing AFTER the checkpoint; the
+    # (source, band) windowed shape itself is guarded by the oracle + the
+    # per-source tight-prefix pytest, not by this pin
     "corpus_source_budget_head",
 ]
 

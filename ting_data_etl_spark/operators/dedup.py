@@ -1265,6 +1265,47 @@ def _stage_dir(sf_dir: str, fp_parts: list[str]) -> str:
     )
 
 
+def new_run_dir(root: str) -> str:
+    """Mint a per-invocation run dir under *root*, sweeping stale siblings.
+
+    ONE definition of the tempdir run-output lifecycle (the r12 review
+    found the sweep copy-pasted across three sinks, and its 1-hour TTL
+    could delete a run whose lazily-returned DataFrame a long-lived caller
+    still held): run dirs are named ``<pid>-<hex>`` and a sibling is
+    pruned when its creator process is DEAD — a live process may still
+    read its files, a dead one cannot (the session died with it) — or,
+    as a recycled-pid / legacy-name bound, when it is older than 24 h.
+    Returns the new run dir path, NOT created (parquet writers refuse an
+    existing target; callers that append subdirs makedirs it themselves).
+    """
+    import os
+    import shutil
+    import time
+    import uuid
+
+    if os.path.isdir(root):
+        now = time.time()
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            try:
+                age = now - os.path.getmtime(p)
+                pid = int(d.split("-", 1)[0]) if "-" in d else None
+            except (OSError, ValueError):
+                pid, age = None, 0.0
+            dead = False
+            if pid is not None:
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    dead = True
+                except OSError:
+                    pass
+            if dead or age > 24 * 3600:
+                shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{os.getpid()}-{uuid.uuid4().hex}")
+
+
 def _source_fp(sf_dir: str, table: str) -> str:
     import os
 

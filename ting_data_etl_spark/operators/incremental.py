@@ -653,7 +653,26 @@ def _merged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return untouched_pairs.unionByName(touched_pairs).distinct()
 
 
-def _sem_drift_guard(standing_sem: DataFrame, batch_sem: DataFrame) -> float:
+#: Standing-side occupancy shares cached per staged sem path: the standing
+#: assignment is FIXED per fingerprint, so its k-row rollup runs once per
+#: (process, artifact) instead of on every plan build of _merged_semdedup
+#: (the round-12 review found the per-call rollup re-scanned the whole
+#: standing relation each time a composing query was merely constructed).
+_SEM_OCC_CACHE: dict[str, dict[int, float]] = {}
+
+
+def _standing_sem_shares(spark: SparkSession, sf_dir: str) -> dict[int, float]:
+    from ting_data_etl_spark.operators.similarity import occupancy_shares
+
+    key = _incr_stage_path(sf_dir, "sem", ("documents", "embeddings"))
+    if key not in _SEM_OCC_CACHE:
+        _SEM_OCC_CACHE[key] = occupancy_shares(_standing_sem(spark, sf_dir))
+    return _SEM_OCC_CACHE[key]
+
+
+def _sem_drift_guard(
+    standing_shares: dict[int, float], batch_sem: DataFrame
+) -> float:
     """Warn when batch occupancy drifts from the pinned coarse model's fit.
 
     Mirror of ``similarity_incremental_ivf``'s ``INCR_REFIT_TV`` tripwire
@@ -661,19 +680,21 @@ def _sem_drift_guard(standing_sem: DataFrame, batch_sem: DataFrame) -> float:
     so many batches after the pin, arrivals from a shifted distribution
     would still be assigned to the old cells — correctness stays
     oracle-protected (the oracle uses the same pinned artifact), but prune
-    QUALITY silently degrades as cells stop describing the data. Both
-    occupancy reads aggregate to at most k rows (k = KMEANS_LISTS), so
-    the guard costs two bounded-scalar collects, never a data collect.
-    Returns the TV so scale probes can record it.
+    QUALITY silently degrades as cells stop describing the data. The
+    standing side arrives as CACHED shares (fixed per fingerprint); the
+    batch side aggregates to at most k rows (k = KMEANS_LISTS) — a
+    bounded-scalar collect, never a data collect. Returns the TV so scale
+    probes can record it.
     """
     import warnings
 
     from ting_data_etl_spark.operators.similarity import (
         INCR_REFIT_TV,
-        incremental_drift_tv,
+        occupancy_shares,
+        tv_distance,
     )
 
-    tv = incremental_drift_tv(standing_sem, batch_sem)
+    tv = tv_distance(standing_shares, occupancy_shares(batch_sem))
     if tv > INCR_REFIT_TV:
         warnings.warn(
             f"incremental semdedup: batch/list occupancy drifted "
@@ -719,7 +740,7 @@ def _merged_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # one Arrow assignment, two consumers
     )
     standing = _standing_sem(spark, sf_dir)
-    _sem_drift_guard(standing, qb)
+    _sem_drift_guard(_standing_sem_shares(spark, sf_dir), qb)
     members = standing.withColumn("is_b", F.lit(False)).unionByName(
         qb.withColumn("is_b", F.lit(True))
     )
@@ -1153,10 +1174,7 @@ def streaming_incremental_arrival_gate(
     index shuffle, leaving the scan — which a production deployment
     shrinks further by retuning INDEX_BUCKETS with the corpus.
     """
-    import shutil
     import tempfile
-    import time
-    import uuid
 
     from ting_data_etl_spark.operators.curation import gopher_metrics_df
     from ting_data_etl_spark.operators.dedup import (
@@ -1174,22 +1192,12 @@ def streaming_incremental_arrival_gate(
         .parquet(staged)
     )
     # per-run output root; the run dir must survive this call (the caller
-    # reads the returned DataFrame lazily), so instead of deleting our own
-    # dir we best-effort prune SIBLING runs older than an hour — bounding
-    # the disk this leaks across repeated driver/bench invocations
-    # without racing a concurrent run (ADVICE r11).
-    root = os.path.join(tempfile.gettempdir(), "ting_arrival_gate")
-    if os.path.isdir(root):
-        cutoff = time.time() - 3600
-        for d in os.listdir(root):
-            p = os.path.join(root, d)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
-    base = os.path.join(root, uuid.uuid4().hex)
-    os.makedirs(base, exist_ok=True)
+    # reads the returned DataFrame lazily), so sibling cleanup is the
+    # shared pid-aware sweep (dead creators only — ADVICE r11 + r12 review)
+    from ting_data_etl_spark.operators.dedup import new_run_dir
+
+    base = new_run_dir(os.path.join(tempfile.gettempdir(), "ting_arrival_gate"))
+    os.makedirs(base, exist_ok=True)  # per-batch subdirs land under it
 
     def gate(batch_df, batch_id: int) -> None:
         from ting_data_etl_spark.operators.dedup import MINHASH_BANDS
@@ -2104,19 +2112,17 @@ tok AS (
 """
 
 
-@register("incremental_manifest_update", oracle=_sql_manifest_update)
-def incremental_manifest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily manifest maintenance: fold the batch's selection delta into the
-    standing per-shard digest — O(delta) rows touched, no shard re-listed.
+def _selection_delta(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The arrivals day's PRICED selection delta: (adds, removes), each
+    carrying (doc_id, n_toks).
 
-    Consumes ``corpus_incremental_selection``'s post-merge decisions (the
-    oracle-checked O(batch-text) path), anti-joins them against the staged
-    standing selection to get the day's adds/removes, prices the delta from
+    ONE derivation shared by the maintained manifest and the COW shard
+    sink — their documented bit-equality rides on identical deltas, so
+    the derivation must not be duplicated (r12 review). Prices come from
     the staged ledger (standing flips) and the batch's own scoring (new
-    docs), and applies the XOR-digest algebra to the N_SHARDS staged rows.
-    The from-scratch oracle re-derives the whole digest from the full
-    selection statement, so a wrong shard hash, a dropped delta row, a
-    stale token price, or broken XOR algebra all hash-mismatch.
+    docs) — the only text this plan reads is the batch's.
     """
     from ting_data_etl_spark.operators.sampling import budget_ledger_df
 
@@ -2127,8 +2133,6 @@ def incremental_manifest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # two anti-join consumers
     )
     standing_sel = _standing_selection(spark, sf_dir)
-    # token prices: staged for standing docs, one O(batch) pass for batch
-    # docs — the only text this plan reads is the batch's
     batch = load_table(spark, sf_dir, "documents").filter(_batch_pred())
     prices = _standing_ledger(spark, sf_dir).select(
         "doc_id", "n_toks"
@@ -2139,6 +2143,22 @@ def incremental_manifest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes = standing_sel.join(post, "doc_id", "left_anti").join(
         prices, "doc_id"
     )
+    return adds, removes
+
+
+@register("incremental_manifest_update", oracle=_sql_manifest_update)
+def incremental_manifest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily manifest maintenance: fold the batch's selection delta into the
+    standing per-shard digest — O(delta) rows touched, no shard re-listed.
+
+    Consumes ``corpus_incremental_selection``'s post-merge decisions (the
+    oracle-checked O(batch-text) path) via the shared ``_selection_delta``
+    derivation and applies the XOR-digest algebra to the N_SHARDS staged
+    rows. The from-scratch oracle re-derives the whole digest from the
+    full selection statement, so a wrong shard hash, a dropped delta row,
+    a stale token price, or broken XOR algebra all hash-mismatch.
+    """
+    adds, removes = _selection_delta(spark, sf_dir)
     return _apply_manifest_delta(
         _standing_manifest_digest(spark, sf_dir), adds, removes
     )
@@ -2202,10 +2222,7 @@ def incremental_manifest_with_deletes(
     re-edited (membership unchanged → no xor term, count unchanged, token
     delta only).
     """
-    from ting_data_etl_spark.operators.dedup import (
-        _incr_mh_deleted,
-        _incr_mh_readded,
-    )
+    from ting_data_etl_spark.operators.dedup import _incr_mh_readded
     from ting_data_etl_spark.operators.sampling import budget_ledger_df
 
     post = (
@@ -2301,31 +2318,16 @@ def incremental_shard_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated, or written to the wrong shard directory flips that
     shard's XOR digest against the oracle's id-derived sharding.
     """
-    import shutil
     import tempfile
-    import time
-    import uuid
 
-    from ting_data_etl_spark.operators.sampling import budget_ledger_df
+    from ting_data_etl_spark.operators.dedup import new_run_dir
 
     staged_dir = _standing_shard_files(spark, sf_dir)
     standing = spark.read.parquet(staged_dir)
 
-    post = (
-        corpus_incremental_selection(spark, sf_dir)
-        .filter(F.col("decision") == "selected")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    standing_sel = _standing_selection(spark, sf_dir)
-    batch = load_table(spark, sf_dir, "documents").filter(_batch_pred())
-    prices = _standing_ledger(spark, sf_dir).select(
-        "doc_id", "n_toks"
-    ).unionByName(budget_ledger_df(batch).select("doc_id", "n_toks"))
+    d_adds, d_removes = _selection_delta(spark, sf_dir)
     adds = (
-        post.join(standing_sel, "doc_id", "left_anti")
-        .join(prices, "doc_id")
-        .select(
+        d_adds.select(
             "doc_id",
             "n_toks",
             _manifest_shard_col(F.col("doc_id")).alias("shard"),
@@ -2333,8 +2335,7 @@ def incremental_shard_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # touched-set collect + rewrite
     )
     removes = (
-        standing_sel.join(post, "doc_id", "left_anti")
-        .select(
+        d_removes.select(
             "doc_id", _manifest_shard_col(F.col("doc_id")).alias("shard")
         )
         .localCheckpoint(eager=True)
@@ -2353,17 +2354,7 @@ def incremental_shard_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not touched:
         back = untouched
     else:
-        root = os.path.join(tempfile.gettempdir(), "ting_shard_cow")
-        if os.path.isdir(root):  # bound the disk repeated runs leak
-            cutoff = time.time() - 3600
-            for dname in os.listdir(root):
-                p = os.path.join(root, dname)
-                try:
-                    if os.path.getmtime(p) < cutoff:
-                        shutil.rmtree(p, ignore_errors=True)
-                except OSError:
-                    pass
-        run = os.path.join(root, uuid.uuid4().hex)
+        run = new_run_dir(os.path.join(tempfile.gettempdir(), "ting_shard_cow"))
         (
             standing.filter(F.col("shard").isin(touched))  # partition-pruned
             .select("doc_id", "n_toks")
@@ -2375,7 +2366,11 @@ def incremental_shard_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(run)
         )
         back = (
-            spark.read.parquet(run)
+            # explicit schema: a pure-removal day can empty EVERY touched
+            # shard, leaving a part-file-less run dir that schema
+            # inference cannot read (r12 review)
+            spark.read.schema("doc_id long, n_toks long, shard int")
+            .parquet(run)
             .select("doc_id", "n_toks", F.col("shard").cast("int").alias("shard"))
             .unionByName(untouched)
         )

@@ -1561,23 +1561,12 @@ def corpus_manifest_shard_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     or mis-routed flips that shard's id-order md5 and hash-mismatches.
     """
     import os
-    import shutil
     import tempfile
-    import time
-    import uuid
+
+    from ting_data_etl_spark.operators.dedup import new_run_dir
 
     ranked = _selection_shard_rows(spark, sf_dir)
-    root = os.path.join(tempfile.gettempdir(), "ting_manifest_sink")
-    if os.path.isdir(root):  # bound the disk repeated runs leak
-        cutoff = time.time() - 3600
-        for d in os.listdir(root):
-            p = os.path.join(root, d)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
-    out = os.path.join(root, uuid.uuid4().hex)
+    out = new_run_dir(os.path.join(tempfile.gettempdir(), "ting_manifest_sink"))
     (
         ranked.repartition(F.col("shard"))
         .sortWithinPartitions("shard")

@@ -1568,22 +1568,30 @@ def _staged_incr_index(
     return spark.read.parquet(out)
 
 
-def incremental_drift_tv(standing_idx: DataFrame, batch_idx: DataFrame) -> float:
-    """Total-variation distance between list-occupancy distributions.
+def occupancy_shares(df: DataFrame) -> dict[int, float]:
+    """Per-list occupancy shares of a (.., list_id) relation — aggregates
+    to at most k rows (k = number of lists): a bounded-scalar model read,
+    never a data collect."""
+    rows = df.groupBy("list_id").count().collect()
+    total = sum(r["count"] for r in rows) or 1
+    return {r["list_id"]: r["count"] / total for r in rows}
 
-    The drift guard: both inputs are (.., list_id) relations; each
-    aggregates to at most k rows (k = number of lists), so the collect is
-    a bounded-scalar model read, never data. TV = ½·Σ|p_i − q_i|.
-    """
-    def shares(df: DataFrame) -> dict[int, float]:
-        rows = df.groupBy("list_id").count().collect()
-        total = sum(r["count"] for r in rows) or 1
-        return {r["list_id"]: r["count"] / total for r in rows}
 
-    p, q = shares(standing_idx), shares(batch_idx)
+def tv_distance(p: dict[int, float], q: dict[int, float]) -> float:
+    """Total-variation distance ½·Σ|p_i − q_i| between share dicts."""
     return 0.5 * sum(
         abs(p.get(i, 0.0) - q.get(i, 0.0)) for i in set(p) | set(q)
     )
+
+
+def incremental_drift_tv(standing_idx: DataFrame, batch_idx: DataFrame) -> float:
+    """Total-variation distance between list-occupancy distributions.
+
+    The drift guard (split into :func:`occupancy_shares` +
+    :func:`tv_distance` so a caller with a FIXED standing side can cache
+    its shares per staged fingerprint instead of re-scanning the standing
+    relation on every plan build)."""
+    return tv_distance(occupancy_shares(standing_idx), occupancy_shares(batch_idx))
 
 
 def _sql_incremental_ivf() -> str:
