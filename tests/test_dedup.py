@@ -652,3 +652,37 @@ class TestPagerankNearDup:
             assert r.rank_fixed >= base
         total = sum(r.rank_fixed for r in rows)
         assert total <= dd.PAGERANK_SCALE
+
+
+class TestNewRunDir:
+    def test_unparseable_pid_dir_pruned_by_age(self, tmp_path):
+        """ADVICE r12: a sibling whose name has no parseable pid prefix
+        ('foo-bar') must still be pruned by the 24 h fallback — the old
+        combined except reset a MEASURED age to 0.0 on the pid
+        ValueError, so such dirs leaked forever."""
+        import os
+        import time
+
+        from ting_data_etl_spark.operators.dedup import new_run_dir
+
+        root = str(tmp_path / "runs")
+        os.makedirs(os.path.join(root, "foo-bar"))
+        old = time.time() - 25 * 3600
+        os.utime(os.path.join(root, "foo-bar"), (old, old))
+        # fresh unparseable sibling must survive (not pid-pruned, too young)
+        os.makedirs(os.path.join(root, "baz-qux"))
+        new_run_dir(root)
+        assert not os.path.exists(os.path.join(root, "foo-bar"))
+        assert os.path.exists(os.path.join(root, "baz-qux"))
+
+    def test_dead_pid_dir_pruned_live_pid_kept(self, tmp_path):
+        import os
+
+        from ting_data_etl_spark.operators.dedup import new_run_dir
+
+        root = str(tmp_path / "runs")
+        os.makedirs(os.path.join(root, "999999999-dead"))
+        os.makedirs(os.path.join(root, f"{os.getpid()}-live"))
+        new_run_dir(root)
+        assert not os.path.exists(os.path.join(root, "999999999-dead"))
+        assert os.path.exists(os.path.join(root, f"{os.getpid()}-live"))

@@ -198,13 +198,34 @@ PINNED = [
     # standing scan — a full standing-layout scan (lost partition filter)
     # or an extra exchange in the fold is the regression
     "incremental_shard_sink_delta",
-    # r12 per-source budget: the return is eagerly checkpointed (budget-
-    # head precedent), so the digest is the all-zero post-checkpoint pin —
-    # it guards only against operators appearing AFTER the checkpoint; the
-    # (source, band) windowed shape itself is guarded by the oracle + the
-    # per-source tight-prefix pytest, not by this pin
+    # r12 per-source budget — pinned via its PRE-checkpoint plan builder
+    # (see PRE_CHECKPOINT below): the registered query eagerly checkpoints,
+    # so pinning its return would record all zeros and guard nothing
+    # (ADVICE r12). The pin must keep the (source, band) window + the two
+    # broadcast joins and must show NO single-partition exchange.
     "corpus_source_budget_head",
 ]
+
+
+def _source_budget_head_precheckpoint(spark, sf_dir):
+    """Digest target for corpus_source_budget_head: the lazy inner plan."""
+    from ting_data_etl_spark.operators.sampling import (
+        _source_budget_head_plan,
+    )
+
+    lazy, banded = _source_budget_head_plan(spark, sf_dir)
+    try:
+        return plan_digest(spark, lazy)
+    finally:
+        banded.unpersist()
+
+
+#: query name -> callable(spark, sf_dir) -> digest, for queries whose
+#: registered return is an eager checkpoint (pinning that would guard
+#: nothing); the callable digests the pre-checkpoint plan instead.
+PRE_CHECKPOINT = {
+    "corpus_source_budget_head": _source_budget_head_precheckpoint,
+}
 
 #: feature name -> regex counted over the formatted physical plan. The
 #: Python-eval features distinguish Arrow-vectorized (sanctioned) from
@@ -265,7 +286,10 @@ REGEN = os.environ.get("PLAN_PINS_REGEN") == "1"
 
 @pytest.mark.parametrize("name", PINNED)
 def test_plan_digest_pinned(name, spark, sf_dir, queries):
-    digest = plan_digest(spark, queries[name](spark, sf_dir))
+    if name in PRE_CHECKPOINT:
+        digest = PRE_CHECKPOINT[name](spark, sf_dir)
+    else:
+        digest = plan_digest(spark, queries[name](spark, sf_dir))
     pins = _load_pins()
     if REGEN:
         pins[name] = digest

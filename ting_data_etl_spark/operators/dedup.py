@@ -1289,9 +1289,15 @@ def new_run_dir(root: str) -> str:
             p = os.path.join(root, d)
             try:
                 age = now - os.path.getmtime(p)
+            except OSError:
+                age = 0.0
+            try:
+                # parsed separately: an unparseable name (e.g. a legacy
+                # 'foo-bar' dir) must NOT reset a measured age to 0.0, or
+                # the 24 h fallback never prunes it (ADVICE r12)
                 pid = int(d.split("-", 1)[0]) if "-" in d else None
-            except (OSError, ValueError):
-                pid, age = None, 0.0
+            except ValueError:
+                pid = None
             dead = False
             if pid is not None:
                 try:

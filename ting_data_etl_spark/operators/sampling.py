@@ -1274,6 +1274,25 @@ def corpus_source_budget_head(
     #sources-row aggregate. The ledger is built once (one text pass);
     the source column rides a second scan pruned to (doc_id, source).
     """
+    lazy, banded = _source_budget_head_plan(spark, sf_dir, n_bands)
+    try:
+        return lazy.localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
+
+
+def _source_budget_head_plan(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """The LAZY per-source budget plan plus the persisted banded relation.
+
+    Split from :func:`corpus_source_budget_head` so the plan-pin suite can
+    digest the PRE-checkpoint plan (the r12 query checkpointed eagerly, so
+    its committed pin was all zeros and guarded nothing — ADVICE r12). The
+    registered query checkpoints the returned plan and unpersists
+    ``banded``; a pin caller digests without executing and unpersists the
+    same handle.
+    """
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1326,11 +1345,11 @@ def corpus_source_budget_head(
                 F.col("cum_before") < F.expr(f"total * {BUDGET_PCT} DIV 100")
             )
             .select("doc_id", "source", "n_toks", "cum_before")
-            .localCheckpoint(eager=True)
         )
-        return out
-    finally:
+        return out, banded
+    except Exception:
         banded.unpersist()
+        raise
 
 
 # --- multi-epoch oversampling mixture ----------------------------------------
