@@ -661,9 +661,10 @@ class TestManifestShardSink:
 
     def test_manifest_readback_detects_corruption(self, spark, sf_dir):
         """The read-back rollup must FLIP when the written tree is torn —
-        drop one shard's part-file and the missing shard plus its md5
+        drop one shard's part-file and the missing shard plus its digest
         divergence must show (the auditor property; the positive test
-        alone can't prove the checksum does anything)."""
+        alone can't prove the checksum does anything). Exercises BOTH
+        checksums: the default XOR digest and the optional ordered md5."""
         import glob
         import os
         import shutil
@@ -686,16 +687,44 @@ class TestManifestShardSink:
             back = _manifest_rollup(
                 spark.read.option("basePath", torn)
                 .parquet(os.path.join(torn, "shard=*"))
-                .select("doc_id", "n_toks", "shard")
-            )
+                .select("doc_id", "n_toks", "shard"),
+                ordered_md5=True,
+            ).collect()
             manifest = {
-                r["shard"]: r["doc_ids_md5"]
+                r["shard"]: r["ids_xor"]
                 for r in corpus_selection_manifest(spark, sf_dir).collect()
             }
-            got = {r["shard"]: r["doc_ids_md5"] for r in back.collect()}
+            got = {r["shard"]: r["ids_xor"] for r in back}
             assert set(got) == set(manifest) - {3}
-            for s, md5 in got.items():
-                assert md5 == manifest[s], s
+            for s, xd in got.items():
+                assert xd == manifest[s], s
+            # the optional ordered checksum rides the same rollup and must
+            # agree with an independently computed id-order md5
+            import hashlib
+
+            rows = (
+                spark.read.option("basePath", run)
+                .parquet(os.path.join(run, "shard=*"))
+                .select("doc_id", "shard")
+                .collect()
+            )
+            by_shard: dict[int, list[int]] = {}
+            for r in rows:
+                by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+            full = {
+                r["shard"]: r["doc_ids_md5"]
+                for r in _manifest_rollup(
+                    spark.read.option("basePath", run)
+                    .parquet(os.path.join(run, "shard=*"))
+                    .select("doc_id", "n_toks", "shard"),
+                    ordered_md5=True,
+                ).collect()
+            }
+            for s, ids in by_shard.items():
+                want = hashlib.md5(
+                    ",".join(str(i) for i in sorted(ids)).encode()
+                ).hexdigest()
+                assert full[s] == want, s
         finally:
             shutil.rmtree(torn, ignore_errors=True)
 

@@ -73,6 +73,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ting_data_etl_spark.registry import register
+# the 60-bit XOR member term lives in sampling (the manifest home); ONE
+# definition serves the rank-sharded manifest and this hash-sharded digest
+# family (VERDICT r12 #3)
+from ting_data_etl_spark.operators.sampling import _manifest_hash_col
 from ting_data_etl_spark.sources.tables import load_table
 
 
@@ -1887,18 +1891,6 @@ def _manifest_shard_col(col: F.Column) -> F.Column:
     ).cast("int")
 
 
-def _manifest_hash_col(col: F.Column) -> F.Column:
-    """60-bit portable doc hash — the XOR set digest's member term (15 hex
-    digits keeps it positive and exactly representable in both engines)."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("manifest|"), col.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).try_cast("long")
-
-
 def _sql_manifest_shard(expr: str) -> str:
     from ting_data_etl_spark.operators.sampling import N_SHARDS
 
@@ -1908,14 +1900,9 @@ def _sql_manifest_shard(expr: str) -> str:
     )
 
 
-def _sql_manifest_hash(expr: str) -> str:
-    return (
-        f"CAST('0x' || substr(md5('manifest|' || CAST({expr} AS VARCHAR)), "
-        "1, 15) AS BIGINT)"
-    )
-
-
 def _sql_digest_rollup() -> str:
+    from ting_data_etl_spark.operators.sampling import _sql_manifest_hash
+
     return f"""
 SELECT CAST({_sql_manifest_shard("doc_id")} AS INTEGER) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1434,8 +1434,8 @@ def _sql_selection_manifest() -> str:
     """The full final-selection statement nested as a subquery (the
     can-never-disagree trick of the funnel/trimmed oracles), its
     ``selected`` ids sharded by the single-window reference rank, with a
-    per-shard id checksum so shard MEMBERSHIP is hash-checked, not just
-    volumes."""
+    per-shard XOR membership digest so shard MEMBERSHIP is hash-checked,
+    not just volumes (same algebra as the incremental digest family)."""
     from ting_data_etl_spark.operators.curation import _sql_final_selection
 
     return f"""
@@ -1455,8 +1455,7 @@ ranked AS (
 SELECT CAST(shard AS INTEGER) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-         AS doc_ids_md5
+       CAST(bit_xor({_sql_manifest_hash("doc_id")}) AS BIGINT) AS ids_xor
 FROM ranked GROUP BY shard
 """
 
@@ -1468,8 +1467,8 @@ def corpus_selection_manifest(
     """The training-corpus manifest: selected docs sharded, checksummed.
 
     What a curation run actually hands to the training job next to the
-    data: per output shard, the document count, token total, and an md5
-    over the member ids in id order — the lineage record that lets a
+    data: per output shard, the document count, token total, and the XOR
+    set digest over the member ids — the lineage record that lets a
     training run (or an auditor) verify it read EXACTLY the corpus the
     selection decided, not volumes that happen to match. Composes the two
     verified verbs: ``corpus_final_selection``'s ``selected`` set feeds
@@ -1481,7 +1480,7 @@ def corpus_selection_manifest(
     read it: quantile cuts, band offsets, the ranked rollup); the global
     rank is the shared banded two-phase scan — no global sort, no
     single-partition window. The checksum rides the shard rollup's
-    existing aggregation (a sort_array over each shard's ~N/16 ids).
+    existing aggregation (a constant-width XOR fold per member).
     """
     # rollup checkpointed: the 16-row relation is read multiple times by
     # every consumer (driver compare, hashing) — same shape as pre-r12
@@ -1542,23 +1541,65 @@ def _selection_shard_rows(
         banded.unpersist()
 
 
-def _manifest_rollup(ranked: DataFrame) -> DataFrame:
-    """Per-shard (n_docs, total_tokens, doc_ids_md5) over (doc_id, n_toks,
-    shard) rows — the id-order md5 is the membership checksum; running the
-    SAME rollup over written-then-read-back rows is what makes the sink
-    verifiable against the manifest."""
-    return ranked.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+def _manifest_hash_col(col: F.Column) -> F.Column:
+    """60-bit portable doc hash — the XOR set digest's member term (15 hex
+    digits keeps it positive and exactly representable in both engines).
+
+    ONE definition shared by the rank-sharded manifest rollup here and the
+    incremental hash-sharded digest family (``operators.incremental``) —
+    both manifest flavors verify membership with the same algebra
+    (VERDICT r12 #3)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("manifest|"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).try_cast("long")
+
+
+def _sql_manifest_hash(expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('manifest|' || CAST({expr} AS VARCHAR)), "
+        "1, 15) AS BIGINT)"
+    )
+
+
+def _manifest_rollup(ranked: DataFrame, ordered_md5: bool = False) -> DataFrame:
+    """Per-shard (n_docs, total_tokens, ids_xor) over (doc_id, n_toks,
+    shard) rows.
+
+    The membership checksum is the order-independent 60-bit XOR set digest
+    (constant-width per-row algebra — a member's hash folds in with plain
+    aggregation state, so a production shard's rollup never concentrates
+    its full id list in one buffer). Running the SAME rollup over
+    written-then-read-back rows is what makes the sink verifiable against
+    the manifest. *ordered_md5* additionally emits the id-ORDER md5 — the
+    stronger sequenced checksum for consumers that must pin member order,
+    at the cost of collecting each shard's ids into one aggregation buffer
+    (bounded by ``capacity.manifest_shards``; keep it off hot paths —
+    VERDICT r12 #3 demoted it from the default)."""
+    aggs = [
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("doc_ids_md5"),
+        F.expr("bit_xor(__dh)").alias("ids_xor"),
+    ]
+    if ordered_md5:
+        aggs.append(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("doc_ids_md5")
+        )
+    return (
+        ranked.withColumn("__dh", _manifest_hash_col(F.col("doc_id")))
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(*aggs)
     )
 
 
@@ -1577,7 +1618,8 @@ def corpus_manifest_shard_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_sampling.py::test_manifest_shard_sink_file_count``), with
     dynamic-partition parquet — at 100 TB each shard is one columnar
     stream a trainer mounts directly. Any row the sink dropped, duplicated
-    or mis-routed flips that shard's id-order md5 and hash-mismatches.
+    or mis-routed flips that shard's XOR membership digest and
+    hash-mismatches.
     """
     import os
     import tempfile
