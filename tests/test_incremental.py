@@ -991,3 +991,218 @@ def test_manifest_digest_folds_forward_across_days(spark):
     assert sorted(map(tuple, d2.collect())) == sorted(
         map(tuple, _digest_rollup_df(df(s2)).collect())
     )
+
+
+# --- standing-state REBUILD lifecycle (VERDICT r12 #1) ------------------------
+def _reindex_scratch_corpus(spark, tmp_path) -> str:
+    """A planted-drift corpus for the rebuild lifecycle.
+
+    Embedding regimes: regime A (the historical distribution) and regime B
+    (the shifted arrivals). Generation-0's batch (ids ≡ 1 mod 5) is PURE
+    regime B while generation-0's standing corpus holds only a sliver of B
+    — the drift guard must trip. Generation-1's standing corpus absorbs
+    those arrivals (B share 1/4) and its batch (ids ≡ 2 mod 5) is HALF B —
+    the post-rebuild mix the guard must accept (share-based TV 1/4 < 0.5,
+    vs 7/8 on day 0). Texts are unique letters-only words (gopher-passing)
+    with a planted benchmark phrase so the contamination leg is exercised.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 300
+    digits = "abcdefghij"
+
+    def letters(v: int) -> str:
+        return "".join(digits[int(c)] for c in str(v))
+
+    phrase = " ".join(f"bench{digits[k]}mark" for k in range(10))
+    docs, embs = [], []
+    for i in range(n):
+        words = [f"w{letters(i)}{letters(j)}" for j in range(25)]
+        text = " ".join(words)
+        if i % 13 == 0 or i % 41 == 0:
+            text = text + " " + phrase
+        docs.append((i, text, "en", f"src{i % 3}", len(text)))
+        is_b = (i % 5 == 1) or (i % 10 == 2)
+        base = [1.0] * 64
+        if is_b:
+            base[1] = 9.0
+        else:
+            base[0] = 9.0
+        # jitter varies WITHIN an id class (i // 5 spans all classes): a
+        # class-constant jitter would park each class's blob members on
+        # one private point and cell occupancy would stop tracking the
+        # regime shares the fixture plants
+        base[2] = 1.0 + (((i // 5) * 3) % 7) * 0.01
+        embs.append((i, base, i % 3))
+
+    d = str(tmp_path / "reindex_corpus")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": [r[2] for r in docs],
+                "source": [r[3] for r in docs],
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in embs], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in embs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in embs], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+def test_reindex_drift_lifecycle(spark, tmp_path):
+    """The full lifecycle the rebuild verb exists for: planted drift trips
+    the guard on day 0 → ``corpus_reindex`` rebuilds the standing state
+    under generation 1 → the next batch no longer trips AND its decisions
+    re-converge with from-scratch → a second rebuild epoch retires
+    generation 0 (the retention sweep is real, not a no-op)."""
+    import os
+    import warnings
+
+    from ting_data_etl_spark.operators.curation import corpus_final_selection
+    from ting_data_etl_spark.operators.dedup import (
+        _stage_dir,
+        purge_stages,
+    )
+    from ting_data_etl_spark.operators.incremental import (
+        corpus_incremental_selection,
+        corpus_reindex,
+    )
+
+    scratch = _reindex_scratch_corpus(spark, tmp_path)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def gen_dirs(gen: int) -> list[str]:
+        root = os.path.dirname(_stage_dir(scratch, ["x"]))
+        if not os.path.isdir(root):
+            return []
+        import re
+
+        out = []
+        for d in os.listdir(root):
+            for p in ("incrsel", "incr_sel_cc", "incrman_cc",
+                      "incr_bandsidx"):
+                if d.startswith(p + "_"):
+                    m = re.match(r"g(\d+)_", d[len(p) + 1 :])
+                    if (int(m.group(1)) if m else 0) == gen:
+                        out.append(d)
+                    break
+        return out
+
+    try:
+        full = rows(corpus_final_selection(spark, scratch))
+
+        # day 0: the arriving batch is pure regime B — the guard trips
+        with pytest.warns(UserWarning, match="pinned coarse model"):
+            day0 = rows(corpus_incremental_selection(spark, scratch, gen=0))
+        assert day0 == full  # drifted, but still oracle-exact
+
+        # REBUILD to generation 1; the post-rebuild batch must NOT trip
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            day1 = rows(corpus_reindex(spark, scratch, gen=1))
+        tripped = [
+            w for w in caught if "pinned coarse model" in str(w.message)
+        ]
+        assert not tripped, [str(w.message) for w in tripped]
+        # re-convergence: the rebuilt state's decisions == from-scratch
+        assert day1 == full
+        # retention keeps current + previous: gen 0 survives the first epoch
+        assert gen_dirs(0) and gen_dirs(1)
+
+        # second rebuild epoch: generation 0 must be RETIRED by the sweep
+        day2 = rows(corpus_reindex(spark, scratch, gen=2))
+        assert day2 == full
+        assert not gen_dirs(0), gen_dirs(0)
+        assert gen_dirs(1) and gen_dirs(2)
+    finally:
+        purge_stages(scratch)
+
+
+def test_snapshot_catalog_cow_sharing_and_gc(spark, sf_dir):
+    """The catalog must RECORD the copy-on-write sharing: day 1 references
+    day-0 files verbatim for every untouched shard and rewritten dirs for
+    touched ones; retiring day 0 reclaims EXACTLY the touched shards'
+    old versions (the reference-counted GC rule); and each day's catalog
+    digest rows equal the rollup of the files that day references."""
+    import re
+
+    from ting_data_etl_spark.operators.incremental import (
+        _cow_delta_parts,
+        _layout_digest_rollup,
+        _snapshot_catalog,
+        snapshot_gc_candidates,
+    )
+
+    cat = spark.read.parquet(_snapshot_catalog(spark, sf_dir))
+    rows = cat.collect()
+    day0 = {r["shard"]: r for r in rows if r["snapshot_id"] == 0}
+    day1 = {r["shard"]: r for r in rows if r["snapshot_id"] == 1}
+    _, _, _, _, touched = _cow_delta_parts(spark, sf_dir)
+    assert touched  # the fixture's arrivals must touch something
+
+    # COW sharing recorded: untouched shards reference day-0 dirs verbatim
+    for s, r in day1.items():
+        if s in touched:
+            assert r["file_ref"] != day0[s]["file_ref"], s
+        else:
+            assert r["file_ref"] == day0[s]["file_ref"], s
+
+    # GC rule: retiring day 0 reclaims exactly the touched shards' old dirs
+    gc = {
+        r["file_ref"]
+        for r in snapshot_gc_candidates(cat, retained=[1]).collect()
+    }
+    want = {
+        day0[s]["file_ref"]
+        for s in day0
+        if s in touched or s not in day1  # emptied shards also unreferenced
+    }
+    assert gc == want
+    # ...and retaining both days reclaims nothing
+    assert snapshot_gc_candidates(cat, retained=[0, 1]).count() == 0
+
+    # each day's digest rows == rollup of the files that day references
+    for day, want_rows in ((0, day0), (1, day1)):
+        refs = sorted({r["file_ref"] for r in want_rows.values()})
+        back = (
+            spark.read.schema("doc_id long, n_toks long")
+            .parquet(*refs)
+            .withColumn(
+                "shard",
+                F.regexp_extract(
+                    F.input_file_name(), r"shard=(\d+)", 1
+                ).cast("int"),
+            )
+        )
+        got = {
+            r["shard"]: r for r in _layout_digest_rollup(back).collect()
+        }
+        # day-1 reads of shared dirs see DAY-0 rows for untouched shards
+        # only; restrict the comparison to the shards the day lists
+        for s, w in want_rows.items():
+            g = got[s]
+            assert (g["n_docs"], g["total_tokens"], g["ids_xor"]) == (
+                w["n_docs"],
+                w["total_tokens"],
+                w["ids_xor"],
+            ), s
