@@ -351,3 +351,264 @@ class TestPhashNearDup:
             # near-dup relation (unless the shared band bucket is capped,
             # impossible for the tiny fixture)
             assert near.get(pair) == 0, (pair, near.get(pair))
+
+
+class TestRealPngCodec:
+    """The stdlib-zlib PNG path (VERDICT r12 #7): round-trips, planted
+    filter fixtures, hook parity with the PPM path, honest gating."""
+
+    def _arr(self, h, w, c, seed=0):
+        import numpy as np
+
+        # deterministic, busy enough that every filter produces distinct
+        # bytes (gradients + id-keyed noise)
+        i = np.arange(h * w * c, dtype=np.int64)
+        return ((i * 31 + seed * 7 + (i // w) * 11) % 256).astype(
+            np.uint8
+        ).reshape(h, w, c)
+
+    def test_roundtrip_rgb_and_rgba_all_filters(self):
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        for c in (3, 4):
+            for mode in ("none", "cycle"):
+                a = self._arr(13, 9, c, seed=c)
+                assert np.array_equal(
+                    decode_png(encode_png(a, filter_mode=mode)), a
+                ), (c, mode)
+
+    def test_planted_filter_scanlines(self):
+        """Hand-built PNG: one scanline per filter type, pixels chosen so
+        each inverse transform is actually exercised (nonzero left/up
+        deltas), checked against the raw array the filters were applied
+        to by an independent forward pass."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        h, w, bpp = 5, 4, 3
+        img = self._arr(h, w, bpp, seed=3).reshape(h, w * bpp).astype(int)
+        raw = bytearray()
+        for y in range(h):  # filter y on row y (0..4)
+            prev = img[y - 1] if y else np.zeros(w * bpp, dtype=int)
+            cur = img[y]
+            left = np.concatenate([np.zeros(bpp, dtype=int), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=int), prev[:-bpp]])
+            if y == 0:
+                line = cur
+            elif y == 1:
+                line = (cur - left) % 256
+            elif y == 2:
+                line = (cur - prev) % 256
+            elif y == 3:
+                line = (cur - (left + prev) // 2) % 256
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - prev),
+                    np.abs(p - ul),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                line = (cur - pred) % 256
+            raw.append(y)
+            raw.extend(bytes(int(x) for x in line))
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png(payload)
+        assert np.array_equal(got, img.reshape(h, w, bpp).astype(np.uint8))
+
+    def test_idat_split_and_ancillary_chunks_ok(self):
+        """IDAT segments must concatenate before ONE inflate; unknown
+        ancillary chunks are skipped (both per spec)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+            encode_png,
+        )
+
+        a = self._arr(6, 5, 3)
+        buf = encode_png(a, filter_mode="none")
+
+        # re-frame: split the single IDAT into two + insert a tEXt chunk
+        def chunks(b):
+            pos = len(_PNG_SIG)
+            while pos < len(b):
+                (ln,) = struct.unpack(">I", b[pos : pos + 4])
+                yield b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        parts = dict(chunks(buf))
+        idat = parts[b"IDAT"]
+        mid = len(idat) // 2
+        reframed = (
+            _PNG_SIG
+            + chunk(b"IHDR", parts[b"IHDR"])
+            + chunk(b"tEXt", b"comment\x00synthetic")
+            + chunk(b"IDAT", idat[:mid])
+            + chunk(b"IDAT", idat[mid:])
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(reframed), a)
+
+    def test_crc_corruption_fails_loudly(self):
+        import pytest
+
+        from ting_data_etl_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        buf = bytearray(encode_png(self._arr(4, 4, 3)))
+        buf[40] ^= 0xFF  # somewhere inside IDAT data
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            decode_png(bytes(buf))
+
+    def test_real_decoder_parity_ppm_vs_png(self):
+        """Same pixels, two containers → identical 8-feature vector (the
+        hook sees pixels, not bytes); RGBA drops alpha from the features
+        but keeps width/height."""
+        from ting_data_etl_spark.operators.multimodal import (
+            encode_png,
+            encode_ppm,
+            real_decoder,
+        )
+
+        a = self._arr(10, 7, 3, seed=5)
+        assert real_decoder(encode_ppm(a), "image") == real_decoder(
+            encode_png(a), "image"
+        )
+        rgba = self._arr(10, 7, 4, seed=5)
+        f = real_decoder(encode_png(rgba), "image")
+        assert f[0] == 7 and f[1] == 10
+
+    def test_real_resizer_png(self):
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import (
+            RESIZE_MAX_DIM,
+            decode_png,
+            encode_png,
+            ppm_downscale,
+            real_resizer,
+        )
+
+        big = self._arr(100, 80, 3, seed=2)
+        out = decode_png(real_resizer(encode_png(big), "image"))
+        assert max(out.shape[0], out.shape[1]) <= RESIZE_MAX_DIM
+        assert np.array_equal(out, ppm_downscale(big))
+        # RGBA rides the same rule, alpha plane preserved
+        rgba = self._arr(90, 70, 4, seed=9)
+        out4 = decode_png(real_resizer(encode_png(rgba), "image"))
+        assert out4.shape[2] == 4
+        assert np.array_equal(out4, ppm_downscale(rgba))
+
+    def test_jpeg_and_video_remain_gated(self):
+        import pytest
+
+        from ting_data_etl_spark.operators.multimodal import (
+            real_decoder,
+            real_framer,
+            real_resizer,
+        )
+
+        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+        for hook in (real_decoder, real_resizer):
+            with pytest.raises(NotImplementedError):
+                hook(jpeg, "image")
+        with pytest.raises(NotImplementedError):
+            real_framer(b"\x00\x00\x00\x18ftypmp42", "video")
+
+    def test_unsupported_png_shapes_fail_loudly(self):
+        """Scope is documented AND enforced: 16-bit, palette, interlaced
+        payloads raise instead of mis-decoding."""
+        import struct
+        import zlib
+
+        import pytest
+
+        from ting_data_etl_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        for depth, color, interlace, msg in (
+            (16, 2, 0, "bit depth"),
+            (8, 3, 0, "color type"),
+            (8, 2, 1, "interlaced"),
+        ):
+            payload = (
+                _PNG_SIG
+                + chunk(
+                    b"IHDR",
+                    struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0,
+                                interlace),
+                )
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                + chunk(b"IEND", b"")
+            )
+            with pytest.raises(ValueError, match=msg):
+                decode_png(payload)
+
+    def test_png_phash_equals_ppm_phash(self, spark, sf_dir):
+        """The registered PNG query's hash relation must be bit-identical
+        to the PPM one — pixels are codec-invariant, so any divergence is
+        a codec bug."""
+        from ting_data_etl_spark.operators.multimodal import phash_relation
+
+        ppm = sorted(
+            map(tuple, phash_relation(spark, sf_dir, "ppm").collect())
+        )
+        png = sorted(
+            map(tuple, phash_relation(spark, sf_dir, "png").collect())
+        )
+        assert ppm == png
