@@ -688,3 +688,130 @@ class TestPqRecallReport:
         assert (
             rows["ivfpq_rerank"].recall_at_5 >= rows["ivfpq"].recall_at_5
         ), rows
+
+
+class TestIndexRebuild:
+    """similarity_index_rebuild (VERDICT r12 #1, ANN half): refit on the
+    current corpus, staged rebuilt index, dead-generation GC."""
+
+    def test_sweep_reclaims_dead_generations_only(self, spark, sf_dir):
+        import os
+
+        from ting_data_etl_spark.operators.dedup import (
+            _source_fp,
+            _stage_dir,
+        )
+        from ting_data_etl_spark.operators.similarity import (
+            KMEANS_ITERS,
+            KMEANS_LISTS,
+            KMEANS_SAMPLE_MOD,
+            similarity_index_rebuild,
+        )
+
+        root = os.path.dirname(_stage_dir(sf_dir, ["x"]))
+        os.makedirs(root, exist_ok=True)
+        # plant a DEAD generation: an index dir + model json whose names
+        # carry a fingerprint no current call can ever recompute
+        dead_idx = os.path.join(root, "ivf_incr_index_v1_0_0_k99_i9_m9_b5r1")
+        dead_model = os.path.join(root, "ivf_model_v2_0_0_k99_i9_m9.json")
+        os.makedirs(dead_idx, exist_ok=True)
+        with open(dead_model, "w") as f:
+            f.write("[]")
+
+        n = similarity_index_rebuild(spark, sf_dir).count()
+        assert n > 0
+        assert not os.path.exists(dead_idx), "dead index generation leaked"
+        assert not os.path.exists(dead_model), "dead model artifact leaked"
+        # live generations retained: the rebuilt full index AND the
+        # current-fingerprint standing-fit artifacts survive
+        src_fp = _source_fp(sf_dir, "embeddings")
+        cfg = f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}"
+        live = [
+            d
+            for d in os.listdir(root)
+            if d.startswith("ivf_full_index_v1_") and src_fp in d and cfg in d
+        ]
+        assert live, "rebuilt staged index missing after rebuild"
+
+    def test_rebuilt_index_is_served_warm(self, spark, sf_dir):
+        """Second rebuild call must READ the staged artifact, not
+        re-publish it (write-once contract: dir mtime unchanged)."""
+        import os
+
+        from ting_data_etl_spark.operators.dedup import (
+            _source_fp,
+            _stage_dir,
+        )
+        from ting_data_etl_spark.operators.similarity import (
+            KMEANS_ITERS,
+            KMEANS_LISTS,
+            KMEANS_SAMPLE_MOD,
+            ivf_centroids,
+            _staged_full_index,
+        )
+
+        cents = ivf_centroids(spark, sf_dir)
+        _staged_full_index(spark, sf_dir, cents).count()
+        out = _stage_dir(
+            sf_dir,
+            [
+                "ivf_full_index_v1",
+                _source_fp(sf_dir, "embeddings"),
+                f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
+            ],
+        )
+        m0 = os.path.getmtime(out)
+        _staged_full_index(spark, sf_dir, cents).count()
+        assert os.path.getmtime(out) == m0
+
+    def test_rebuild_equals_fresh_search_on_new_model(self, spark, sf_dir):
+        """The staged read-back path must give bit-identical results to an
+        unstaged search under the same refit model — the re-convergence
+        claim, Spark-side (the driver oracle re-checks it vs SQL)."""
+        from pyspark.sql import functions as F
+
+        from ting_data_etl_spark.operators.similarity import (
+            NPROBE,
+            _incr_batch_pred,
+            _quantized,
+            cosine_udf,
+            ivf_centroids,
+            nearest_lists_udf,
+            similarity_index_rebuild,
+            topk_per_query,
+        )
+
+        got = sorted(
+            map(tuple, similarity_index_rebuild(spark, sf_dir).collect())
+        )
+        cents = ivf_centroids(spark, sf_dir)
+        q = _quantized(spark, sf_dir)
+        assign1 = nearest_lists_udf(cents, 1)
+        corpus = q.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cv"),
+            F.col("norm").alias("cn"),
+            F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+        )
+        batch = q.filter(_incr_batch_pred())
+        queries = batch.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("norm").alias("qn"),
+            F.explode(nearest_lists_udf(cents, NPROBE)(F.col("q"))).alias(
+                "probe_list"
+            ),
+        )
+        pairs = queries.join(
+            corpus,
+            (F.col("probe_list") == F.col("list_id"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            "neighbor_id",
+            cosine_udf()(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+        want = sorted(map(tuple, topk_per_query(pairs).collect()))
+        assert got == want

@@ -1674,6 +1674,140 @@ def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(pairs)
 
 
+def _staged_full_index(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]]
+) -> DataFrame:
+    """The REBUILT full-corpus IVF index as a durable staged artifact: every
+    vector assigned under the freshly-refit coarse model — the artifact a
+    production system serves after an index rebuild. Same write-once
+    publish + fingerprint ritual as :func:`_staged_incr_index`."""
+    import os
+
+    from ting_data_etl_spark.operators.dedup import (
+        _publish_stage,
+        _source_fp,
+        _stage_dir,
+    )
+
+    src_fp = _source_fp(sf_dir, "embeddings")
+    out = _stage_dir(
+        sf_dir,
+        [
+            "ivf_full_index_v1",
+            src_fp,
+            f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
+        ],
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        assign1 = nearest_lists_udf(centroids, 1)
+        full = _quantized(spark, sf_dir).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cv"),
+            F.col("norm").alias("cn"),
+            F.element_at(assign1(F.col("q")), 1).alias("list_id"),
+        )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        _publish_stage(full, out)
+    return spark.read.parquet(out)
+
+
+def _sweep_stale_ivf_stages(sf_dir: str) -> list[str]:
+    """Reclaim DEAD-generation IVF artifacts — the GC half of the rebuild.
+
+    An IVF artifact's name carries its source fingerprint and fit config;
+    when either rotates (testdata regenerated, constants retuned, a new
+    model generation), the old artifact becomes unreachable (paths are
+    recomputed per call) and previously leaked forever. The rebuild verb
+    sweeps every ``ivf_incr_index_v1`` / ``ivf_full_index_v1`` dir and
+    ``ivf_model_v2*`` json whose name does NOT match the CURRENT
+    fingerprint+config — live generations (the current standing-fit model
+    and its staged index included: they are the retained PREVIOUS
+    generation the incremental queries still serve) are never touched.
+    Returns the swept names so the pytest can assert exactly what died.
+    """
+    import os
+    import shutil
+
+    from ting_data_etl_spark.operators.dedup import _source_fp, _stage_dir
+
+    root = os.path.dirname(_stage_dir(sf_dir, ["x"]))
+    if not os.path.isdir(root):
+        return []
+    src_fp = _source_fp(sf_dir, "embeddings")
+    cfg = f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}"
+    swept: list[str] = []
+    for d in sorted(os.listdir(root)):
+        if not (d.startswith("ivf_incr_index_v1_")
+                or d.startswith("ivf_full_index_v1_")
+                or d.startswith("ivf_model_v2")):
+            continue
+        if src_fp in d and cfg in d:
+            continue  # current generation (full or standing-fit): retained
+        p = os.path.join(root, d)
+        (os.remove if os.path.isfile(p) else shutil.rmtree)(p)
+        swept.append(d)
+    return swept
+
+
+def _sql_index_rebuild() -> str:
+    batch = f"vec_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}"
+    return f"""
+WITH {_SQL_QUANT},
+{sql_kmeans_search_ctes(batch)}
+SELECT query_id, neighbor_id, cosine FROM ivf_topk
+"""
+
+
+@register("similarity_index_rebuild", oracle=_sql_index_rebuild)
+def similarity_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REBUILD the ANN index on the CURRENT corpus — the remediation verb
+    :func:`similarity_incremental_ivf`'s drift guard names ("rebuild the
+    index: purge_stages + refit") made first-class (VERDICT r12 #1, the
+    ANN half; ``corpus_reindex`` is the selection-family half).
+
+    Three steps, each verifiable: (1) REFIT — the coarse quantizer is
+    fit on the full current corpus (standing ∪ absorbed arrivals), a
+    genuinely different model artifact from the standing-only fit the
+    incremental path pins; (2) REBUILD — every vector is re-assigned
+    under the new model into a staged write-once full index (the artifact
+    a deployment serves post-rebuild; warm calls read it back, they never
+    re-assign); (3) SWEEP — dead-generation artifacts (stale fingerprints
+    or configs, unreachable since their name rotated) are reclaimed,
+    retaining the current full AND standing-fit generations (the
+    incremental queries still serve yesterday's model until the next
+    rebuild retires it).
+
+    The returned relation searches the day's batch through the REBUILT
+    staged index (multi-probe list join, self excluded) and the oracle
+    refits the same model from scratch in SQL — fit drift, assignment
+    drift, a torn staged artifact, or a search regression all
+    hash-mismatch. O(corpus) by design: a rebuild IS the indexing job.
+    """
+    centroids = ivf_centroids(spark, sf_dir)  # full-corpus refit
+    idx = _staged_full_index(spark, sf_dir, centroids)
+    _sweep_stale_ivf_stages(sf_dir)
+    batch = _quantized(spark, sf_dir).filter(_incr_batch_pred())
+    assign_probe = nearest_lists_udf(centroids, NPROBE)
+    queries = batch.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(assign_probe(F.col("q"))).alias("probe_list"),
+    )
+    pairs = queries.join(
+        idx,
+        (F.col("probe_list") == F.col("list_id"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_udf()(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    return topk_per_query(pairs)
+
+
 # --- incremental IVF with deletes / re-embeds (tombstone maintenance) --------
 #: Deterministic maintenance scenario on top of the incremental split:
 #: of the STANDING corpus (vec_id % 10 != 7), every vec_id % 20 == 4 row is
