@@ -257,27 +257,34 @@ def decode_png(payload: bytes):
             ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up
             out[y] = cur + prev  # uint8 wraps mod 256
-        elif f == 3:  # Average (left-dependent: one step per pixel column)
-            row = out[y]
-            pv = prev.reshape(w, bpp).astype(np.int16)
-            cu = cur.reshape(w, bpp).astype(np.int16)
-            left = np.zeros(bpp, dtype=np.int16)
-            rw = row.reshape(w, bpp)
-            for x in range(w):
-                rec = (cu[x] + ((left + pv[x]) >> 1)) % 256
-                rw[x] = rec.astype(np.uint8)
-                left = rec
-        elif f == 4:  # Paeth (left/upper-left-dependent)
-            row = out[y]
-            pv = prev.reshape(w, bpp)
-            cu = cur.reshape(w, bpp)
-            rw = row.reshape(w, bpp)
-            left = np.zeros(bpp, dtype=np.uint8)
-            ul = np.zeros(bpp, dtype=np.uint8)
-            for x in range(w):
-                rec = cu[x] + _paeth(left, pv[x], ul)  # uint8 wrap
-                rw[x] = rec
-                left, ul = rec, pv[x]
+        elif f == 3:  # Average (true left-dependence: scalar row loop —
+            # plain-int ops beat per-pixel numpy on 3-byte vectors ~20x)
+            cu = cur.tolist()
+            pv = prev.tolist()
+            rec = [0] * stride
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (cu[i] + ((a + pv[i]) >> 1)) & 0xFF
+            out[y] = rec
+        elif f == 4:  # Paeth (left/upper-left-dependent: scalar row loop)
+            cu = cur.tolist()
+            pv = prev.tolist()
+            rec = [0] * stride
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                c = pv[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                pa = abs(b - c)
+                pb = abs(a - c)
+                pc = abs(a + b - 2 * c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[i] = (cu[i] + pred) & 0xFF
+            out[y] = rec
         else:
             raise ValueError(f"unknown PNG filter type {f}")
     return out.reshape(h, w, channels)
