@@ -1206,3 +1206,39 @@ def test_snapshot_catalog_cow_sharing_and_gc(spark, sf_dir):
                 w["total_tokens"],
                 w["ids_xor"],
             ), s
+
+
+def test_sweep_respects_retained_catalog_references(tmp_path):
+    """The sweep must consult the snapshot catalog's reference count
+    (review r13): a gen-0 dir referenced by a RETAINED generation's
+    catalog survives retirement; an unreferenced sibling is swept."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ting_data_etl_spark.operators.dedup as D
+    from ting_data_etl_spark.operators.incremental import _sweep_generations
+
+    sf = str(tmp_path / "ds")
+    os.makedirs(sf)
+    root = os.path.dirname(D._stage_dir(sf, ["x"]))
+    os.makedirs(root)
+    referenced = os.path.join(root, "incrsel_shardfiles_16_aa")
+    unreferenced = os.path.join(root, "incrsel_ledger_bb")
+    retained_dir = os.path.join(root, "incrsel_g1_ledger_cc")
+    for d in (referenced, unreferenced, retained_dir):
+        os.makedirs(d)
+    # a RETAINED (gen-1) catalog referencing the gen-0 shard dir
+    cat = os.path.join(root, "incrsel_g1_snapcat_16_dd")
+    os.makedirs(cat)
+    pq.write_table(
+        pa.table({"file_ref": [referenced + "/shard=3"]}),
+        os.path.join(cat, "part-0.parquet"),
+    )
+    swept = _sweep_generations(sf, keep=(1, 2))
+    assert os.path.exists(referenced), "catalog-referenced dir was swept"
+    assert not os.path.exists(unreferenced)
+    assert os.path.exists(retained_dir) and os.path.exists(cat)
+    assert "incrsel_ledger_bb" in swept
+    assert "incrsel_shardfiles_16_aa" not in swept

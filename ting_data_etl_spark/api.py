@@ -162,9 +162,10 @@ class Corpus:
     def manifest(self) -> DataFrame:
         """The training-corpus manifest: selected docs sharded, checksummed.
 
-        Per output shard: doc count, token total, and an md5 over member
-        ids in id order — the lineage record a training run (or an
-        auditor) verifies it read EXACTLY the selected corpus. Shards are
+        Per output shard: doc count, token total, and the order-
+        independent XOR set digest over member ids (``ids_xor``) — the
+        lineage record a training run (or an auditor) verifies it read
+        EXACTLY the selected corpus. Shards are
         token-balanced by the longest-first round-robin rank; see
         :meth:`incremental_manifest` for the maintainable flavor.
         """

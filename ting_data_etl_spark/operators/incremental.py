@@ -1151,18 +1151,53 @@ REINDEX_KEEP_GENERATIONS = 2
 REINDEX_GEN = 1
 
 
+def _catalog_referenced_dirs(root: str, keep: tuple[int, ...]) -> set[str]:
+    """Stage-dir NAMES referenced by any RETAINED generation's snapshot
+    catalog — the reference-count read of the sweep. Catalogs are tiny
+    (snapshots × shards rows) and read via pyarrow (no session needed;
+    pyarrow datasets skip the ``_SUCCESS`` marker by prefix)."""
+    import re
+
+    refs: set[str] = set()
+    for d in os.listdir(root):
+        if not d.startswith("incrsel_"):
+            continue
+        m = re.match(r"g(\d+)_", d[len("incrsel_") :])
+        if (int(m.group(1)) if m else 0) not in keep:
+            continue
+        if "snapcat" not in d:
+            continue  # catalog dirs only: incrsel[_gN]_snapcat_<shards>_...
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(root, d), columns=["file_ref"])
+        except Exception:
+            continue  # not a catalog / unreadable: nothing to protect
+        for ref in t.column("file_ref").to_pylist():
+            rel = os.path.relpath(str(ref), root)
+            if not rel.startswith(".."):
+                refs.add(rel.split(os.sep, 1)[0])
+    return refs
+
+
 def _sweep_generations(sf_dir: str, keep: tuple[int, ...]) -> list[str]:
     """Retire standing-state generations not in *keep* — the GC half of
     :func:`corpus_reindex`.
 
     Walks the shared stage root and removes every generation-family
     artifact (stage parquet dirs, closure labels, the bucketed band-index
-    files) whose parsed generation is not retained. Untagged dirs are
-    generation 0 (the legacy naming — see :func:`_gen_tag`). Returns the
-    swept dir names so callers (and the lifecycle pytest) can assert what
-    was retired. Dangling session-catalog entries for a swept bucketed
-    index are healed by ``_standing_capped_index``'s existing
-    missing-files check.
+    files) whose parsed generation is not retained — EXCEPT dirs a
+    RETAINED generation's snapshot catalog still references
+    (:func:`_catalog_referenced_dirs`): the sweep consults the same
+    reference-count rule :func:`snapshot_gc_candidates` states, so a
+    live catalog's file_refs can never dangle (today's catalogs only
+    reference their own generation, making this a cheap invariant — but
+    the deleting code path enforces it rather than assuming it).
+    Untagged dirs are generation 0 (the legacy naming — see
+    :func:`_gen_tag`). Returns the swept dir names so callers (and the
+    lifecycle pytest) can assert what was retired. Dangling
+    session-catalog entries for a swept bucketed index are healed by
+    ``_standing_capped_index``'s existing missing-files check.
     """
     import re
     import shutil
@@ -1173,6 +1208,7 @@ def _sweep_generations(sf_dir: str, keep: tuple[int, ...]) -> list[str]:
     swept: list[str] = []
     if not os.path.isdir(root):
         return swept
+    protected = _catalog_referenced_dirs(root, keep)
     for d in sorted(os.listdir(root)):
         fam = next(
             (p for p in _GEN_FAMILY_PREFIXES if d.startswith(p + "_")), None
@@ -1181,7 +1217,7 @@ def _sweep_generations(sf_dir: str, keep: tuple[int, ...]) -> list[str]:
             continue
         m = re.match(r"g(\d+)_", d[len(fam) + 1 :])
         gen = int(m.group(1)) if m else 0
-        if gen in keep:
+        if gen in keep or d in protected:
             continue
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         swept.append(d)
@@ -2621,19 +2657,23 @@ def incremental_shard_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- snapshot catalog: the metadata layer over the COW sink (VERDICT r12 #2) --
-def _snapshot_day1_files(spark: SparkSession, sf_dir: str) -> str:
+def _snapshot_day1_files(spark: SparkSession, sf_dir: str, parts=None) -> str:
     """Stage path of day 1's REWRITTEN shard dirs — the durable half of the
     COW refresh (``incremental_shard_sink_delta`` writes a per-run tempdir
     because its job is the read-back verification; a snapshot the catalog
     references must outlive the run). Same rewrite relation, published
-    once under the staged-artifact ritual, partitioned by shard."""
+    once under the staged-artifact ritual, partitioned by shard. *parts*
+    is an already-derived ``_cow_delta_parts`` tuple — the catalog passes
+    its own so a cold build derives the delta ONCE, not twice."""
     from ting_data_etl_spark.operators.dedup import _publish_stage
 
     out = _incr_stage_path(
         sf_dir, f"snap1files_{_n_shards()}", ("documents", "embeddings")
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _, standing, adds, removes, touched = _cow_delta_parts(spark, sf_dir)
+        _, standing, adds, removes, touched = (
+            parts if parts is not None else _cow_delta_parts(spark, sf_dir)
+        )
         _publish_stage(
             _cow_rewritten(standing, adds, removes, touched),
             out,
@@ -2666,10 +2706,9 @@ def _snapshot_catalog(spark: SparkSession, sf_dir: str) -> str:
         sf_dir, f"snapcat_{_n_shards()}", ("documents", "embeddings")
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        staged_dir, standing, adds, removes, touched = _cow_delta_parts(
-            spark, sf_dir
-        )
-        day1_dir = _snapshot_day1_files(spark, sf_dir)
+        parts = _cow_delta_parts(spark, sf_dir)
+        staged_dir, standing, adds, removes, touched = parts
+        day1_dir = _snapshot_day1_files(spark, sf_dir, parts)
         d0 = _standing_manifest_digest(spark, sf_dir)
         ref0 = F.concat(
             F.lit(staged_dir + "/shard="), F.col("shard").cast("string")

@@ -203,8 +203,9 @@ def decode_png(payload: bytes):
     zlib inflate, per spec. Filter inversion: None/Up/Sub are fully
     vectorized (Sub is a per-lane cumsum — recon[i] = Σ raw within the
     byte lane mod 256); Average/Paeth carry a true left-dependence and
-    run one vectorized step per PIXEL COLUMN (w steps of h-free numpy
-    ops, not per-byte Python).
+    run as plain-int scalar loops over the scanline bytes (O(stride)
+    Python ints per row — measured ~20x faster than per-pixel numpy on
+    3-byte vectors at these widths).
     """
     import struct
     import zlib

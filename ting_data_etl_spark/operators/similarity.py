@@ -1744,7 +1744,13 @@ def _sweep_stale_ivf_stages(sf_dir: str) -> list[str]:
         if src_fp in d and cfg in d:
             continue  # current generation (full or standing-fit): retained
         p = os.path.join(root, d)
-        (os.remove if os.path.isfile(p) else shutil.rmtree)(p)
+        try:
+            # best-effort like incremental._sweep_generations: a racing
+            # writer's tmp dir or an EACCES must not fail the rebuild
+            # that already succeeded
+            (os.remove if os.path.isfile(p) else shutil.rmtree)(p)
+        except OSError:
+            continue
         swept.append(d)
     return swept
 
