@@ -198,6 +198,19 @@ PINNED = [
     # standing scan — a full standing-layout scan (lost partition filter)
     # or an extra exchange in the fold is the regression
     "incremental_shard_sink_delta",
+    # r13 rebuild verbs + snapshot time-travel + PNG phash:
+    # corpus_reindex must keep the incremental capstone's shape under the
+    # new generation (doc-keyed joins over staged scans + ONE batch text
+    # pass — a standing-corpus rescan is the regression);
+    # the time-travel read is ONE referenced-files scan + one shard-keyed
+    # rollup (extra scans mean the catalog stopped driving the read);
+    # the ANN rebuild searches the STAGED full index (a corpus-sized
+    # re-assignment appearing as extra Arrow kernels is the regression);
+    # PNG phash keeps the PPM family's two-Arrow-stage + one-shuffle shape
+    "corpus_reindex",
+    "incremental_snapshot_timetravel",
+    "similarity_index_rebuild",
+    "multimodal_png_phash_dedup",
     # r12 per-source budget — pinned via its PRE-checkpoint plan builder
     # (see PRE_CHECKPOINT below): the registered query eagerly checkpoints,
     # so pinning its return would record all zeros and guard nothing
