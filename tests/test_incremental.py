@@ -1230,15 +1230,309 @@ def test_sweep_respects_retained_catalog_references(tmp_path):
     for d in (referenced, unreferenced, retained_dir):
         os.makedirs(d)
     # a RETAINED (gen-1) catalog referencing the gen-0 shard dir
+    # (published: real catalogs always carry _SUCCESS via _publish_stage —
+    # the fail-closed reader ignores unpublished tmp/partial dirs)
     cat = os.path.join(root, "incrsel_g1_snapcat_16_dd")
     os.makedirs(cat)
     pq.write_table(
         pa.table({"file_ref": [referenced + "/shard=3"]}),
         os.path.join(cat, "part-0.parquet"),
     )
+    open(os.path.join(cat, "_SUCCESS"), "w").close()
     swept = _sweep_generations(sf, keep=(1, 2))
     assert os.path.exists(referenced), "catalog-referenced dir was swept"
     assert not os.path.exists(unreferenced)
     assert os.path.exists(retained_dir) and os.path.exists(cat)
     assert "incrsel_ledger_bb" in swept
     assert "incrsel_shardfiles_16_aa" not in swept
+
+
+def test_sweep_fails_closed_on_unreadable_retained_catalog(tmp_path):
+    """ADVICE r13: a PUBLISHED but unreadable catalog in a RETAINED
+    generation must ABORT the sweep (nothing deleted) — never shrink the
+    protection set and delete dirs a live catalog may still reference."""
+    import os
+
+    import ting_data_etl_spark.operators.dedup as D
+    from ting_data_etl_spark.operators.incremental import _sweep_generations
+
+    sf = str(tmp_path / "ds")
+    os.makedirs(sf)
+    root = os.path.dirname(D._stage_dir(sf, ["x"]))
+    os.makedirs(root)
+    stale = os.path.join(root, "incrsel_ledger_bb")  # gen 0: sweep target
+    os.makedirs(stale)
+    # a RETAINED gen-1 catalog that is published (_SUCCESS) but corrupt
+    cat = os.path.join(root, "incrsel_g1_snapcat_16_dd")
+    os.makedirs(cat)
+    with open(os.path.join(cat, "part-0.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    open(os.path.join(cat, "_SUCCESS"), "w").close()
+    swept = _sweep_generations(sf, keep=(1, 2))
+    assert swept == []  # aborted: fail closed
+    assert os.path.exists(stale), "sweep deleted despite unreadable catalog"
+    # an UNPUBLISHED corrupt dir (no _SUCCESS: a racing writer's partial)
+    # is not a live catalog — the sweep proceeds normally without it
+    os.remove(os.path.join(cat, "_SUCCESS"))
+    swept = _sweep_generations(sf, keep=(1, 2))
+    assert "incrsel_ledger_bb" in swept and not os.path.exists(stale)
+
+
+def test_gen_rem_rejects_wrapping_generations():
+    """ADVICE r13: generation >= INCR_BATCH_MOD would silently alias an
+    earlier generation's batch/standing split — rejected loudly."""
+    import pytest as _pytest
+
+    from ting_data_etl_spark.operators.dedup import INCR_BATCH_MOD
+    from ting_data_etl_spark.operators.incremental import _gen_rem
+
+    assert _gen_rem(0) != _gen_rem(INCR_BATCH_MOD - 1)
+    for bad in (-1, INCR_BATCH_MOD, INCR_BATCH_MOD + 3):
+        with _pytest.raises(ValueError):
+            _gen_rem(bad)
+
+
+def test_multiday_catalog_forward_fold(spark, tmp_path):
+    """VERDICT r13 #2: the catalog's forward fold is day-N-generic. Drive
+    THREE days of arbitrary deltas through the production fold
+    (:func:`_fold_catalog_day` + the COW rewrite), then verify every day
+    still reconstructs from the catalog alone — digest rows, file refs,
+    and the reference-counted GC rule across all three days."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ting_data_etl_spark.operators.incremental import (
+        _catalog_snapshot_read,
+        _cow_rewritten,
+        _digest_rollup_df,
+        _fold_catalog_day,
+        _manifest_shard_col,
+        snapshot_gc_candidates,
+    )
+
+    store = str(tmp_path / "store")
+
+    def price(i: int) -> int:
+        return i % 37 + 5
+
+    def mk(ids):
+        df = spark.createDataFrame(
+            [(int(i), price(i)) for i in sorted(ids)],
+            "doc_id long, n_toks long",
+        )
+        return df.withColumn("shard", _manifest_shard_col(F.col("doc_id")))
+
+    members = set(range(200))
+    standing = mk(members).localCheckpoint(eager=True)
+    day0 = os.path.join(store, "day0")
+    standing.repartition(F.col("shard")).write.partitionBy("shard").parquet(
+        day0
+    )
+    cat = (
+        _digest_rollup_df(standing.select("doc_id", "n_toks"))
+        .select(
+            F.lit(0).alias("snapshot_id"),
+            F.col("shard").cast("int").alias("shard"),
+            F.concat(
+                F.lit(day0 + "/shard="), F.col("shard").cast("string")
+            ).alias("file_ref"),
+            "n_docs",
+            "total_tokens",
+            "ids_xor",
+        )
+        .localCheckpoint(eager=True)
+    )
+    catalog = cat
+    day_members = {0: set(members)}
+    deltas = {
+        1: (set(range(200, 230)), {i for i in members if i % 11 == 0}),
+        2: (set(range(300, 320)), {i for i in range(230) if i % 13 == 1}),
+    }
+    for day in (1, 2):
+        add_ids, rm_ids = deltas[day]
+        rm_ids &= day_members[day - 1]
+        adds, removes = mk(add_ids), mk(rm_ids)
+        touched = sorted(
+            r["shard"]
+            for r in adds.select("shard")
+            .unionByName(removes.select("shard"))
+            .distinct()
+            .collect()
+        )
+        day_dir = os.path.join(store, f"day{day}")
+        _cow_rewritten(standing, adds, removes, touched).write.partitionBy(
+            "shard"
+        ).parquet(day_dir)
+        cat = _fold_catalog_day(
+            cat, day, day_dir, adds, removes, touched
+        ).localCheckpoint(eager=True)
+        catalog = catalog.unionByName(cat)
+        day_members[day] = (day_members[day - 1] - rm_ids) | add_ids
+        standing = mk(day_members[day]).localCheckpoint(eager=True)
+    catalog = catalog.localCheckpoint(eager=True)
+
+    # every day reconstructs from the catalog alone, bit-exactly
+    for day, mem in day_members.items():
+        want = {
+            (r["shard"], r["n_docs"], r["total_tokens"], r["ids_xor"])
+            for r in _digest_rollup_df(mk(mem).select("doc_id", "n_toks"))
+            .collect()
+        }
+        got = {
+            tuple(r)
+            for r in _catalog_snapshot_read(spark, catalog, day).collect()
+        }
+        assert got == want, f"day {day} reconstruction drifted"
+
+    # catalog rows = one per (day, non-empty shard)
+    rows = catalog.collect()
+    assert len(rows) == sum(
+        1
+        for r in rows  # tautology guard: every row has n_docs > 0
+        if r["n_docs"] > 0
+    )
+
+    # COW sharing across days: a shard untouched on day 2 inherits the
+    # day-1 ref verbatim (which may itself be the day-0 dir)
+    ref = {
+        (r["snapshot_id"], r["shard"]): r["file_ref"] for r in rows
+    }
+    d2_touched = {
+        int(p.rsplit("shard=", 1)[1])
+        for (d, _s), p in ref.items()
+        if d == 2 and "/day2/" in p
+    }
+    for (d, s), p in ref.items():
+        if d == 2 and s not in d2_touched and (1, s) in ref:
+            assert p == ref[(1, s)], (s, p)
+
+    # GC rule across three days: retaining the latest day only, the
+    # candidates are exactly the refs no day-2 row carries
+    live = {p for (d, _s), p in ref.items() if d == 2}
+    allrefs = set(ref.values())
+    got_gc = {
+        r["file_ref"]
+        for r in snapshot_gc_candidates(catalog, retained=[2]).collect()
+    }
+    assert got_gc == allrefs - live
+    assert snapshot_gc_candidates(catalog, retained=[0, 1, 2]).count() == 0
+
+
+def test_snapshot_retire_reclaims_candidates_and_survivor_verifies(
+    spark, sf_dir
+):
+    """VERDICT r13 #1, the pytest half (the driver oracle checks the
+    survivor digest): retiring snapshot 0 reclaims EXACTLY the GC
+    candidates, the marker records them, a warm call never re-deletes,
+    and a time-travel read of the retired snapshot fails loudly."""
+    import json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from ting_data_etl_spark.operators.incremental import (
+        _catalog_snapshot_read,
+        _snapshot_store,
+        incremental_snapshot_retire,
+        snapshot_gc_candidates,
+    )
+
+    # force a cold retire cycle (a prior run may have left a retired store)
+    shutil.rmtree(_snapshot_store(spark, sf_dir), ignore_errors=True)
+    store = _snapshot_store(spark, sf_dir)
+    cat = spark.read.parquet(os.path.join(store, "catalog"))
+    cands = sorted(
+        r["file_ref"]
+        for r in snapshot_gc_candidates(cat, retained=[1]).collect()
+    )
+    assert cands, "fixture must produce at least one reclaimable dir"
+    keep_refs = sorted(
+        r["file_ref"]
+        for r in cat.filter(F.col("snapshot_id") == 1)
+        .select("file_ref")
+        .distinct()
+        .collect()
+    )
+
+    got = {
+        tuple(r) for r in incremental_snapshot_retire(spark, sf_dir).collect()
+    }
+    # reclaimed exactly the candidates; every survivor ref intact
+    for p in cands:
+        assert not os.path.exists(p), f"candidate {p} survived the retire"
+    for p in keep_refs:
+        assert os.path.isdir(p), f"live ref {p} was wrongly reclaimed"
+    with open(os.path.join(store, "_RETIRED_0")) as f:
+        marker = json.load(f)
+    assert marker["reclaimed"] == cands
+
+    # the retired snapshot no longer reconstructs — loudly
+    with _pytest.raises(FileNotFoundError):
+        _catalog_snapshot_read(spark, cat, 0)
+
+    # warm call: no re-delete (marker mtime stable), same survivor digest
+    m0 = os.path.getmtime(os.path.join(store, "_RETIRED_0"))
+    got2 = {
+        tuple(r) for r in incremental_snapshot_retire(spark, sf_dir).collect()
+    }
+    assert got2 == got
+    assert os.path.getmtime(os.path.join(store, "_RETIRED_0")) == m0
+
+
+class TestIndexBucketsRetune:
+    """VERDICT r13 #3: the standing band index derives its bucket count
+    from corpus size via ``capacity.index_buckets`` — wired in like
+    SRP_BITS/SIMHASH_BITS/KMEANS_LISTS, not docstring folklore."""
+
+    def test_fixture_floors_to_registered_count(self, sf_dir):
+        import ting_data_etl_spark.operators.incremental as I
+
+        assert I._index_buckets_for(sf_dir) == I.INDEX_BUCKETS
+        # pyarrow footer count, no Spark job — and memoized
+        assert I._table_rows(sf_dir, "documents") == 500
+        assert I._table_rows(sf_dir, "documents") == 500
+
+    def test_retune_rebuilds_at_derived_count_same_semantics(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """Shrinking the byte target (modeling corpus growth past the
+        threshold) must (1) raise the derived count, (2) rotate the
+        fingerprint so a NEW bucketed table is built at that count, and
+        (3) leave the index CONTENT bit-identical — bucket count is
+        layout, never semantics."""
+        import glob
+        import os
+        import re
+
+        from ting_data_etl_spark import capacity
+        import ting_data_etl_spark.operators.incremental as I
+        from ting_data_etl_spark.operators.dedup import _stage_dir
+
+        rows_floor = sorted(
+            map(tuple, I._standing_capped_index(spark, sf_dir).collect())
+        )
+        monkeypatch.setattr(capacity, "INDEX_TARGET_BUCKET_BYTES", 512)
+        derived = I._index_buckets_for(sf_dir)
+        # 500 docs x 8 bands x 16 B / 512 B = 125 -> next power of two
+        assert derived == 128 > I.INDEX_BUCKETS
+        t = I._standing_capped_index(spark, sf_dir)
+        assert sorted(map(tuple, t.collect())) == rows_floor
+        # the staged dir carries the derived count in its fingerprint and
+        # its part files span more than the floor's bucket ids
+        root = os.path.dirname(_stage_dir(sf_dir, ["x"]))
+        dirs = [
+            d
+            for d in os.listdir(root)
+            if d.startswith("incr_bandsidx_") and f"_{derived}_" in d
+        ]
+        assert dirs, os.listdir(root)
+        buckets_seen = {
+            int(m.group(1))
+            for d in dirs
+            for f in glob.glob(os.path.join(root, d, "part-*"))
+            for m in [re.search(r"_(\d{5})(?:\.|$|_)", os.path.basename(f))]
+            if m
+        }
+        assert max(buckets_seen) >= I.INDEX_BUCKETS, buckets_seen

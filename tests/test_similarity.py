@@ -696,6 +696,7 @@ class TestIndexRebuild:
 
     def test_sweep_reclaims_dead_generations_only(self, spark, sf_dir):
         import os
+        import shutil
 
         from ting_data_etl_spark.operators.dedup import (
             _source_fp,
@@ -705,6 +706,7 @@ class TestIndexRebuild:
             KMEANS_ITERS,
             KMEANS_LISTS,
             KMEANS_SAMPLE_MOD,
+            _full_index_path,
             similarity_index_rebuild,
         )
 
@@ -718,10 +720,26 @@ class TestIndexRebuild:
         with open(dead_model, "w") as f:
             f.write("[]")
 
+        # force the COLD-build path: the sweep fires exactly once, when the
+        # staged full index is first published (ADVICE r13: warm read-backs
+        # must never re-sweep)
+        shutil.rmtree(_full_index_path(sf_dir), ignore_errors=True)
         n = similarity_index_rebuild(spark, sf_dir).count()
         assert n > 0
         assert not os.path.exists(dead_idx), "dead index generation leaked"
         assert not os.path.exists(dead_model), "dead model artifact leaked"
+
+        # WARM call: a planted foreign-generation artifact must SURVIVE —
+        # a concurrent retuned session shares this stage root and its live
+        # ivf_* artifacts must not be deleted by a read-back
+        os.makedirs(dead_idx, exist_ok=True)
+        with open(dead_model, "w") as f:
+            f.write("[]")
+        assert similarity_index_rebuild(spark, sf_dir).count() == n
+        assert os.path.exists(dead_idx), "warm read-back swept a live dir"
+        assert os.path.exists(dead_model), "warm read-back swept a live file"
+        shutil.rmtree(dead_idx, ignore_errors=True)
+        os.remove(dead_model)
         # live generations retained: the rebuilt full index AND the
         # current-fingerprint standing-fit artifacts survive
         src_fp = _source_fp(sf_dir, "embeddings")

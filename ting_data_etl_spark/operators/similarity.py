@@ -1674,6 +1674,20 @@ def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(pairs)
 
 
+def _full_index_path(sf_dir: str) -> str:
+    """Fingerprinted stage path of the rebuilt full-corpus IVF index."""
+    from ting_data_etl_spark.operators.dedup import _source_fp, _stage_dir
+
+    return _stage_dir(
+        sf_dir,
+        [
+            "ivf_full_index_v1",
+            _source_fp(sf_dir, "embeddings"),
+            f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
+        ],
+    )
+
+
 def _staged_full_index(
     spark: SparkSession, sf_dir: str, centroids: list[list[float]]
 ) -> DataFrame:
@@ -1683,21 +1697,9 @@ def _staged_full_index(
     publish + fingerprint ritual as :func:`_staged_incr_index`."""
     import os
 
-    from ting_data_etl_spark.operators.dedup import (
-        _publish_stage,
-        _source_fp,
-        _stage_dir,
-    )
+    from ting_data_etl_spark.operators.dedup import _publish_stage
 
-    src_fp = _source_fp(sf_dir, "embeddings")
-    out = _stage_dir(
-        sf_dir,
-        [
-            "ivf_full_index_v1",
-            src_fp,
-            f"k{KMEANS_LISTS}_i{KMEANS_ITERS}_m{KMEANS_SAMPLE_MOD}",
-        ],
-    )
+    out = _full_index_path(sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         assign1 = nearest_lists_udf(centroids, 1)
         full = _quantized(spark, sf_dir).select(
@@ -1789,9 +1791,21 @@ def similarity_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift, a torn staged artifact, or a search regression all
     hash-mismatch. O(corpus) by design: a rebuild IS the indexing job.
     """
+    import os
+
     centroids = ivf_centroids(spark, sf_dir)  # full-corpus refit
+    # Sweep ONLY on the cold-build path (ADVICE r13): the sweep runs once,
+    # right after the staged full index is first published — a warm
+    # read-back must not re-sweep, or a concurrent in-process session
+    # running under retuned fit constants (exactly what the
+    # tools/selection_scale.py probes do) would have its live ivf_*
+    # artifacts deleted mid-run by every read of this query.
+    cold = not os.path.exists(
+        os.path.join(_full_index_path(sf_dir), "_SUCCESS")
+    )
     idx = _staged_full_index(spark, sf_dir, centroids)
-    _sweep_stale_ivf_stages(sf_dir)
+    if cold:
+        _sweep_stale_ivf_stages(sf_dir)
     batch = _quantized(spark, sf_dir).filter(_incr_batch_pred())
     assign_probe = nearest_lists_udf(centroids, NPROBE)
     queries = batch.select(
