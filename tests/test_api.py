@@ -121,3 +121,39 @@ def test_facade_manifests_are_the_registered_queries(spark, sf_dir):
         "total_tokens",
         "ids_xor",
     }
+
+
+def test_facade_lifecycle_verbs_are_the_registered_queries(spark, sf_dir):
+    """The r13 lifecycle verbs on the public surface (VERDICT r13 #4):
+    reindex / ANN rebuild / snapshot time-travel / retire all delegate to
+    the registered, oracle-verified implementations bit-for-bit."""
+    import pytest as _pytest
+
+    from ting_data_etl_spark.api import Corpus
+    from ting_data_etl_spark.operators.incremental import (
+        corpus_reindex,
+        incremental_snapshot_retire,
+        incremental_snapshot_timetravel,
+    )
+    from ting_data_etl_spark.operators.similarity import (
+        similarity_index_rebuild,
+    )
+
+    c = Corpus(spark, sf_dir)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(c.snapshot(0)) == rows(
+        incremental_snapshot_timetravel(spark, sf_dir)
+    )
+    assert rows(c.rebuild_similarity_index()) == rows(
+        similarity_index_rebuild(spark, sf_dir)
+    )
+    assert rows(c.reindex()) == rows(corpus_reindex(spark, sf_dir))
+    assert rows(c.retire_snapshot()) == rows(
+        incremental_snapshot_retire(spark, sf_dir)
+    )
+    # a day the catalog does not hold fails loudly, not empty
+    with _pytest.raises(ValueError, match="not in catalog"):
+        c.snapshot(7)

@@ -227,3 +227,80 @@ class TestRotationInvariants:
             f"{overflow} due queries overflow the budget by more than two "
             "full rounds - shrink the change surface or raise the budget"
         )
+
+
+class TestSpecFloor:
+    """The §2 spec-surface safety valve (VERDICT r13 #5): every driver
+    sample reserves a floor of reference-parity rows when the due list
+    leaves slack — the r13 sample legally contained zero §2 rows."""
+
+    def test_floor_promotes_stalest_spec_into_head(self):
+        due = [f"ext_due_{i}" for i in range(30)]
+        fresh = [f"ext_fresh_{i}" for i in range(40)]
+        # interleave spec queries deep in the fresh tail, oldest-first
+        fresh[25:25] = [f"prim_a{i}" for i in range(6)]
+        fresh[35:35] = [f"job_b{i}" for i in range(6)]
+        order, promoted = rotation._apply_spec_floor(due, fresh, budget=50)
+        head = order[:50]
+        assert sum(1 for n in head if rotation.is_spec(n)) >= rotation.SPEC_FLOOR
+        # promotion preserves due priority and the floor count exactly
+        assert order[:30] == due
+        assert promoted == [f"prim_a{i}" for i in range(6)] + ["job_b0", "job_b1"]
+        # stalest-first: promoted come from fresh order, not name order
+        assert set(order) == set(due) | set(fresh)
+
+    def test_floor_never_displaces_due_rows(self):
+        due = [f"ext_due_{i}" for i in range(55)]  # overflow: zero slack
+        fresh = [f"prim_x{i}" for i in range(10)]
+        order, promoted = rotation._apply_spec_floor(due, fresh, budget=50)
+        assert promoted == []
+        assert order == due + fresh
+
+    def test_floor_noop_when_due_already_covers_spec(self):
+        due = [f"job_d{i}" for i in range(10)] + ["ext_a"]
+        fresh = ["prim_y0", "ext_b"]
+        order, promoted = rotation._apply_spec_floor(due, fresh, budget=50)
+        assert promoted == []
+        assert order == due + fresh
+
+    def test_committed_plan_head_holds_the_floor(self, plan):
+        head = plan["order"][: plan["budget"]]
+        n_spec = sum(1 for n in head if rotation.is_spec(n))
+        slack = plan["budget"] - len(plan["due"])
+        if slack > 0:
+            assert n_spec >= min(
+                rotation.SPEC_FLOOR,
+                sum(1 for n in plan["order"] if rotation.is_spec(n)),
+            ), f"head-{plan['budget']} holds only {n_spec} spec rows"
+
+    def test_spec_cadence_bounded_current_and_ceiling(self, plan):
+        """With the floor, the spec surface never waits past the tenured
+        bound — including at the 300-query design ceiling, where the
+        GENERAL bound admits the +2 cohort-collision spill but the
+        reserved floor keeps spec rows one round tighter."""
+        hist, _ = rotation.correctness_history(REPO)
+        spec = {n for n in plan["order"] if rotation.is_spec(n)}
+        assert spec, "spec surface vanished from the registry"
+        gap = rotation.simulate_max_gap(
+            hist, plan["order"], plan["round"], 14, track=spec
+        )
+        assert gap <= rotation.MAX_ROW_AGE_TENURED, (
+            f"spec-surface driver cadence stretched to {gap} rounds"
+        )
+        ceiling = (rotation.MAX_ROW_AGE_TENURED + 1) * rotation.DRIVER_BUDGET
+        probes = [
+            f"_headroom_probe_{i}"
+            for i in range(ceiling - len(plan["order"]))
+        ]
+        grown = plan["order"] + probes
+        h2 = dict(hist)
+        period = rotation.MAX_ROW_AGE_TENURED + 1
+        for i, n in enumerate(probes):
+            last = plan["round"] - 1 - (i % period)
+            h2[n] = {last - 2: "green", last - 1: "green", last: "green"}
+        gap = rotation.simulate_max_gap(
+            h2, grown, plan["round"], 14, track=spec
+        )
+        assert gap <= rotation.MAX_ROW_AGE_TENURED + 1, (
+            f"at the {ceiling}-query ceiling the spec surface waits {gap}"
+        )

@@ -767,3 +767,44 @@ def test_source_budget_head_per_source_prefix_rule(spark, sf_dir):
         # overshoot by at most that one doc, and must reach the budget
         assert r["head_end"] >= budget > 0
         assert r["kept"] - r["head_end"] <= 0  # cum accounting consistent
+
+
+class TestSelectionRelationMemo:
+    """VERDICT r13 #7: one eager-materialized selection relation serves the
+    capstone, the manifest, and the shard sink within a session."""
+
+    def test_memo_identity_and_invalidation(self, spark, sf_dir, monkeypatch):
+        import ting_data_etl_spark.operators.sampling as S
+        from ting_data_etl_spark.operators.curation import final_selection_df
+        from ting_data_etl_spark import relcache
+
+        a = final_selection_df(spark, sf_dir)
+        assert final_selection_df(spark, sf_dir) is a  # same session: reuse
+        r1 = S._selection_shard_rows(spark, sf_dir)
+        assert S._selection_shard_rows(spark, sf_dir) is r1
+        # a constants retune must key a FRESH relation (stale-memo hazard)
+        monkeypatch.setattr(S, "BUDGET_PCT", max(1, S.BUDGET_PCT - 7))
+        assert final_selection_df(spark, sf_dir) is not a
+        monkeypatch.undo()
+        assert final_selection_df(spark, sf_dir) is a
+        # purge clears the memo alongside the staged artifacts
+        relcache.clear()
+        assert final_selection_df(spark, sf_dir) is not a
+
+    def test_manifest_family_shares_the_ranked_relation(self, spark, sf_dir):
+        """The manifest rollup and the sink's written rows must read the
+        SAME ranked relation object — the drift-prevention the sharing
+        bought, now pinned at the memo level."""
+        import ting_data_etl_spark.operators.sampling as S
+
+        ranked = S._selection_shard_rows(spark, sf_dir)
+        man = {
+            tuple(r)
+            for r in S.corpus_selection_manifest(spark, sf_dir).collect()
+        }
+        sink = {
+            tuple(r)
+            for r in S.corpus_manifest_shard_sink(spark, sf_dir).collect()
+        }
+        assert man == sink
+        assert S._selection_shard_rows(spark, sf_dir) is ranked

@@ -776,7 +776,41 @@ def final_selection_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is eagerly materialized once (it feeds the budget chain's
     quantile pass, offsets pass, and final join — re-deriving the span +
     semantic chains three times would triple the dominant cost).
+
+    SESSION-memoized (VERDICT r13 #7): the capstone, the selection
+    manifest, and the physical shard sink all consume this relation, and
+    each used to rebuild it — including the eager ``st`` checkpoint and
+    the budget chain's quantile/offset collects — once per query inside
+    one session. The memo key folds the constants tokens and source
+    fingerprints (``relcache`` module docstring), so retunes and testdata
+    regenerations still rebuild; the returned plan object is unchanged
+    (the plan pin digests the same lazy composition).
     """
+    import os as _os
+
+    from ting_data_etl_spark.operators.dedup import (
+        _source_fp,
+        _stage_version_token,
+    )
+    from ting_data_etl_spark.operators.incremental import _incr_token
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        (
+            "final_selection",
+            _os.path.abspath(sf_dir),
+            _stage_version_token(),
+            _incr_token(),
+            _source_fp(sf_dir, "documents"),
+            _source_fp(sf_dir, "embeddings"),
+        ),
+        lambda: _final_selection_build(spark, sf_dir),
+    )
+
+
+def _final_selection_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition itself (see :func:`final_selection_df`)."""
     from ting_data_etl_spark.operators.sampling import corpus_budget_head
     from ting_data_etl_spark.operators.similarity import dedup_semdedup_prune
 

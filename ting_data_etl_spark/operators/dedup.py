@@ -1376,6 +1376,11 @@ def purge_stages(sf_dir: str) -> None:
     import shutil
 
     shutil.rmtree(os.path.dirname(_stage_dir(sf_dir, ["x"])), ignore_errors=True)
+    # the per-session relation memo rides the same invalidation contract:
+    # a purge that forces cold stage builds must also force cold relations
+    from ting_data_etl_spark import relcache
+
+    relcache.clear()
     # dict keys hold the RAW sf_dir strings callers passed; compare by
     # abspath so './x' and '/abs/x/' purge the same entries the rmtree hit
     ap = os.path.abspath(sf_dir)

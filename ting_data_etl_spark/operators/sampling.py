@@ -1500,7 +1500,40 @@ def _selection_shard_rows(
     eagerly materialized because every consumer reads it more than once
     (the manifest's rollup is one pass, but the sink writes it AND
     re-rolls the read-back; re-deriving would re-run the nested
-    final-selection)."""
+    final-selection). SESSION-memoized on top (VERDICT r13 #7): the
+    manifest and the shard sink both consume this checkpointed relation,
+    so within one session the rank derivation runs once, not per query —
+    the memo key carries the same constants tokens + source fingerprints
+    as the staged artifacts (see ``relcache``)."""
+    import os as _os
+
+    from ting_data_etl_spark.operators.dedup import (
+        _source_fp,
+        _stage_version_token,
+    )
+    from ting_data_etl_spark.operators.incremental import _incr_token
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        (
+            "selection_shard_rows",
+            _os.path.abspath(sf_dir),
+            n_bands,
+            N_SHARDS,
+            _stage_version_token(),
+            _incr_token(),
+            _source_fp(sf_dir, "documents"),
+            _source_fp(sf_dir, "embeddings"),
+        ),
+        lambda: _selection_shard_rows_build(spark, sf_dir, n_bands),
+    )
+
+
+def _selection_shard_rows_build(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """The rank derivation itself (see :func:`_selection_shard_rows`)."""
     from pyspark.sql import Window
 
     from ting_data_etl_spark.functions.text import token_count

@@ -1,0 +1,50 @@
+"""Per-session relation memo: one materialization serving many queries.
+
+VERDICT r13 #7: the three heaviest bench rows (`corpus_manifest_shard_sink`,
+`corpus_selection_manifest`, `corpus_final_selection`) each re-derived the
+selection⋈ledger relation warm — three executions of the same nested stage
+chain inside one session. The staged-artifact layer (``dedup._publish_stage``)
+already dedups ACROSS sessions via on-disk fingerprints; this memo dedups
+WITHIN a session: the first consumer builds (and, where the builder says so,
+eagerly checkpoints) the relation, later consumers get the same DataFrame
+object, so its ``localCheckpoint`` blocks and its already-executed
+quantile/offset collects are reused instead of re-derived.
+
+Keying discipline — the same invalidation contract as the staged artifacts:
+the key must fold the Spark application id (a checkpointed DataFrame dies
+with its session), the dataset identity + source fingerprints (a testdata
+regeneration must rebuild), and the constants tokens of every knob the
+relation reads (a retune test must never see a stale memo). Entries from
+previous applications are pruned on insert, so long test processes that
+restart sessions cannot accumulate dead references.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def session_relation(
+    spark: SparkSession, key_parts: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """The memoized relation under (application id, *key_parts*), building
+    it once per session via *build*. The builder decides materialization
+    (checkpoint or lazy); the memo only guarantees object identity."""
+    app = spark.sparkContext.applicationId
+    key = (app, *key_parts)
+    df = _MEMO.get(key)
+    if df is None:
+        for k in [k for k in _MEMO if k[0] != app]:  # dead sessions
+            del _MEMO[k]
+        df = _MEMO[key] = build()
+    return df
+
+
+def clear() -> None:
+    """Drop every memoized relation (tests that rebuild testdata in place
+    within one session call this alongside ``purge_stages``)."""
+    _MEMO.clear()

@@ -69,6 +69,43 @@ MAX_ROW_AGE_TENURED = 5
 TENURE_ROWS = 3
 PLAN_PATH = os.path.join(os.path.dirname(__file__), "_rotation_plan.json")
 
+# THE SPEC-SURFACE SAFETY VALVE (r14, VERDICT r13 #5): with the tenured
+# cadence, a SURVEY §2 reference-parity query can legally go
+# MAX_ROW_AGE_TENURED rounds without a driver row while recently-changed
+# extension modules hog the budget — the r13 sample had ZERO §2 rows.
+# Cumulative history plus the committed full local sweeps still cover the
+# surface, but the spec queries ARE the contract, so each driver sample
+# reserves a floor of them: when the due list leaves slack, the stalest
+# spec-surface queries are promoted to the front of the fresh tail until
+# the head-window holds at least SPEC_FLOOR of them. Due queries are never
+# displaced (failures and staleness keep absolute priority); the floor
+# only spends slack the fresh tail would have cycled anyway.
+SPEC_PREFIXES = ("flagship", "job_", "prim_", "sink_", "e2e_", "csv_")
+SPEC_FLOOR = 8
+
+
+def is_spec(name: str) -> bool:
+    """True for SURVEY §2 spec-surface queries (reference-parity names)."""
+    return name.startswith(SPEC_PREFIXES)
+
+
+def _apply_spec_floor(
+    due_names: list[str], fresh_names: list[str], budget: int = DRIVER_BUDGET
+) -> tuple[list[str], list[str]]:
+    """(full order, promoted names) under the spec floor.
+
+    Promotes the stalest spec queries (fresh is oldest-last-row-first) to
+    the head of the fresh tail until the budget window would hold at
+    least SPEC_FLOOR spec rows — bounded by the slack the due list
+    leaves, so due ordering is untouched."""
+    slack = max(0, budget - len(due_names))
+    spec_in_due = sum(1 for n in due_names[:budget] if is_spec(n))
+    need = min(max(0, SPEC_FLOOR - spec_in_due), slack)
+    promoted = [n for n in fresh_names if is_spec(n)][:need]
+    pset = set(promoted)
+    rest = [n for n in fresh_names if n not in pset]
+    return due_names + promoted + rest, promoted
+
 
 def correctness_history(repo_root: str) -> tuple[dict[str, dict[int, str]], int]:
     """Per-query driver-row history: name -> {round: 'green'|'fail'}.
@@ -169,14 +206,19 @@ def compute_plan(
             fresh.append((last_row, name))
     due.sort()
     fresh.sort()
+    order, promoted = _apply_spec_floor(
+        [n for _, n in due], [n for _, n in fresh]
+    )
     return {
         "round": current_round,
         "budget": DRIVER_BUDGET,
         "max_row_age": MAX_ROW_AGE,
         "max_row_age_tenured": MAX_ROW_AGE_TENURED,
         "tenure_rows": TENURE_ROWS,
+        "spec_floor": SPEC_FLOOR,
+        "promoted_spec": promoted,
         "due": [n for _, n in due],
-        "order": [n for _, n in due] + [n for _, n in fresh],
+        "order": order,
         "module_of": module_of,
         "module_hash": module_hash,
     }
@@ -188,6 +230,7 @@ def simulate_max_gap(
     start_round: int,
     horizon: int,
     budget: int = DRIVER_BUDGET,
+    track: set[str] | None = None,
 ) -> int:
     """Worst inter-row gap any query sees under the current policy.
 
@@ -199,7 +242,9 @@ def simulate_max_gap(
     ``budget`` queries a green row. Returns the maximum number of rounds
     any query waits between consecutive driver rows, counting the wait
     from its last REAL row into the simulation — the rotation-cadence
-    number the r9 verdict asked to bound (next-round item #6).
+    number the r9 verdict asked to bound (next-round item #6). *track*
+    restricts the measurement to a subset (e.g. the spec surface) while
+    the whole registry still competes for the budget.
     """
     sim = {n: dict(hist.get(n, {})) for n in names}
     for rnd in range(start_round, start_round + horizon):
@@ -211,12 +256,14 @@ def simulate_max_gap(
             (due if is_due(h, rnd, False) else fresh).append((last, n))
         due.sort()
         fresh.sort()
-        order = [n for _, n in due] + [n for _, n in fresh]
+        order, _ = _apply_spec_floor(
+            [n for _, n in due], [n for _, n in fresh], budget
+        )
         for n in order[:budget]:
             sim[n][rnd] = "green"
     max_gap = 0
     end_round = start_round + horizon - 1
-    for n in names:
+    for n in names if track is None else [n for n in names if n in track]:
         rows = sorted(sim[n])
         for prev, cur in zip(rows, rows[1:]):
             # only gaps that END inside the simulated window count — a
