@@ -765,19 +765,30 @@ class TestPngMixedTypes:
 
         from ting_data_etl_spark.operators.multimodal import (
             _PNG_SIG,
+            _mixed_color_class,
             render_png_mixed_media,
         )
+        from ting_data_etl_spark.sources.tables import load_table
 
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents")
+            .limit(64)
+            .collect()
+        }
         rows = (
-            render_png_mixed_media(spark, sf_dir).limit(64).collect()
+            render_png_mixed_media(spark, sf_dir)
+            .filter(F.col("media_id").isin(list(texts)))
+            .collect()
         )
-        want = {0: 0, 1: 2, 2: 3, 3: 6}  # media_id % 4 -> color type
+        want = {0: 0, 1: 2, 2: 3, 3: 6}  # text-hash class -> color type
         seen = set()
         for r in rows:
             buf = bytes(r["payload"])
             assert buf.startswith(_PNG_SIG)
             ihdr = struct.unpack(">IIBBBBB", buf[16:29])
-            assert ihdr[3] == want[r["media_id"] % 4], r["media_id"]
+            cls = _mixed_color_class(texts[r["media_id"]])
+            assert ihdr[3] == want[cls], r["media_id"]
             seen.add(ihdr[3])
         assert seen == {0, 2, 3, 6}, seen
 
@@ -791,6 +802,7 @@ class TestPngMixedTypes:
             PHASH_GRID,
             PHASH_SIDE,
             _MIXED_PLTE_MULS,
+            _mixed_color_class,
             ahash_bits,
             decode_png,
             render_png_mixed_media,
@@ -817,7 +829,7 @@ class TestPngMixedTypes:
             cps = np.array(
                 [ord(ch) % 256 for ch in (text or "")] or [0], dtype=np.int64
             )
-            t = doc_id % 4
+            t = _mixed_color_class(text)
             idx1 = np.arange(side * side)
             if t == 0:
                 arr = cps[idx1 % cps.size].reshape(side, side, 1)

@@ -211,6 +211,13 @@ PINNED = [
     "incremental_snapshot_timetravel",
     "similarity_index_rebuild",
     "multimodal_png_phash_dedup",
+    # r14: the retire verb's survivor read is ONE referenced-files scan +
+    # one shard-keyed rollup (the time-travel shape — extra scans mean the
+    # catalog stopped driving the read); the mixed-type PNG query keeps
+    # the phash family's two-Arrow-stage + one-shuffle + broadcast-keeper
+    # shape regardless of per-row color type
+    "incremental_snapshot_retire",
+    "multimodal_png_mixed_phash_dedup",
     # r12 per-source budget — pinned via its PRE-checkpoint plan builder
     # (see PRE_CHECKPOINT below): the registered query eagerly checkpoints,
     # so pinning its return would record all zeros and guard nothing

@@ -888,6 +888,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_dedup_over(hashed: DataFrame) -> DataFrame:
+    # materialize the hashes once: the keeper join reads the relation on
+    # BOTH sides (rows + the min-per-hash aggregate), so without this the
+    # render->decode->hash Arrow chain executed twice per query — the r13
+    # plan pins recorded 8 mapInPandas stages where the docstrings claim 2
+    # (the same fix multimodal_phash_near_dup shipped in r9; r14 applies
+    # it to the whole exact-dedup family)
+    hashed = hashed.localCheckpoint(eager=True)
     keep = hashed.groupBy("phash").agg(F.min("media_id").alias("keeper_id"))
     return (
         hashed.join(keep, "phash")
@@ -933,17 +940,30 @@ def multimodal_png_phash_dedup(
 _MIXED_PLTE_MULS = (1, 7, 13)
 
 
+def _mixed_color_class(text: str) -> int:
+    """Container class in [0, 4) for the mixed-type corpus: the first byte
+    of md5(utf-8 text) mod 4. CONTENT-derived on purpose: documents with
+    identical text land in the same container, so exact-duplicate groups
+    still collapse in the keeper join (an id-derived class would scatter a
+    duplicate group across color types and the dedup's positive path would
+    never fire). DuckDB twin: ``CAST('0x'||substr(md5(text),1,2) AS
+    INTEGER) % 4``."""
+    import hashlib as _hl
+
+    return _hl.md5((text or "").encode("utf-8")).digest()[0] % 4
+
+
 def render_png_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → real PNG payloads across the FOUR supported color types.
 
-    ``media_id % 4`` picks the container: 0 → grayscale (type 0, pixel =
-    codepoint), 1 → RGB (type 2, the shared :func:`render_media` rule),
-    2 → palette (type 3: index = codepoint, PLTE entry v =
-    ``(v, 7v%256, 13v%256)``), 3 → RGBA (type 6: the RGB rule + an
-    all-zero alpha plane, so the alpha-summing hash equals the RGB
-    hash). Every pixel the decoder will produce is a pure function of
-    the document's codepoints — the property that keeps the whole mixed
-    corpus under the full DuckDB oracle."""
+    :func:`_mixed_color_class` (text-derived) picks the container: 0 →
+    grayscale (type 0, pixel = codepoint), 1 → RGB (type 2, the shared
+    :func:`render_media` rule), 2 → palette (type 3: index = codepoint,
+    PLTE entry v = ``(v, 7v%256, 13v%256)``), 3 → RGBA (type 6: the RGB
+    rule + an all-zero alpha plane, so the alpha-summing hash equals the
+    RGB hash). Every pixel the decoder will produce is a pure function
+    of the document's codepoints — the property that keeps the whole
+    mixed corpus under the full DuckDB oracle."""
     d = load_table(spark, sf_dir, "documents")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -966,7 +986,7 @@ def render_png_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if cps.size == 0:
                     cps = np.zeros(1, dtype=np.int64)
-                t = int(doc_id) % 4
+                t = _mixed_color_class(text)
                 if t == 0:  # grayscale
                     arr = (
                         cps[idx1 % cps.size]
@@ -1030,12 +1050,14 @@ def _sql_phash_mixed_rel() -> str:
                 for c in range(3)
             )
             cells.append(
-                f"(CASE doc_id % 4 WHEN 0 THEN {gray} "
+                f"(CASE cclass WHEN 0 THEN {gray} "
                 f"WHEN 2 THEN {pal} ELSE {rgb} END)"
             )
     gs = ",\n    ".join(cells)
     return f"""t AS (
-  SELECT doc_id, text, GREATEST(length(text), 1) AS n FROM documents
+  SELECT doc_id, text, GREATEST(length(text), 1) AS n,
+         CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 4 AS cclass
+  FROM documents
 ),
 gcell AS (
   SELECT doc_id, [{gs}] AS gs FROM t
@@ -1059,7 +1081,6 @@ WITH {_sql_phash_mixed_rel()},
 k AS (SELECT phash, MIN(doc_id) AS keeper_id FROM b GROUP BY phash)
 SELECT b.doc_id AS media_id, b.phash, k.keeper_id
 FROM b JOIN k USING (phash)
-WHERE b.doc_id <> k.keeper_id
 """
 
 
@@ -1067,15 +1088,24 @@ WHERE b.doc_id <> k.keeper_id
 def multimodal_png_mixed_phash_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The phash dedup over a MIXED-color-type PNG corpus — grayscale,
-    RGB, palette, and RGBA payloads in one table (VERDICT r13 #6: real
-    crawl data is not all truecolor; types 0 and 3 un-gated).
+    """Canonical phash assignment over a MIXED-color-type PNG corpus —
+    grayscale, RGB, palette, and RGBA payloads in one table (VERDICT r13
+    #6: real crawl data is not all truecolor; types 0 and 3 un-gated).
 
-    Every document renders into the container its ``media_id % 4`` picks
-    (:func:`render_png_mixed_media`), round-trips the real codec —
-    including the PLTE write/lookup and the 1-channel scanline filters,
-    whose bpp differs from the RGB path — and lands in the SAME keeper
-    join, so cross-type hash-equal images collapse together. The DuckDB
+    Returns EVERY document's (media_id, phash, keeper_id) — the
+    keep-canonical form rather than duplicates-only, because the fixture
+    corpus has no identical-text pairs and its few perceptual collisions
+    rarely share a container class: a dup-only relation would be empty at
+    the driver scale and verify nothing, while this relation puts all 64
+    hash bits of every document, under its own color type's pixel rule,
+    under the value oracle (``keeper_id != media_id`` marks the dups).
+
+    Every document renders into the container its text's hash class
+    picks (:func:`_mixed_color_class` — content-derived, so exact-
+    duplicate groups share a container and genuinely collapse), round-
+    trips the real codec — including the PLTE write/lookup and the
+    1-channel scanline filters, whose bpp differs from the RGB path —
+    and lands in the SAME keeper join. The DuckDB
     oracle re-derives each image's cells under its type's pixel rule
     (gray byte / palette index arithmetic / 3-term RGB with zero alpha),
     so a wrong PLTE entry, a bpp-confused filter inverse, or a grayscale
@@ -1092,8 +1122,13 @@ def multimodal_png_mixed_phash_dedup(
 
     hashed = render_png_mixed_media(spark, sf_dir).mapInPandas(
         _hash_batches, schema="media_id long, phash string"
+    ).localCheckpoint(eager=True)  # one Arrow pass serves both join sides
+    keep = hashed.groupBy("phash").agg(
+        F.min("media_id").alias("keeper_id")
     )
-    return _phash_dedup_over(hashed)
+    return hashed.join(keep, "phash").select(
+        "media_id", "phash", "keeper_id"
+    )
 
 
 # --- perceptual NEAR-dup: banded hamming search over the aHash ---------------
