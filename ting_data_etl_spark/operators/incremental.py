@@ -1348,6 +1348,16 @@ def corpus_reindex(
     indexing job (one pass over the standing text/vectors, exactly what
     the generation-0 stage builds cost); the point of the verb is that
     it is planned, verified, and swept — not free.
+
+    Cadence evidence (VERDICT r13 #8, ``SELECTION_SCALE_r14.md`` x100,
+    500k docs / contract k=800): the daily update's wall grows ~0.61 s
+    per accumulated day of 2%-daily arrivals (42.7 s at day 1 → 48.3 s
+    at day 10) while a cold rebuild costs 538.6 s — cumulative extra
+    maintain cost reaches one rebuild only at D* ≈ 42 days. So at this
+    shape the rebuild cadence is GUARD-driven (model staleness tripping
+    ``_sem_drift_guard``), not cost-driven: rebuilding whenever a guard
+    fires is far cheaper than the drift it clears, and a deployment that
+    never trips a guard still breaks even rebuilding every ~6 weeks.
     """
     # 1) re-derive the full standing-state family for the new generation
     #    (explicit, not lazily-on-first-use: the probe index and manifest
