@@ -144,6 +144,16 @@ def test_facade_lifecycle_verbs_are_the_registered_queries(spark, sf_dir):
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
+    # snapshot(0) reads the retire verb's STORE but its digest values are
+    # bit-equal to the registered snapcat-backed time-travel query (same
+    # standing rows, different physical layout) — so retire_snapshot can
+    # honor its "retired days fail loudly" contract through the SAME
+    # catalog this method reads (review r14)
+    import shutil
+
+    from ting_data_etl_spark.operators.incremental import _snapshot_store
+
+    shutil.rmtree(_snapshot_store(spark, sf_dir), ignore_errors=True)
     assert rows(c.snapshot(0)) == rows(
         incremental_snapshot_timetravel(spark, sf_dir)
     )
@@ -151,9 +161,13 @@ def test_facade_lifecycle_verbs_are_the_registered_queries(spark, sf_dir):
         similarity_index_rebuild(spark, sf_dir)
     )
     assert rows(c.reindex()) == rows(corpus_reindex(spark, sf_dir))
-    assert rows(c.retire_snapshot()) == rows(
-        incremental_snapshot_retire(spark, sf_dir)
-    )
+    retired = rows(c.retire_snapshot())
+    assert retired == rows(incremental_snapshot_retire(spark, sf_dir))
+    # the retired day no longer reconstructs through the public surface;
+    # the surviving day reads back exactly what retire returned
+    with _pytest.raises(FileNotFoundError, match="retired"):
+        c.snapshot(0)
+    assert rows(c.snapshot(1)) == retired
     # a day the catalog does not hold fails loudly, not empty
     with _pytest.raises(ValueError, match="not in catalog"):
         c.snapshot(7)

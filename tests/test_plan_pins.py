@@ -240,11 +240,64 @@ def _source_budget_head_precheckpoint(spark, sf_dir):
         banded.unpersist()
 
 
+def _phash_precheckpoint(relation_fn, query_fn):
+    """Digest builder for the phash family (r14 review): the registered
+    return is a keeper join over an eager checkpoint, so its own digest
+    can no longer see the Arrow render->decode->hash chain. Pin BOTH
+    halves as the element-wise SUM of (a) the lazy pre-checkpoint hash
+    relation's digest — where a row-python demotion or a doubled Arrow
+    stage shows up — and (b) the returned keeper-join digest."""
+
+    def build(spark, sf_dir):
+        pre = plan_digest(spark, relation_fn(spark, sf_dir))
+        post = plan_digest(spark, query_fn(spark, sf_dir))
+        return {k: pre[k] + post[k] for k in pre}
+
+    return build
+
+
+def _phash_dedup_pre(spark, sf_dir):
+    from ting_data_etl_spark.operators.multimodal import (
+        multimodal_phash_dedup,
+        phash_relation,
+    )
+
+    return _phash_precheckpoint(phash_relation, multimodal_phash_dedup)(
+        spark, sf_dir
+    )
+
+
+def _png_phash_pre(spark, sf_dir):
+    from ting_data_etl_spark.operators.multimodal import (
+        multimodal_png_phash_dedup,
+        phash_relation,
+    )
+
+    return _phash_precheckpoint(
+        lambda s, d: phash_relation(s, d, codec="png"),
+        multimodal_png_phash_dedup,
+    )(spark, sf_dir)
+
+
+def _png_mixed_pre(spark, sf_dir):
+    from ting_data_etl_spark.operators.multimodal import (
+        multimodal_png_mixed_phash_dedup,
+        png_mixed_phash_relation,
+    )
+
+    return _phash_precheckpoint(
+        png_mixed_phash_relation, multimodal_png_mixed_phash_dedup
+    )(spark, sf_dir)
+
+
 #: query name -> callable(spark, sf_dir) -> digest, for queries whose
 #: registered return is an eager checkpoint (pinning that would guard
 #: nothing); the callable digests the pre-checkpoint plan instead.
 PRE_CHECKPOINT = {
     "corpus_source_budget_head": _source_budget_head_precheckpoint,
+    "multimodal_phash_dedup": _phash_dedup_pre,
+    "multimodal_png_phash_dedup": _png_phash_pre,
+    "multimodal_png_mixed_phash_dedup": _png_mixed_pre,
 }
 
 #: feature name -> regex counted over the formatted physical plan. The

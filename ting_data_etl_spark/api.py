@@ -229,23 +229,29 @@ class Corpus:
         return similarity_index_rebuild(self.spark, self.sf_dir)
 
     def snapshot(self, day: int = 0) -> DataFrame:
-        """TIME-TRAVEL read of snapshot *day* from the catalog.
+        """TIME-TRAVEL read of snapshot *day* from the snapshot STORE.
 
-        Reconstructs the day purely from the snapshot catalog's file
+        Reconstructs the day purely from the store catalog's file
         references and returns the per-shard digest of what the files
-        actually contain (day 0 is the registered
-        ``incremental_snapshot_timetravel``; the catalog holds day 0 and
-        the COW-refreshed day 1). Raises loudly for a day the catalog
-        does not hold or whose files were retired.
+        actually contain (the store holds day 0 and the COW-refreshed
+        day 1; day-0 digest values are bit-equal to the registered
+        ``incremental_snapshot_timetravel``, pinned by ``tests/
+        test_api.py``). Reads the SAME physical layout
+        :meth:`retire_snapshot` operates on — so after a retire, reading
+        the retired day raises FileNotFoundError (the review r14 fix:
+        the facade must not resurrect a retired snapshot through a
+        different catalog). Raises ValueError for a day the catalog
+        does not hold.
         """
+        import os as _os
+
         from ting_data_etl_spark.operators.incremental import (
             _catalog_snapshot_read,
-            _snapshot_catalog,
+            _snapshot_store,
         )
 
-        cat = self.spark.read.parquet(
-            _snapshot_catalog(self.spark, self.sf_dir)
-        )
+        store = _snapshot_store(self.spark, self.sf_dir)
+        cat = self.spark.read.parquet(_os.path.join(store, "catalog"))
         return _catalog_snapshot_read(self.spark, cat, day)
 
     def retire_snapshot(self) -> DataFrame:

@@ -1231,9 +1231,16 @@ def _catalog_referenced_dirs(root: str, keep: tuple[int, ...]) -> set[str]:
             continue
         if "snapcat" not in d and "snapstore" not in d:
             continue  # catalog dirs only: incrsel[_gN]_snapcat_<shards>_...
+        if ".tmp." in d:
+            # a writer's staging dir (<out>.tmp.<pid>) is never a live
+            # publish target, but it CAN carry _SUCCESS (Spark writes one
+            # inside the parquet dir; _snapshot_store marks tmp before the
+            # rename) — a crashed writer's orphan must not masquerade as a
+            # published catalog (review r14)
+            continue
         path = os.path.join(root, d)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            continue  # unpublished tmp/partial: not a live catalog
+            continue  # unpublished partial: not a live catalog
         try:
             import pyarrow.parquet as pq
 

@@ -887,20 +887,20 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_dedup_over(phash_relation(spark, sf_dir))
 
 
-def _phash_dedup_over(hashed: DataFrame) -> DataFrame:
+def _phash_dedup_over(hashed: DataFrame, dups_only: bool = True) -> DataFrame:
     # materialize the hashes once: the keeper join reads the relation on
     # BOTH sides (rows + the min-per-hash aggregate), so without this the
     # render->decode->hash Arrow chain executed twice per query — the r13
     # plan pins recorded 8 mapInPandas stages where the docstrings claim 2
     # (the same fix multimodal_phash_near_dup shipped in r9; r14 applies
-    # it to the whole exact-dedup family)
+    # it to the whole exact-dedup family). The pre-checkpoint Arrow chain
+    # stays pinned via PRE_CHECKPOINT in tests/test_plan_pins.py.
     hashed = hashed.localCheckpoint(eager=True)
     keep = hashed.groupBy("phash").agg(F.min("media_id").alias("keeper_id"))
-    return (
-        hashed.join(keep, "phash")
-        .filter(F.col("media_id") != F.col("keeper_id"))
-        .select("media_id", "phash", "keeper_id")
-    )
+    out = hashed.join(keep, "phash")
+    if dups_only:
+        out = out.filter(F.col("media_id") != F.col("keeper_id"))
+    return out.select("media_id", "phash", "keeper_id")
 
 
 @register("multimodal_png_phash_dedup", oracle=_sql_phash)
@@ -1113,6 +1113,15 @@ def multimodal_png_mixed_phash_dedup(
     plan shape as the other phash queries: two Arrow stages, ONE
     hash-keyed shuffle, broadcast-size keeper join.
     """
+    return _phash_dedup_over(
+        png_mixed_phash_relation(spark, sf_dir), dups_only=False
+    )
+
+
+def png_mixed_phash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, phash) through the mixed-type PNG codec — the lazy Arrow
+    render→decode→hash chain (the pre-checkpoint plan the pin digests)."""
+
     def _hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes = [ahash_bits(decode_png(p)) for p in pdf["payload"]]
@@ -1120,14 +1129,8 @@ def multimodal_png_mixed_phash_dedup(
                 {"media_id": pdf["media_id"], "phash": hashes}
             )
 
-    hashed = render_png_mixed_media(spark, sf_dir).mapInPandas(
+    return render_png_mixed_media(spark, sf_dir).mapInPandas(
         _hash_batches, schema="media_id long, phash string"
-    ).localCheckpoint(eager=True)  # one Arrow pass serves both join sides
-    keep = hashed.groupBy("phash").agg(
-        F.min("media_id").alias("keeper_id")
-    )
-    return hashed.join(keep, "phash").select(
-        "media_id", "phash", "keeper_id"
     )
 
 

@@ -27,6 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MEMO: dict[tuple, DataFrame] = {}
 
+#: Max live entries per application (review r14): a retune-probing session
+#: (tools/selection_scale.py mutates constants, minting a fresh key per
+#: regime) would otherwise pin one checkpointed relation per retune for
+#: the session lifetime — blocks the ContextCleaner can never release
+#: while the memo holds the reference. Insertion-ordered dict = FIFO
+#: eviction; dropping the reference lets Spark reclaim the blocks.
+MAX_ENTRIES = 8
+
 
 def session_relation(
     spark: SparkSession, key_parts: tuple, build: Callable[[], DataFrame]
@@ -40,6 +48,8 @@ def session_relation(
     if df is None:
         for k in [k for k in _MEMO if k[0] != app]:  # dead sessions
             del _MEMO[k]
+        while len(_MEMO) >= MAX_ENTRIES:  # bounded: evict oldest first
+            del _MEMO[next(iter(_MEMO))]
         df = _MEMO[key] = build()
     return df
 
