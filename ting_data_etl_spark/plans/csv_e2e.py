@@ -140,31 +140,63 @@ _KEY_COL = "store_id"
 
 
 def _stage_scan_corpus() -> list[tuple[str, int]]:
-    """Generate the seeded corpus (idempotent) and locate each header.
+    """Publish the seeded corpus ONCE (atomic, versioned) and locate headers.
 
     Returns [(path, n_prefix_lines)] for the files that HAVE the key column
     — keyless files are the reader-contract skips. The prefix count is
     discovered the same way the reader does (first row whose cells contain
     the key column name), so the oracle's ``skip=`` matches the reader's
     drop exactly.
+
+    Atomic publish (r14 sweep flake): the old form regenerated the shared
+    /tmp dir unconditionally and non-atomically on EVERY call, so two
+    concurrent driver processes (parallel correctness sweeps) could tear
+    each other's files mid-read — observed once as spark=6 vs oracle=5.
+    Now the corpus is generated into a pid-suffixed tmp dir, stamped with
+    a version token (files + seed: a retune rotates it), and renamed into
+    place exactly once; steady-state calls only check the stamp. Stray
+    CSVs from older revisions cannot exist inside a published dir, so the
+    hermetic-sweep loop is gone with the rewrite path.
     """
     import csv as _csv
+    import shutil
 
     from ting_data_etl_spark.sources.csv_gen import generate_messy_csvs
 
-    paths = generate_messy_csvs(SCAN_DIR, n_files=8, seed=_SCAN_SEED)
-    # hermetic dir: a stray CSV left by an older revision (different
-    # n_files/seed) or another process would be profiled by the Spark scan
-    # but absent from the oracle union — a permanent hash mismatch
-    # indistinguishable from a real regression
+    token = f"v1_n8_seed{_SCAN_SEED}"
+    marker = os.path.join(SCAN_DIR, "_READY")
+
+    def _published() -> bool:
+        try:
+            with open(marker, encoding="utf-8") as f:
+                return f.read() == token
+        except OSError:
+            return False
+
+    if not _published():
+        tmp = f"{SCAN_DIR}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        generate_messy_csvs(tmp, n_files=8, seed=_SCAN_SEED)
+        with open(os.path.join(tmp, "_READY"), "w", encoding="utf-8") as f:
+            f.write(token)
+        old = f"{SCAN_DIR}.old.{os.getpid()}"
+        shutil.rmtree(old, ignore_errors=True)
+        try:
+            if os.path.exists(SCAN_DIR):
+                os.rename(SCAN_DIR, old)  # stale revision: move aside
+            os.rename(tmp, SCAN_DIR)
+        except OSError:
+            # lost the publish race — the winner's dir is deterministic
+            # (same generator, same seed), use it
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not _published():
+                raise
+        finally:
+            shutil.rmtree(old, ignore_errors=True)
     import glob as _glob
 
-    expected = {os.path.abspath(p) for p in paths}
-    for f in _glob.glob(os.path.join(SCAN_DIR, "*.csv")):
-        if os.path.abspath(f) not in expected:
-            os.remove(f)
     kept: list[tuple[str, int]] = []
-    for p in paths:
+    for p in sorted(_glob.glob(os.path.join(SCAN_DIR, "*.csv"))):
         with open(p, newline="", encoding="utf-8") as f:
             for i, row in enumerate(_csv.reader(f)):
                 if _KEY_COL in [c.strip() for c in row]:
