@@ -85,8 +85,26 @@ class TestPlanDerivation:
         assert list(loaded_registry) == plan["order"]
 
     def test_due_queries_lead_the_order(self, plan):
-        due = plan["due"]
-        assert plan["order"][: len(due)] == due
+        """Due rows lead, except the explicitly deferred spec-floor rows
+        (r15): every due row either sits in the head window, was deferred
+        by the floor (landing immediately after the window region), or
+        overflowed the budget — and the full order is reproducible from
+        the committed due/fresh/deferrable lists."""
+        order, promoted, deferred = rotation._apply_spec_floor(
+            plan["due"], plan["fresh"], plan["budget"], plan["deferrable"]
+        )
+        assert order == plan["order"]
+        assert promoted == plan["promoted_spec"]
+        assert deferred == plan["deferred_for_floor"]
+        head = set(plan["order"][: plan["budget"]])
+        n_window_due = min(len(plan["due"]), plan["budget"]) - len(deferred)
+        for name in plan["due"][: plan["budget"]]:
+            if name in set(deferred) or name in set(promoted):
+                continue
+            assert name in head, f"{name}: due-in-window row displaced"
+        assert plan["order"][:n_window_due] == [
+            n for n in plan["due"][: plan["budget"]] if n not in set(deferred)
+        ]
 
 
 class TestRotationInvariants:
@@ -240,38 +258,110 @@ class TestSpecFloor:
         # interleave spec queries deep in the fresh tail, oldest-first
         fresh[25:25] = [f"prim_a{i}" for i in range(6)]
         fresh[35:35] = [f"job_b{i}" for i in range(6)]
-        order, promoted = rotation._apply_spec_floor(due, fresh, budget=50)
+        order, promoted, deferred = rotation._apply_spec_floor(
+            due, fresh, budget=50
+        )
         head = order[:50]
         assert sum(1 for n in head if rotation.is_spec(n)) >= rotation.SPEC_FLOOR
         # promotion preserves due priority and the floor count exactly
         assert order[:30] == due
         assert promoted == [f"prim_a{i}" for i in range(6)] + ["job_b0", "job_b1"]
+        assert deferred == []
         # stalest-first: promoted come from fresh order, not name order
         assert set(order) == set(due) | set(fresh)
 
-    def test_floor_never_displaces_due_rows(self):
+    def test_floor_without_deferrable_never_displaces_due_rows(self):
         due = [f"ext_due_{i}" for i in range(55)]  # overflow: zero slack
         fresh = [f"prim_x{i}" for i in range(10)]
-        order, promoted = rotation._apply_spec_floor(due, fresh, budget=50)
-        assert promoted == []
+        order, promoted, deferred = rotation._apply_spec_floor(
+            due, fresh, budget=50
+        )
+        assert promoted == [] and deferred == []
         assert order == due + fresh
 
-    def test_floor_noop_when_due_already_covers_spec(self):
-        due = [f"job_d{i}" for i in range(10)] + ["ext_a"]
-        fresh = ["prim_y0", "ext_b"]
-        order, promoted = rotation._apply_spec_floor(due, fresh, budget=50)
-        assert promoted == []
-        assert order == due + fresh
+    def test_floor_funds_itself_by_deferring_under_overflow(self):
+        """The r14 defect (VERDICT r14 #1): due > budget left slack = 0 and
+        the floor promoted NOTHING. With caller-certified deferrable rows
+        the floor now reserves its slots by pushing the newest-tenured
+        non-spec due rows just past the window."""
+        due = [f"ext_due_{i:02d}" for i in range(84)]
+        fresh = [f"prim_x{i}" for i in range(10)] + ["ext_f0"]
+        deferrable = [f"ext_due_{i:02d}" for i in range(83, 30, -1)]
+        order, promoted, deferred = rotation._apply_spec_floor(
+            due, fresh, budget=50, deferrable=deferrable
+        )
+        head = order[:50]
+        assert sum(1 for n in head if rotation.is_spec(n)) == rotation.SPEC_FLOOR
+        assert promoted == [f"prim_x{i}" for i in range(8)]
+        # deferrable names past the window are not eligible (they already
+        # wait); only window residents moved, best-to-defer first
+        assert deferred == [f"ext_due_{i:02d}" for i in range(49, 41, -1)]
+        # deferred rows land immediately after the window, ahead of the
+        # overflow tail — and no non-deferred window row was displaced
+        assert order[50:58] == deferred
+        for n in due[:50]:
+            if n not in set(deferred):
+                assert n in set(head)
+        assert set(order) == set(due) | set(fresh)
+
+    def test_floor_promotes_overflow_due_spec_first(self):
+        """An overflow-due spec row outranks any fresh spec row for a
+        floor slot — it is both spec-surface AND due."""
+        due = [f"ext_due_{i:02d}" for i in range(52)] + ["job_overflow"]
+        fresh = [f"prim_x{i}" for i in range(10)]
+        deferrable = [f"ext_due_{i:02d}" for i in range(51, 20, -1)]
+        order, promoted, deferred = rotation._apply_spec_floor(
+            due, fresh, budget=50, deferrable=deferrable
+        )
+        assert promoted[0] == "job_overflow"
+        assert "job_overflow" in set(order[:50])
+        assert order.count("job_overflow") == 1
+        assert len(deferred) == rotation.SPEC_FLOOR
+
+    def test_floor_respects_deferral_shortage(self):
+        """Fewer deferrable rows than the shortfall: the floor takes what
+        it can get and never touches a non-certified due row."""
+        due = [f"ext_due_{i:02d}" for i in range(60)]
+        fresh = [f"prim_x{i}" for i in range(10)]
+        order, promoted, deferred = rotation._apply_spec_floor(
+            due, fresh, budget=50, deferrable=["ext_due_10", "ext_due_11"]
+        )
+        assert deferred == ["ext_due_10", "ext_due_11"]
+        assert promoted == ["prim_x0", "prim_x1"]
+        assert sum(1 for n in order[:50] if rotation.is_spec(n)) == 2
 
     def test_committed_plan_head_holds_the_floor(self, plan):
+        """The committed artifact itself must hold the floor — the r14
+        verdict's one defect was a SURVEY claim of 8 promoted spec rows
+        against a committed plan whose head-50 held 2. Unconditional now:
+        deferral funds the floor even when due overflows the budget."""
         head = plan["order"][: plan["budget"]]
         n_spec = sum(1 for n in head if rotation.is_spec(n))
-        slack = plan["budget"] - len(plan["due"])
-        if slack > 0:
-            assert n_spec >= min(
-                rotation.SPEC_FLOOR,
-                sum(1 for n in plan["order"] if rotation.is_spec(n)),
-            ), f"head-{plan['budget']} holds only {n_spec} spec rows"
+        assert n_spec >= min(
+            rotation.SPEC_FLOOR,
+            sum(1 for n in plan["order"] if rotation.is_spec(n)),
+        ), f"head-{plan['budget']} holds only {n_spec} spec rows"
+
+    def test_deferrable_certification(self):
+        """deferrable_for_floor only certifies tenured, non-spec rows whose
+        one-round deferral stays inside the tenured staleness bound, and
+        ranks them newest-last-row first."""
+        rnd = 15
+        hist = {
+            # tenured, recent — certifiable
+            "ext_a": {12: "green", 13: "green", 14: "green"},
+            "ext_b": {11: "green", 12: "green", 13: "green"},
+            # tenured but deferral would breach the bound: last row at
+            # rnd+1 - MAX_ROW_AGE_TENURED - 1
+            "ext_old": {8: "green", 9: "green", 10: "green"},
+            # not tenured (fail inside the streak)
+            "ext_flaky": {12: "green", 13: "fail", 14: "green"},
+            # spec rows are never deferred
+            "job_spec": {12: "green", 13: "green", 14: "green"},
+        }
+        due = [(hist[n] and max(hist[n]), n) for n in hist]
+        got = rotation.deferrable_for_floor(sorted(due), hist, rnd)
+        assert got == ["ext_a", "ext_b"]
 
     def test_spec_cadence_bounded_current_and_ceiling(self, plan):
         """With the floor, the spec surface never waits past the tenured

@@ -69,17 +69,26 @@ MAX_ROW_AGE_TENURED = 5
 TENURE_ROWS = 3
 PLAN_PATH = os.path.join(os.path.dirname(__file__), "_rotation_plan.json")
 
-# THE SPEC-SURFACE SAFETY VALVE (r14, VERDICT r13 #5): with the tenured
-# cadence, a SURVEY §2 reference-parity query can legally go
-# MAX_ROW_AGE_TENURED rounds without a driver row while recently-changed
-# extension modules hog the budget — the r13 sample had ZERO §2 rows.
-# Cumulative history plus the committed full local sweeps still cover the
-# surface, but the spec queries ARE the contract, so each driver sample
-# reserves a floor of them: when the due list leaves slack, the stalest
-# spec-surface queries are promoted to the front of the fresh tail until
-# the head-window holds at least SPEC_FLOOR of them. Due queries are never
-# displaced (failures and staleness keep absolute priority); the floor
-# only spends slack the fresh tail would have cycled anyway.
+# THE SPEC-SURFACE SAFETY VALVE (r14, VERDICT r13 #5; hardened r15,
+# VERDICT r14 #1): with the tenured cadence, a SURVEY §2 reference-parity
+# query can legally go MAX_ROW_AGE_TENURED rounds without a driver row
+# while recently-changed extension modules hog the budget — the r13 sample
+# had ZERO §2 rows, and the r14 sample (84 due > 50 budget, so zero slack)
+# held only 2. Cumulative history plus the committed full local sweeps
+# still cover the surface, but the spec queries ARE the contract, so each
+# driver sample reserves a floor of them:
+#
+# * slack-funded promotion (r14): when the due list leaves slack, the
+#   stalest spec-surface queries are promoted to the front of the fresh
+#   tail until the head-window holds at least SPEC_FLOOR of them.
+# * deferral-funded promotion (r15): when the due list overflows the
+#   budget, the floor is reserved by DEFERRING the newest-tenured
+#   non-spec due rows past the window — these have the longest remaining
+#   age slack (a tenured row due via the direct-module rule with a recent
+#   green row loses nothing by waiting one round; its staleness bound is
+#   guarded by the eligibility cutoff below). Failure-due rows, rows
+#   without a tenured streak, and rows whose deferral would push them past
+#   the tenured staleness bound are never deferred.
 SPEC_PREFIXES = ("flagship", "job_", "prim_", "sink_", "e2e_", "csv_")
 SPEC_FLOOR = 8
 
@@ -90,21 +99,51 @@ def is_spec(name: str) -> bool:
 
 
 def _apply_spec_floor(
-    due_names: list[str], fresh_names: list[str], budget: int = DRIVER_BUDGET
-) -> tuple[list[str], list[str]]:
-    """(full order, promoted names) under the spec floor.
+    due_names: list[str],
+    fresh_names: list[str],
+    budget: int = DRIVER_BUDGET,
+    deferrable: list[str] | None = None,
+) -> tuple[list[str], list[str], list[str]]:
+    """(full order, promoted names, deferred names) under the spec floor.
 
-    Promotes the stalest spec queries (fresh is oldest-last-row-first) to
-    the head of the fresh tail until the budget window would hold at
-    least SPEC_FLOOR spec rows — bounded by the slack the due list
-    leaves, so due ordering is untouched."""
+    ``deferrable`` is the ordered (best-to-defer-first: newest tenured
+    last-row first) list of due names the caller certifies may wait one
+    round — tenured, green-streak, non-spec, and within the staleness
+    bound even after a one-round deferral. When the slack the due list
+    leaves cannot fund the floor, up to the shortfall is funded by moving
+    deferrable due rows from inside the head window to just past it, and
+    promoting one stalest fresh spec row into each vacated slot. Failure
+    and staleness priority is preserved: only caller-certified rows move,
+    and they re-enter next round at the front of the due order (their
+    last row is now the oldest unserved)."""
+    deferrable = deferrable or []
     slack = max(0, budget - len(due_names))
-    spec_in_due = sum(1 for n in due_names[:budget] if is_spec(n))
-    need = min(max(0, SPEC_FLOOR - spec_in_due), slack)
-    promoted = [n for n in fresh_names if is_spec(n)][:need]
+    spec_in_window = sum(1 for n in due_names[:budget] if is_spec(n))
+    need = max(0, SPEC_FLOOR - spec_in_window)
+    overflow_due = due_names[budget:]
+    # promotion pool: overflow-due spec rows first (they are DUE — a
+    # strictly stronger claim on a window slot than any fresh row), then
+    # the stalest fresh spec rows
+    avail_spec = [n for n in overflow_due if is_spec(n)] + [
+        n for n in fresh_names if is_spec(n)
+    ]
+    n_slack = min(need, slack, len(avail_spec))
+    window = set(due_names[:budget])
+    defer_ok = [n for n in deferrable if n in window and not is_spec(n)]
+    n_defer = min(need - n_slack, len(defer_ok), len(avail_spec) - n_slack)
+    deferred = defer_ok[:n_defer]
+    promoted = avail_spec[: n_slack + n_defer]
+    dset = set(deferred)
     pset = set(promoted)
-    rest = [n for n in fresh_names if n not in pset]
-    return due_names + promoted + rest, promoted
+    window_due = [n for n in due_names[:budget] if n not in dset]
+    order = (
+        window_due
+        + promoted
+        + deferred
+        + [n for n in overflow_due if n not in pset]
+        + [n for n in fresh_names if n not in pset]
+    )
+    return order, promoted, deferred
 
 
 def correctness_history(repo_root: str) -> tuple[dict[str, dict[int, str]], int]:
@@ -163,6 +202,36 @@ def is_due(history: dict[int, str], current_round: int, mod_changed: bool) -> bo
     return mod_changed
 
 
+def deferrable_for_floor(
+    due: list[tuple[int, str]],
+    hist: dict[str, dict[int, str]],
+    current_round: int,
+) -> list[str]:
+    """Due rows the spec floor may defer one round, best-first.
+
+    Eligible: non-spec, tenured (last TENURE_ROWS driver rows green — which
+    implies the row is due via staleness or the direct-module rule, never a
+    failure), and young enough that a one-round deferral still lands within
+    the tenured staleness bound (age after deferral ≤ MAX_ROW_AGE_TENURED).
+    Ordered newest-last-row first (longest remaining slack), name tiebreak
+    for determinism. A row deferred once re-enters next round with the
+    oldest unserved last-row, so the oldest-first due sort puts it at the
+    front and newest-first eligibility stops re-picking it — no starvation.
+    """
+    out: list[tuple[int, str]] = []
+    for last, name in due:
+        if is_spec(name):
+            continue
+        h = hist.get(name, {})
+        if max_row_age_for(h) != MAX_ROW_AGE_TENURED:
+            continue
+        if (current_round + 1) - last > MAX_ROW_AGE_TENURED:
+            continue  # deferral would breach the earned staleness bound
+        out.append((last, name))
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return [n for _, n in out]
+
+
 def max_row_age_for(history: dict[int, str]) -> int:
     """The staleness bound this query has EARNED: tenured rows (last
     TENURE_ROWS driver rows all green) rotate on the slower cadence —
@@ -206,8 +275,9 @@ def compute_plan(
             fresh.append((last_row, name))
     due.sort()
     fresh.sort()
-    order, promoted = _apply_spec_floor(
-        [n for _, n in due], [n for _, n in fresh]
+    deferrable = deferrable_for_floor(due, hist, current_round)
+    order, promoted, deferred = _apply_spec_floor(
+        [n for _, n in due], [n for _, n in fresh], DRIVER_BUDGET, deferrable
     )
     return {
         "round": current_round,
@@ -217,7 +287,10 @@ def compute_plan(
         "tenure_rows": TENURE_ROWS,
         "spec_floor": SPEC_FLOOR,
         "promoted_spec": promoted,
+        "deferred_for_floor": deferred,
+        "deferrable": deferrable,
         "due": [n for _, n in due],
+        "fresh": [n for _, n in fresh],
         "order": order,
         "module_of": module_of,
         "module_hash": module_hash,
@@ -256,8 +329,9 @@ def simulate_max_gap(
             (due if is_due(h, rnd, False) else fresh).append((last, n))
         due.sort()
         fresh.sort()
-        order, _ = _apply_spec_floor(
-            [n for _, n in due], [n for _, n in fresh], budget
+        deferrable = deferrable_for_floor(due, sim, rnd)
+        order, _, _ = _apply_spec_floor(
+            [n for _, n in due], [n for _, n in fresh], budget, deferrable
         )
         for n in order[:budget]:
             sim[n][rnd] = "green"
