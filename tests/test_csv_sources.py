@@ -382,3 +382,74 @@ class TestMetaPrefixReemission:
             checked_files += 1
         assert checked_files == self.N_SEEDS
         assert checked_stores >= self.N_SEEDS  # >=1 store per seeded file
+
+
+class TestScanCorpusPublish:
+    """The S1 scan corpus's atomic versioned publish (r14 flake fix +
+    ADVICE r14 hardening): concurrent cold starts must never leave a
+    window where a process that already saw _READY globs an absent dir."""
+
+    def _read_token(self):
+        import ting_data_etl_spark.plans.csv_e2e as E
+
+        with open(os.path.join(E.SCAN_DIR, "_READY"), encoding="utf-8") as f:
+            return f.read()
+
+    def test_matching_token_is_never_swapped(self, monkeypatch):
+        """A racer that publishes while we generate wins outright: our
+        copy is discarded and the racer's dir (sentinel intact) stays —
+        re-checked immediately before the swap, so no absent-dir window."""
+        import shutil
+
+        import ting_data_etl_spark.plans.csv_e2e as E
+        import ting_data_etl_spark.sources.csv_gen as G
+
+        shutil.rmtree(E.SCAN_DIR, ignore_errors=True)
+        real_gen = G.generate_messy_csvs
+
+        def racing_gen(out_dir, n_files, seed):
+            real_gen(out_dir, n_files=n_files, seed=seed)
+            # simulate the racing winner: publish a complete corpus with
+            # the CURRENT token before our caller reaches the swap
+            racer_tmp = E.SCAN_DIR + ".racer"
+            shutil.rmtree(racer_tmp, ignore_errors=True)
+            real_gen(racer_tmp, n_files=n_files, seed=seed)
+            open(os.path.join(racer_tmp, "RACER_SENTINEL"), "w").close()
+            os.rename(racer_tmp, E.SCAN_DIR)
+            with open(
+                os.path.join(E.SCAN_DIR, "_READY"), "w", encoding="utf-8"
+            ) as f:
+                f.write(f"v1_n8_seed{seed}")
+
+        monkeypatch.setattr(G, "generate_messy_csvs", racing_gen)
+        kept = E._stage_scan_corpus()
+        assert kept, "staging returned no files"
+        assert os.path.exists(
+            os.path.join(E.SCAN_DIR, "RACER_SENTINEL")
+        ), "winner's freshly published dir was swapped aside"
+        # our loser tmp dir was cleaned up
+        assert not os.path.exists(f"{E.SCAN_DIR}.tmp.{os.getpid()}")
+
+    def test_stale_token_is_replaced(self):
+        """A mismatched token (old revision / retuned seed) IS moved aside
+        and replaced; steady-state calls then reuse the publish."""
+        import shutil
+
+        import ting_data_etl_spark.plans.csv_e2e as E
+
+        shutil.rmtree(E.SCAN_DIR, ignore_errors=True)
+        os.makedirs(E.SCAN_DIR)
+        with open(
+            os.path.join(E.SCAN_DIR, "_READY"), "w", encoding="utf-8"
+        ) as f:
+            f.write("v0_obsolete")
+        open(os.path.join(E.SCAN_DIR, "stale.csv"), "w").close()
+        kept = E._stage_scan_corpus()
+        assert kept
+        assert self._read_token().startswith("v1_")
+        assert not os.path.exists(os.path.join(E.SCAN_DIR, "stale.csv"))
+        # steady state: a second call is a no-op on the same publish
+        marker = os.path.join(E.SCAN_DIR, "_READY")
+        before = os.stat(marker).st_mtime_ns
+        assert E._stage_scan_corpus() == kept
+        assert os.stat(marker).st_mtime_ns == before

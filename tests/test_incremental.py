@@ -1268,7 +1268,10 @@ def test_sweep_fails_closed_on_unreadable_retained_catalog(tmp_path):
     with open(os.path.join(cat, "part-0.parquet"), "wb") as f:
         f.write(b"not parquet at all")
     open(os.path.join(cat, "_SUCCESS"), "w").close()
-    swept = _sweep_generations(sf, keep=(1, 2))
+    # the abort is LOUD (ADVICE r14): an empty sweep list alone is
+    # indistinguishable from "nothing to sweep"
+    with pytest.warns(RuntimeWarning, match="sweep DEFERRED"):
+        swept = _sweep_generations(sf, keep=(1, 2))
     assert swept == []  # aborted: fail closed
     assert os.path.exists(stale), "sweep deleted despite unreadable catalog"
     # an UNPUBLISHED corrupt dir (no _SUCCESS: a racing writer's partial)

@@ -808,3 +808,57 @@ class TestSelectionRelationMemo:
         }
         assert man == sink
         assert S._selection_shard_rows(spark, sf_dir) is ranked
+
+    def test_memo_is_thread_safe(self):
+        """ADVICE r14: concurrent first consumers (streaming foreachBatch
+        callbacks run on Spark's thread pool) must not corrupt the memo.
+        All callers of one key converge on a single canonical object, and
+        racing inserts across many keys never lose the FIFO bound."""
+        import threading
+
+        from ting_data_etl_spark import relcache
+
+        class _Ctx:
+            applicationId = "app-threadtest"
+
+        class _Spark:
+            sparkContext = _Ctx()
+
+        spark = _Spark()
+        relcache.clear()
+        barrier = threading.Barrier(8)
+        got: list[object] = [None] * 8
+        errs: list[BaseException] = []
+
+        def worker(i: int) -> None:
+            try:
+                barrier.wait()
+                for k in range(12):  # churn past MAX_ENTRIES: forces evictions
+                    relcache.session_relation(
+                        spark, ("churn", i, k), lambda: object()
+                    )
+                barrier.wait()  # churn done everywhere before the shared key
+                got[i] = relcache.session_relation(
+                    spark, ("shared",), lambda: object()
+                )
+            except BaseException as e:  # noqa: BLE001 - surfaced below
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        assert all(g is not None for g in got)
+        # the published object is canonical: a later consumer gets exactly
+        # one of the racers' results, and every thread that arrived after
+        # the first publish saw that same object
+        published = relcache.session_relation(
+            spark, ("shared",), lambda: object()
+        )
+        assert any(g is published for g in got)
+        assert relcache.MAX_ENTRIES >= len(
+            [k for k in relcache._MEMO]
+        ), "eviction bound violated under concurrent insert"
+        relcache.clear()

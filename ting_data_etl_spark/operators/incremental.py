@@ -68,6 +68,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1297,8 +1298,17 @@ def _sweep_generations(sf_dir: str, keep: tuple[int, ...]) -> list[str]:
         return swept
     try:
         protected = _catalog_referenced_dirs(root, keep)
-    except RuntimeError:
-        return swept  # fail closed: unreadable live catalog → sweep nothing
+    except RuntimeError as e:
+        # fail closed: unreadable live catalog → sweep nothing. Loudly
+        # (ADVICE r14): an empty return is indistinguishable from
+        # "nothing to sweep", so the deferred-GC condition could persist
+        # unnoticed across rebuilds while dead generations pile up.
+        warnings.warn(
+            f"generation sweep DEFERRED (fail closed), nothing deleted: {e}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return swept
     for d in sorted(os.listdir(root)):
         fam = next(
             (p for p in _GEN_FAMILY_PREFIXES if d.startswith(p + "_")), None

@@ -182,12 +182,23 @@ def _stage_scan_corpus() -> list[tuple[str, int]]:
         old = f"{SCAN_DIR}.old.{os.getpid()}"
         shutil.rmtree(old, ignore_errors=True)
         try:
-            if os.path.exists(SCAN_DIR):
-                os.rename(SCAN_DIR, old)  # stale revision: move aside
-            os.rename(tmp, SCAN_DIR)
+            # Re-check IMMEDIATELY before the swap (ADVICE r14): a racing
+            # process may have published while we generated. Content is
+            # deterministic (same generator, same seed), so a matching
+            # token means the winner's dir IS ours — swapping it for our
+            # copy would only open a brief absent-dir window for a third
+            # process that already saw _READY. Only a MISMATCHED token
+            # (stale revision) is moved aside.
+            if _published():
+                shutil.rmtree(tmp, ignore_errors=True)
+                tmp = None
+            else:
+                if os.path.exists(SCAN_DIR):
+                    os.rename(SCAN_DIR, old)  # stale revision: move aside
+                os.rename(tmp, SCAN_DIR)
         except OSError:
-            # lost the publish race — the winner's dir is deterministic
-            # (same generator, same seed), use it
+            # lost the publish race — the winner's dir is deterministic,
+            # use it
             shutil.rmtree(tmp, ignore_errors=True)
             if not _published():
                 raise

@@ -21,11 +21,22 @@ restart sessions cannot accumulate dead references.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MEMO: dict[tuple, DataFrame] = {}
+# Guards the memo dict itself (ADVICE r14): concurrent consumers — the
+# streaming tests run foreachBatch callbacks on Spark's thread pool, and
+# any multithreaded driver is legal — must not interleave FIFO eviction
+# with insertion. build() runs OUTSIDE the lock (it triggers Spark jobs
+# that can take minutes; holding the lock would serialize unrelated
+# relations), so two first-consumers of the SAME key may both build; the
+# second-check insert keeps the first-published object canonical, which
+# preserves the memo's only guarantee (object identity for all LATER
+# consumers) at the cost of one duplicate build in that narrow race.
+_LOCK = threading.Lock()
 
 #: Max live entries per application (review r14): a retune-probing session
 #: (tools/selection_scale.py mutates constants, minting a fresh key per
@@ -44,17 +55,25 @@ def session_relation(
     (checkpoint or lazy); the memo only guarantees object identity."""
     app = spark.sparkContext.applicationId
     key = (app, *key_parts)
-    df = _MEMO.get(key)
-    if df is None:
+    with _LOCK:
+        df = _MEMO.get(key)
+    if df is not None:
+        return df
+    built = build()  # outside the lock: may run long Spark jobs
+    with _LOCK:
+        df = _MEMO.get(key)  # second check: a racing builder won
+        if df is not None:
+            return df
         for k in [k for k in _MEMO if k[0] != app]:  # dead sessions
             del _MEMO[k]
         while len(_MEMO) >= MAX_ENTRIES:  # bounded: evict oldest first
             del _MEMO[next(iter(_MEMO))]
-        df = _MEMO[key] = build()
-    return df
+        _MEMO[key] = built
+    return built
 
 
 def clear() -> None:
     """Drop every memoized relation (tests that rebuild testdata in place
     within one session call this alongside ``purge_stages``)."""
-    _MEMO.clear()
+    with _LOCK:
+        _MEMO.clear()
