@@ -161,13 +161,20 @@ def test_facade_lifecycle_verbs_are_the_registered_queries(spark, sf_dir):
         similarity_index_rebuild(spark, sf_dir)
     )
     assert rows(c.reindex()) == rows(corpus_reindex(spark, sf_dir))
-    retired = rows(c.retire_snapshot())
-    assert retired == rows(incremental_snapshot_retire(spark, sf_dir))
-    # the retired day no longer reconstructs through the public surface;
-    # the surviving day reads back exactly what retire returned
+    # facade retires ONE day per call (oldest first) and returns the
+    # LATEST survivor's digest; the registered query chains the full
+    # retire, so the digests agree
+    retired = rows(c.retire_snapshot())  # retires day 0
     with _pytest.raises(FileNotFoundError, match="retired"):
         c.snapshot(0)
-    assert rows(c.snapshot(1)) == retired
+    assert rows(c.snapshot(1)), "day 1 must survive the first retire"
+    assert retired == rows(incremental_snapshot_retire(spark, sf_dir))
+    # the registered chain retired day 1 too; day 2 is the lone survivor
+    with _pytest.raises(FileNotFoundError, match="retired"):
+        c.snapshot(1)
+    assert rows(c.snapshot(2)) == retired
+    with _pytest.raises(ValueError, match="nothing left"):
+        c.retire_snapshot()
     # a day the catalog does not hold fails loudly, not empty
     with _pytest.raises(ValueError, match="not in catalog"):
         c.snapshot(7)

