@@ -497,10 +497,88 @@ FROM base b LEFT JOIN span_removed sr ON b.doc_id = sr.doc_id
 """
 
 
+def _curation_token() -> str:
+    """Constants token for the memoized span relations (relcache keying
+    discipline): any knob the span-status chain reads — the dedup ensemble
+    constants via ``_stage_version_token`` plus this module's gopher /
+    contamination gates and the span finder's width — must mint a fresh
+    memo key so a retune never sees a stale relation."""
+    import hashlib
+
+    from ting_data_etl_spark.operators import text_queries as _tq
+    from ting_data_etl_spark.operators.dedup import _stage_version_token
+
+    parts = (
+        _stage_version_token(),
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MIN_ALPHA_FRAC,
+        BENCHMARK_MOD,
+        CONTAM_NGRAM,
+        _tq.REPEAT_L,
+    )
+    return hashlib.md5("_".join(str(p) for p in parts).encode()).hexdigest()[:10]
+
+
+def span_relation_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized merged-span relation (the substring finder's
+    output), eagerly checkpointed once per session.
+
+    The relation is tiny (one row per merged span) but its lineage is the
+    token-level window chain over the whole corpus; every consumer that
+    re-derived it re-ran that chain as an independent DAG branch."""
+    import os as _os
+
+    from ting_data_etl_spark.operators.dedup import _source_fp
+    from ting_data_etl_spark.operators.text_queries import (
+        dedup_repeated_substrings,
+    )
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        (
+            "span_relation",
+            _os.path.abspath(sf_dir),
+            _curation_token(),
+            _source_fp(sf_dir, "documents"),
+        ),
+        lambda: dedup_repeated_substrings(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
+
+
+def span_status_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized span-status relation (VERDICT r14 #3).
+
+    The capstone selection, the funnel rollup, and the trimmed-text
+    materialization all consume these per-document verdicts; before the
+    memo each re-derived the full e2e + span chain warm (the same
+    re-derivation class the r14 relcache memo removed for the manifest
+    family). One row per document, fixed width — cheap to checkpoint."""
+    import os as _os
+
+    from ting_data_etl_spark.operators.dedup import _source_fp
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        (
+            "span_status",
+            _os.path.abspath(sf_dir),
+            _curation_token(),
+            _source_fp(sf_dir, "documents"),
+        ),
+        lambda: _span_status_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
 @register("curation_span_status", oracle=_sql_span_status)
-def curation_span_status(
-    spark: SparkSession, sf_dir: str, spans: DataFrame | None = None
-) -> DataFrame:
+def curation_span_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document verdicts + span-granular trim accounting, one relation.
 
     The full Lee et al. 2022 pipeline shape (VERDICT r8 #5): document-level
@@ -521,22 +599,22 @@ def curation_span_status(
     verified pipelines; nothing new shuffles text. The oracle rebuilds all
     three CTE chains (recursive closure, gopher/contam, span islands) in
     one DuckDB statement and hash-checks status, counts, and fractions.
+    Returns the SESSION-MEMOIZED relation (:func:`span_status_df`), so the
+    driver validates the exact object the funnel / trim / capstone reuse.
     """
+    return span_status_df(spark, sf_dir)
+
+
+def _span_status_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-status composition itself (see :func:`span_status_df`)."""
     from ting_data_etl_spark.functions.text import tokens
-    from ting_data_etl_spark.operators.text_queries import (
-        dedup_repeated_substrings,
-    )
 
     base = curation_e2e_status(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     ntok = d.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
     )
-    # *spans* lets a caller that ALSO consumes the span relation (the trim
-    # materialization) pass one shared/checkpointed copy instead of this
-    # function re-running the whole span finder as a second DAG branch
-    if spans is None:
-        spans = dedup_repeated_substrings(spark, sf_dir)
+    spans = span_relation_df(spark, sf_dir)
     removed = (
         spans
         .groupBy("doc_id")
@@ -629,20 +707,13 @@ def curation_trimmed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup.
     """
     from ting_data_etl_spark.functions.text import tokens
-    from ting_data_etl_spark.operators.text_queries import (
-        dedup_repeated_substrings,
-    )
 
-    # ONE span-finder execution for both consumers: the relation is tiny
-    # (one row per merged span) but its lineage is the token-level window
-    # chain over the whole corpus — without the eager checkpoint the status
-    # rollup and the trim rollup each re-ran it as independent DAG branches
-    # (expression-only lineage, one-shot: not the iterative Arrow-loop
-    # checkpoint hazard).
-    span_rel = dedup_repeated_substrings(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
-    kept = curation_span_status(spark, sf_dir, spans=span_rel).filter(
+    # Both relations come from the session memo (VERDICT r14 #3): the trim
+    # shares the ONE checkpointed span relation and the ONE checkpointed
+    # status relation with the funnel and the capstone selection, instead
+    # of re-deriving the token-level window chain per consumer.
+    span_rel = span_relation_df(spark, sf_dir)
+    kept = span_status_df(spark, sf_dir).filter(
         F.col("status").isin("kept", "kept_trimmed")
     ).select("doc_id", "status")
     spans = (
@@ -713,10 +784,12 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-status relation (one extra fixed-width aggregation over ≤6 rows'
     worth of statuses), so the funnel can never disagree with the
     per-document verdicts it summarizes; the oracle nests the span-status
-    statement as a subquery for the same guarantee.
+    statement as a subquery for the same guarantee. Reads the
+    session-memoized relation (VERDICT r14 #3), so a warm funnel is one
+    fixed-width aggregation over the checkpointed verdicts.
     """
     return (
-        curation_span_status(spark, sf_dir)
+        span_status_df(spark, sf_dir)
         .groupBy("status")
         .agg(
             F.count("*").alias("n_docs"),
@@ -814,7 +887,7 @@ def _final_selection_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ting_data_etl_spark.operators.sampling import corpus_budget_head
     from ting_data_etl_spark.operators.similarity import dedup_semdedup_prune
 
-    status = curation_span_status(spark, sf_dir).select("doc_id", "status")
+    status = span_status_df(spark, sf_dir).select("doc_id", "status")
     sem = (
         dedup_semdedup_prune(spark, sf_dir)
         .withColumnRenamed("vec_id", "doc_id")
