@@ -561,9 +561,10 @@ class TestRealPngCodec:
             real_framer(b"\x00\x00\x00\x18ftypmp42", "video")
 
     def test_unsupported_png_shapes_fail_loudly(self):
-        """Scope is documented AND enforced: 16-bit, gray+alpha (type 4),
-        interlaced, and PLTE-less palette payloads raise instead of
-        mis-decoding (types 0/3 are REAL since r14 — VERDICT r13 #6)."""
+        """Scope is documented AND enforced: sub-8-bit depths, 16-bit
+        palette/RGBA (depth 16 is REAL for types 0/2 since r15 — VERDICT
+        r14 #7), gray+alpha (type 4), interlaced, and PLTE-less palette
+        payloads raise instead of mis-decoding."""
         import struct
         import zlib
 
@@ -583,7 +584,9 @@ class TestRealPngCodec:
             )
 
         for depth, color, interlace, msg in (
-            (16, 2, 0, "bit depth"),
+            (4, 0, 0, "bit depth"),
+            (16, 3, 0, "grayscale/RGB only"),
+            (16, 6, 0, "grayscale/RGB only"),
             (8, 4, 0, "color type"),
             (8, 2, 1, "interlaced"),
             (8, 3, 0, "missing PLTE"),  # palette type without its chunk
@@ -695,19 +698,20 @@ class TestRealPngCodec:
             if ct == b"IEND":
                 break
         w, h, depth, color, comp, filt, inter = hdr
-        assert (depth, comp, filt, inter) == (8, 0, 0, 0)
+        assert depth in (8, 16) and (comp, filt, inter) == (0, 0, 0)
         ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        bpp = ch * (depth // 8)  # spec: filters lag by BYTES, not samples
         raw = zlib.decompress(idat)
-        stride = w * ch
+        stride = w * bpp
         out = np.zeros((h, stride), dtype=np.int64)
         for y in range(h):
             f = raw[y * (stride + 1)]
             line = list(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
             prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
             for i in range(stride):
-                a = out[y][i - ch] if i >= ch else 0
+                a = out[y][i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 pred = {
                     0: 0,
                     1: a,
@@ -719,6 +723,11 @@ class TestRealPngCodec:
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 out[y][i] = (line[i] + pred) % 256
+        if depth == 16:  # big-endian sample pairs, per spec
+            by = out.astype(np.uint8).reshape(h, w, ch, 2)
+            return (
+                by[..., 0].astype(np.int64) * 256 + by[..., 1]
+            ).astype(np.uint16)
         px = out.astype(np.uint8).reshape(h, w, ch)
         return plte[px.reshape(h, w)] if color == 3 else px
 
@@ -740,6 +749,81 @@ class TestRealPngCodec:
         idx = self._arr(8, 5, 1, seed=9).reshape(8, 5)
         got = self._independent_parse(encode_png(idx, palette=plte))
         assert np.array_equal(got, plte[idx])
+
+    def test_16bit_roundtrip_all_filters(self):
+        """Depth 16, types 0 and 2, none + cycling filters (VERDICT r14
+        #7): the byte-granular filter lag (bpp 2 and 6) and the big-endian
+        sample reassembly, both directions."""
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(16)
+        for ch in (1, 3):
+            a = rng.integers(0, 65536, size=(13, 9, ch), dtype=np.uint16)
+            for mode in ("none", "cycle"):
+                dec = decode_png(encode_png(a, filter_mode=mode))
+                assert dec.dtype == np.uint16, (ch, mode)
+                assert np.array_equal(dec, a), (ch, mode)
+
+    def test_16bit_encode_verified_by_independent_parser(self):
+        """encode_png's 16-bit bytes re-decoded by the spec-following
+        in-test parser — a mirrored 16-bit codec deviation (wrong filter
+        lag, byte-swapped samples) cannot hide behind round-trip
+        symmetry."""
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import encode_png
+
+        rng = np.random.default_rng(1616)
+        for ch in (1, 3):
+            a = rng.integers(0, 65536, size=(9, 6, ch), dtype=np.uint16)
+            got = self._independent_parse(encode_png(a))
+            assert got.dtype == np.uint16 and np.array_equal(got, a), ch
+
+    def test_16bit_handwritten_golden_decodes_to_pinned_pixels(self):
+        """Spec-compliance pin for the DECODE direction: a 16-bit PNG
+        assembled by hand from the spec (explicit big-endian sample
+        bytes, filter 0 and filter 2 scanlines) — written against the
+        spec text, not against encode_png — must decode to the pinned
+        pixel values, hi byte first."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ting_data_etl_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        # 2x2 grayscale-16: row 0 unfiltered samples 0x0102, 0xFF00;
+        # row 1 Up-filtered deltas +0x0101, +0x00FF (byte-wise mod 256)
+        raster = (
+            b"\x00" + bytes([0x01, 0x02, 0xFF, 0x00])
+            + b"\x02" + bytes([0x01, 0x01, 0x00, 0xFF])
+        )
+        payload = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raster))
+            + chunk(b"IEND", b"")
+        )
+        arr = decode_png(payload)
+        assert arr.dtype == np.uint16 and arr.shape == (2, 2, 1)
+        # Up adds byte-wise: (01+01, 02+01)=0x0203, (FF+00, 00+FF)=0xFFFF
+        assert arr.reshape(-1).tolist() == [0x0102, 0xFF00, 0x0203, 0xFFFF]
 
     def test_png_phash_equals_ppm_phash(self, spark, sf_dir):
         """The registered PNG query's hash relation must be bit-identical
@@ -781,16 +865,25 @@ class TestPngMixedTypes:
             .filter(F.col("media_id").isin(list(texts)))
             .collect()
         )
-        want = {0: 0, 1: 2, 2: 3, 3: 6}  # text-hash class -> color type
+        # text-hash class -> (color type, bit depth); classes 4/5 are the
+        # r15 16-bit forms (VERDICT r14 #7)
+        want = {
+            0: (0, 8),
+            1: (2, 8),
+            2: (3, 8),
+            3: (6, 8),
+            4: (0, 16),
+            5: (2, 16),
+        }
         seen = set()
         for r in rows:
             buf = bytes(r["payload"])
             assert buf.startswith(_PNG_SIG)
             ihdr = struct.unpack(">IIBBBBB", buf[16:29])
             cls = _mixed_color_class(texts[r["media_id"]])
-            assert ihdr[3] == want[cls], r["media_id"]
-            seen.add(ihdr[3])
-        assert seen == {0, 2, 3, 6}, seen
+            assert (ihdr[3], ihdr[2]) == want[cls], r["media_id"]
+            seen.add((ihdr[3], ihdr[2]))
+        assert seen == set(want.values()), seen
 
     def test_mixed_hash_matches_per_type_manual_derivation(self, spark, sf_dir):
         """For a handful of docs of each type, the query-side hash equals
@@ -801,7 +894,9 @@ class TestPngMixedTypes:
         from ting_data_etl_spark.operators.multimodal import (
             PHASH_GRID,
             PHASH_SIDE,
+            _MIXED_GRAY16_MUL,
             _MIXED_PLTE_MULS,
+            _MIXED_RGB16_MUL,
             _mixed_color_class,
             ahash_bits,
             decode_png,
@@ -831,14 +926,27 @@ class TestPngMixedTypes:
             )
             t = _mixed_color_class(text)
             idx1 = np.arange(side * side)
+            idx3 = np.arange(3 * side * side)
+            dtype = np.uint8
             if t == 0:
                 arr = cps[idx1 % cps.size].reshape(side, side, 1)
             elif t == 2:
                 arr = plte[cps[idx1 % cps.size]].reshape(side, side, 3)
+            elif t == 4:  # 16-bit gray: hi=v, lo=(v*MUL)%256
+                v = cps[idx1 % cps.size]
+                arr = (v * 256 + (v * _MIXED_GRAY16_MUL) % 256).reshape(
+                    side, side, 1
+                )
+                dtype = np.uint16
+            elif t == 5:  # 16-bit RGB, same per-channel rule
+                v = cps[idx3 % cps.size]
+                arr = (v * 256 + (v * _MIXED_RGB16_MUL) % 256).reshape(
+                    side, side, 3
+                )
+                dtype = np.uint16
             else:
-                idx3 = np.arange(3 * side * side)
                 arr = cps[idx3 % cps.size].reshape(side, side, 3)
-            assert got[doc_id] == ahash_bits(arr.astype(np.uint8)), (
+            assert got[doc_id] == ahash_bits(arr.astype(dtype)), (
                 doc_id,
                 t,
             )
