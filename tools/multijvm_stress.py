@@ -134,6 +134,14 @@ def main() -> None:
         help="comma-separated query legs; run one per invocation when the "
         "aggregate shuffle volume would press the local disk budget",
     )
+    ap.add_argument(
+        "--no-retune",
+        action="store_true",
+        help="keep the REGISTERED constants instead of the capacity retune "
+        "— required when the legs' numbers must be comparable to a "
+        "single-JVM artifact that ran at the registered constants "
+        "(r15: the SELECTION_SCALE incremental family)",
+    )
     args = ap.parse_args()
 
     spark = build_session(args.workers, args.cores, args.mem_mb, args.partitions)
@@ -152,17 +160,19 @@ def main() -> None:
     import ting_data_etl_spark.operators.similarity as S
     from ting_data_etl_spark import capacity
 
-    cfg = capacity.recommend(meta["n_docs"], meta["n_vecs"])
     saved = (S.SRP_BITS, S.SRP_SIGNS, S.KMEANS_LISTS, dd.SIMHASH_BITS)
-    S.SRP_BITS = cfg["srp_bits"]
-    S.SRP_SIGNS = S._srp_signs()
-    S.KMEANS_LISTS = cfg["kmeans_lists"]
-    dd.SIMHASH_BITS = cfg["simhash_bits"]
+    if not args.no_retune:
+        cfg = capacity.recommend(meta["n_docs"], meta["n_vecs"])
+        S.SRP_BITS = cfg["srp_bits"]
+        S.SRP_SIGNS = S._srp_signs()
+        S.KMEANS_LISTS = cfg["kmeans_lists"]
+        dd.SIMHASH_BITS = cfg["simhash_bits"]
 
     report = {
         "scale": args.scale,
         **meta,
         "gen_sec": gen_sec,
+        "retuned": not args.no_retune,
         "cluster": {
             "workers": args.workers,
             "cores_per_worker": args.cores,
