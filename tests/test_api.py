@@ -175,6 +175,18 @@ def test_facade_lifecycle_verbs_are_the_registered_queries(spark, sf_dir):
     assert rows(c.snapshot(2)) == retired
     with _pytest.raises(ValueError, match="nothing left"):
         c.retire_snapshot()
+    # compact the lone survivor (r15): identical digests from the
+    # consolidated layout, and the fragmented source day becomes the one
+    # remaining retirable day — retire-after-compact reclaims it
+    compacted = rows(c.compact())
+    assert compacted == retired, "compaction is layout, never content"
+    post = rows(c.retire_snapshot())  # catalog-driven default: day 2
+    assert post == compacted
+    with _pytest.raises(FileNotFoundError, match="retired"):
+        c.snapshot(2)
+    assert rows(c.snapshot(3)) == compacted
+    with _pytest.raises(ValueError, match="nothing left"):
+        c.retire_snapshot()
     # a day the catalog does not hold fails loudly, not empty
     with _pytest.raises(ValueError, match="not in catalog"):
         c.snapshot(7)

@@ -1528,6 +1528,110 @@ def test_snapshot_retire_reclaims_candidates_and_survivor_verifies(
     assert os.path.getmtime(os.path.join(store, "_RETIRED_1")) == m1
 
 
+def test_snapshot_compact_consolidates_and_preserves_content(
+    spark, sf_dir
+):
+    """r15 compaction verb: the latest day's fragmented COW file set
+    consolidates into ONE generation dir with bit-identical digests; the
+    fragmented source day becomes retirable and retire-after-compact
+    reclaims exactly its exclusive dirs while the compacted snapshot
+    still reads; warm calls are no-ops."""
+    import json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from ting_data_etl_spark.operators.incremental import (
+        COMPACT_SNAPSHOT_ID,
+        COMPACT_SOURCE_DAY,
+        _catalog_snapshot_read,
+        _snapshot_store,
+        _store_catalog,
+        compact_snapshot_store,
+        incremental_snapshot_compact,
+        retire_snapshot_day,
+        snapshot_gc_candidates,
+    )
+
+    shutil.rmtree(_snapshot_store(spark, sf_dir), ignore_errors=True)
+    store = _snapshot_store(spark, sf_dir)
+    base_cat = _store_catalog(spark, store)
+    pre = sorted(
+        map(tuple, _catalog_snapshot_read(spark, base_cat, COMPACT_SOURCE_DAY).collect())
+    )
+    src_refs = {
+        r["file_ref"]
+        for r in base_cat.filter(F.col("snapshot_id") == COMPACT_SOURCE_DAY)
+        .select("file_ref")
+        .distinct()
+        .collect()
+    }
+    # the fixture's latest day is genuinely fragmented: refs span >1 dir
+    assert len({p.rsplit("/shard=", 1)[0] for p in src_refs}) > 1
+
+    got = sorted(map(tuple, incremental_snapshot_compact(spark, sf_dir).collect()))
+    assert got == pre, "compaction changed content"
+
+    cat = _store_catalog(spark, store)
+    new_refs = sorted(
+        r["file_ref"]
+        for r in cat.filter(F.col("snapshot_id") == COMPACT_SNAPSHOT_ID)
+        .select("file_ref")
+        .distinct()
+        .collect()
+    )
+    compact_dir = os.path.join(store, f"compact{COMPACT_SOURCE_DAY}")
+    assert new_refs and all(
+        p.rsplit("/shard=", 1)[0] == compact_dir for p in new_refs
+    ), "compacted refs must live in ONE generation dir"
+    for p in new_refs:
+        assert os.path.isdir(p)
+    # marker makes warm calls no-ops (same dir, catalog rows not doubled)
+    marker = os.path.join(store, f"_COMPACTED_{COMPACT_SOURCE_DAY}")
+    with open(marker) as f:
+        assert json.load(f)["snapshot_id"] == COMPACT_SNAPSHOT_ID
+    m0 = os.path.getmtime(marker)
+    assert compact_snapshot_store(spark, sf_dir) == compact_dir
+    assert os.path.getmtime(marker) == m0
+    n_rows = _store_catalog(spark, store).filter(
+        F.col("snapshot_id") == COMPACT_SNAPSHOT_ID
+    ).count()
+    assert n_rows == len(new_refs)
+
+    # every pre-compact day still reconstructs (compaction retires nothing)
+    for d in range(COMPACT_SOURCE_DAY + 1):
+        assert _catalog_snapshot_read(spark, cat, d).count() > 0
+
+    # retire-after-compact: the fragmented source day is now retirable;
+    # candidates = its exclusive dirs, never the compact generation
+    days = sorted(
+        r["snapshot_id"] for r in cat.select("snapshot_id").distinct().collect()
+    )
+    assert days[-1] == COMPACT_SNAPSHOT_ID
+    for d in range(COMPACT_SOURCE_DAY):
+        retire_snapshot_day(spark, sf_dir, d)
+    want = {
+        r["file_ref"]
+        for r in snapshot_gc_candidates(
+            cat, retained=[COMPACT_SNAPSHOT_ID]
+        ).collect()
+        if os.path.exists(r["file_ref"])
+    }
+    got_refs = set(retire_snapshot_day(spark, sf_dir, COMPACT_SOURCE_DAY))
+    assert got_refs == want
+    assert all(not p.startswith(compact_dir) for p in got_refs)
+    with _pytest.raises(FileNotFoundError):
+        _catalog_snapshot_read(spark, cat, COMPACT_SOURCE_DAY)
+    after = sorted(
+        map(tuple, _catalog_snapshot_read(spark, cat, COMPACT_SNAPSHOT_ID).collect())
+    )
+    assert after == pre
+    # the compacted latest is itself never retirable
+    with _pytest.raises(ValueError, match="latest"):
+        retire_snapshot_day(spark, sf_dir, COMPACT_SNAPSHOT_ID)
+
+
 class TestIndexBucketsRetune:
     """VERDICT r13 #3: the standing band index derives its bucket count
     from corpus size via ``capacity.index_buckets`` — wired in like

@@ -243,15 +243,14 @@ class Corpus:
         different catalog). Raises ValueError for a day the catalog
         does not hold.
         """
-        import os as _os
-
         from ting_data_etl_spark.operators.incremental import (
             _catalog_snapshot_read,
             _snapshot_store,
+            _store_catalog,
         )
 
         store = _snapshot_store(self.spark, self.sf_dir)
-        cat = self.spark.read.parquet(_os.path.join(store, "catalog"))
+        cat = _store_catalog(self.spark, store)
         return _catalog_snapshot_read(self.spark, cat, day)
 
     def retire_snapshot(self, day: int | None = None) -> DataFrame:
@@ -266,18 +265,25 @@ class Corpus:
         import os as _os
 
         from ting_data_etl_spark.operators.incremental import (
-            RETIRE_STORE_DAYS,
             _catalog_snapshot_read,
             _snapshot_store,
+            _store_catalog,
             retire_snapshot_day,
         )
 
         store = _snapshot_store(self.spark, self.sf_dir)
+        cat = _store_catalog(self.spark, store)
+        days = sorted(
+            r["snapshot_id"]
+            for r in cat.select("snapshot_id").distinct().collect()
+        )
         if day is None:
+            # oldest not-yet-retired non-latest day — catalog-driven, so
+            # a compacted store exposes the fragmented source day too
             day = next(
                 (
                     d
-                    for d in range(RETIRE_STORE_DAYS - 1)
+                    for d in days[:-1]
                     if not _os.path.exists(
                         _os.path.join(store, f"_RETIRED_{d}")
                     )
@@ -290,10 +296,21 @@ class Corpus:
                     "survives"
                 )
         retire_snapshot_day(self.spark, self.sf_dir, day)
-        cat = self.spark.read.parquet(_os.path.join(store, "catalog"))
-        return _catalog_snapshot_read(
-            self.spark, cat, RETIRE_STORE_DAYS - 1
+        return _catalog_snapshot_read(self.spark, cat, days[-1])
+
+    def compact(self) -> DataFrame:
+        """COMPACT the latest snapshot: consolidate its fragmented COW
+        file set into one generation directory and append a catalog
+        generation with identical digests (registered as
+        ``incremental_snapshot_compact`` — compaction is layout, never
+        content). Afterwards the compacted snapshot is the store's
+        latest, so :meth:`retire_snapshot` can reclaim the fragmented
+        source day's exclusive files."""
+        from ting_data_etl_spark.operators.incremental import (
+            incremental_snapshot_compact,
         )
+
+        return incremental_snapshot_compact(self.spark, self.sf_dir)
 
 
 class Pipeline:

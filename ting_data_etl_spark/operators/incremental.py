@@ -3105,6 +3105,24 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _store_catalog(spark: SparkSession, store: str) -> DataFrame:
+    """The snapshot store's FULL catalog: the base ``catalog/`` written at
+    store build plus every published ``catalog_g*`` generation (appended by
+    :func:`compact_snapshot_store` — r15). Generations are atomic
+    (tmp-dir + rename, ``_SUCCESS``-gated), so a reader sees the base
+    catalog alone or the base plus a complete generation, never a torn
+    append — the reason compaction extends the catalog via a sibling dir
+    instead of appending part files into the published base."""
+    paths = [os.path.join(store, "catalog")]
+    for d in sorted(os.listdir(store)):
+        p = os.path.join(store, d)
+        if d.startswith("catalog_g") and os.path.exists(
+            os.path.join(p, "_SUCCESS")
+        ):
+            paths.append(p)
+    return spark.read.parquet(*paths)
+
+
 def retire_snapshot_day(
     spark: SparkSession, sf_dir: str, day: int
 ) -> list[str]:
@@ -3123,7 +3141,7 @@ def retire_snapshot_day(
     import shutil
 
     store = _snapshot_store(spark, sf_dir)
-    cat = spark.read.parquet(os.path.join(store, "catalog"))
+    cat = _store_catalog(spark, store)
     days = sorted(
         r["snapshot_id"]
         for r in cat.select("snapshot_id").distinct().collect()
@@ -3226,5 +3244,141 @@ def incremental_snapshot_retire(
     for day in range(RETIRE_STORE_DAYS - 1):
         retire_snapshot_day(spark, sf_dir, day)
     store = _snapshot_store(spark, sf_dir)
-    cat = spark.read.parquet(os.path.join(store, "catalog"))
+    cat = _store_catalog(spark, store)
     return _catalog_snapshot_read(spark, cat, RETIRE_STORE_DAYS - 1)
+
+
+# --- snapshot COMPACT: consolidate COW fragmentation, content-preserving ------
+#: The day the compaction consolidates (always the newest store day) and
+#: the snapshot id the compacted generation is appended under. Fixed
+#: constants keep the registered query deterministic for the oracle.
+COMPACT_SOURCE_DAY = RETIRE_STORE_DAYS - 1
+COMPACT_SNAPSHOT_ID = RETIRE_STORE_DAYS
+
+
+def compact_snapshot_store(spark: SparkSession, sf_dir: str) -> str:
+    """Consolidate the latest snapshot's fragmented COW file set into ONE
+    generation directory and append a catalog generation pointing at it
+    (r15 — the lifecycle verb between refresh and retire).
+
+    After N COW refreshes the latest snapshot references one dir per
+    (touched shard, day) — at production cadence that is thousands of
+    small files per shard lineage, the small-file pathology every table
+    format compacts away (Iceberg's rewrite-data-files; the same move
+    here, on the catalog this store owns). Steps, each crash-safe:
+
+    1. read the latest day's membership from EXACTLY its referenced files
+       (the same layout read time travel uses — compaction can never see
+       rows the snapshot does not own);
+    2. rewrite it ``partitionBy(shard)`` into ``compact{day}/`` via the
+       atomic tmp-dir + rename publish;
+    3. publish a ``catalog_g{day}/`` generation: the latest day's catalog
+       rows with ``snapshot_id`` = :data:`COMPACT_SNAPSHOT_ID` and every
+       ``file_ref`` remapped into the compact dir — digests CARRY OVER
+       unchanged (compaction is layout, never content), and a loud check
+       requires the written shard dirs to match the non-empty catalog
+       shards exactly;
+    4. write the ``_COMPACTED_{day}`` marker (warm calls are no-ops).
+
+    The compacted snapshot is now the store's LATEST, so the day-generic
+    :func:`retire_snapshot_day` can retire the fragmented source day and
+    reclaim exactly its exclusive dirs — compact-then-retire is the full
+    defragmentation story, pinned by the pytest. Returns the compact
+    data dir path."""
+    import json as _json
+
+    from ting_data_etl_spark.operators.dedup import _publish_stage
+
+    store = _snapshot_store(spark, sf_dir)
+    src = COMPACT_SOURCE_DAY
+    compact_dir = os.path.join(store, f"compact{src}")
+    marker = os.path.join(store, f"_COMPACTED_{src}")
+    if os.path.exists(marker):
+        return compact_dir
+    cat = _store_catalog(spark, store)
+    src_rows = cat.filter(F.col("snapshot_id") == src)
+    refs = sorted(
+        r["file_ref"]
+        for r in src_rows.select("file_ref").distinct().collect()
+    )  # bounded: <= shard count (metadata rows, never data)
+    if not refs:
+        raise ValueError(f"snapshot {src} not in catalog — nothing to compact")
+    missing = [p for p in refs if not os.path.isdir(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot {src} references {len(missing)} reclaimed dir(s) "
+            f"(first: {missing[0]}) — a retired snapshot cannot be compacted"
+        )
+    if not os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
+        back = (
+            spark.read.schema("doc_id long, n_toks long")
+            .parquet(*refs)
+            .withColumn(
+                "shard",
+                F.regexp_extract(
+                    F.input_file_name(), r"shard=(\d+)", 1
+                ).cast("int"),
+            )
+        )
+        _publish_stage(back, compact_dir, partition_by=("shard",))
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(compact_dir)
+        if d.startswith("shard=")
+    }
+    expected = {
+        int(r["shard"])
+        for r in src_rows.filter(F.col("n_docs") > 0)
+        .select("shard")
+        .collect()
+    }
+    if written != expected:
+        raise RuntimeError(
+            "compaction wrote a different shard set than the catalog "
+            f"holds: written-only={sorted(written - expected)[:3]} "
+            f"catalog-only={sorted(expected - written)[:3]}"
+        )
+    gen_dir = os.path.join(store, f"catalog_g{src}")
+    if not os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
+        gen_rows = src_rows.filter(F.col("n_docs") > 0).select(
+            F.lit(COMPACT_SNAPSHOT_ID).alias("snapshot_id"),
+            "shard",
+            F.concat(
+                F.lit(compact_dir + "/shard="),
+                F.col("shard").cast("string"),
+            ).alias("file_ref"),
+            "n_docs",
+            "total_tokens",
+            "ids_xor",
+        )
+        _publish_stage(gen_rows.coalesce(1), gen_dir)
+    tmp_marker = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp_marker, "w") as f:
+        _json.dump(
+            {"compacted": src, "snapshot_id": COMPACT_SNAPSHOT_ID}, f
+        )
+    os.replace(tmp_marker, marker)
+    return compact_dir
+
+
+@register("incremental_snapshot_compact", oracle=_sql_retire_survivor)
+def incremental_snapshot_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPACT the latest snapshot and read the result back from the
+    consolidated files (see :func:`compact_snapshot_store`).
+
+    Returns the compacted snapshot's digest reconstructed PURELY from the
+    compact generation's files — the same layout read time travel uses —
+    so the oracle (the from-scratch latest-day statement, shared with
+    ``incremental_snapshot_retire``: compaction must not change content)
+    hash-mismatches if the rewrite lost, duplicated, or mis-sharded a
+    single row. The pytest additionally pins the physical layout claims:
+    every compacted ref lives in ONE generation dir, the fragmented
+    source day's dirs become retirable, and retire-after-compact
+    reclaims exactly them while the compacted snapshot still reads.
+    """
+    compact_snapshot_store(spark, sf_dir)
+    store = _snapshot_store(spark, sf_dir)
+    cat = _store_catalog(spark, store)
+    return _catalog_snapshot_read(spark, cat, COMPACT_SNAPSHOT_ID)
