@@ -1587,6 +1587,11 @@ def test_snapshot_compact_consolidates_and_preserves_content(
     ), "compacted refs must live in ONE generation dir"
     for p in new_refs:
         assert os.path.isdir(p)
+        # TRUE consolidation: exactly one data file per shard (the shard
+        # repartition before the write — without it the output inherits
+        # the source's files-per-shard and compaction defragments nothing)
+        parts = [f for f in os.listdir(p) if f.startswith("part-")]
+        assert len(parts) == 1, (p, parts)
     # marker makes warm calls no-ops (same dir, catalog rows not doubled)
     marker = os.path.join(store, f"_COMPACTED_{COMPACT_SOURCE_DAY}")
     with open(marker) as f:

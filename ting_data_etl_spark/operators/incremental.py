@@ -3320,7 +3320,16 @@ def compact_snapshot_store(spark: SparkSession, sf_dir: str) -> str:
                 ).cast("int"),
             )
         )
-        _publish_stage(back, compact_dir, partition_by=("shard",))
+        # repartition on the shard key: without it each input task writes
+        # its own part file into every shard dir it touches — the output
+        # would carry as many files per shard as the source had, which is
+        # exactly the fragmentation compaction exists to remove. One
+        # O(snapshot) shuffle, one file per shard (pytest-pinned).
+        _publish_stage(
+            back.repartition(F.col("shard")),
+            compact_dir,
+            partition_by=("shard",),
+        )
     written = {
         int(d.split("=", 1)[1])
         for d in os.listdir(compact_dir)
