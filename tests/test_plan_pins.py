@@ -290,6 +290,28 @@ def _png_mixed_pre(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def _span_status_pre(spark, sf_dir):
+    """r15 review: the registered curation_span_status now returns the
+    session-memoized localCheckpoint, whose digest is a bare scan —
+    pinning that guards nothing. Pin the BUILD composition instead, as
+    the element-wise sum of (a) the lazy span finder (the token-level
+    window chain) and (b) the lazy status composition over a
+    checkpoint-backed span relation — a lost broadcast, demoted join, or
+    reintroduced token shuffle in either half moves the digest."""
+    from ting_data_etl_spark.operators.curation import (
+        _span_status_build,
+        span_relation_df,
+    )
+    from ting_data_etl_spark.operators.text_queries import (
+        dedup_repeated_substrings,
+    )
+
+    span_relation_df(spark, sf_dir)  # materialize the memoized spans once
+    pre = plan_digest(spark, dedup_repeated_substrings(spark, sf_dir))
+    post = plan_digest(spark, _span_status_build(spark, sf_dir))
+    return {k: pre[k] + post[k] for k in pre}
+
+
 #: query name -> callable(spark, sf_dir) -> digest, for queries whose
 #: registered return is an eager checkpoint (pinning that would guard
 #: nothing); the callable digests the pre-checkpoint plan instead.
@@ -298,6 +320,7 @@ PRE_CHECKPOINT = {
     "multimodal_phash_dedup": _phash_dedup_pre,
     "multimodal_png_phash_dedup": _png_phash_pre,
     "multimodal_png_mixed_phash_dedup": _png_mixed_pre,
+    "curation_span_status": _span_status_pre,
 }
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -363,6 +363,55 @@ class TestSpecFloor:
         got = rotation.deferrable_for_floor(sorted(due), hist, rnd)
         assert got == ["ext_a", "ext_b"]
 
+    def test_deferred_rows_are_carried_due_next_round(
+        self, tmp_path, monkeypatch
+    ):
+        """r15 review: a floor-deferred row's module-changed trigger is
+        CONSUMED once the next round's diff base advances, so the plan
+        must carry the debt — deferred names are forced due in the next
+        round's plan, and a within-round regeneration re-records the
+        carry instead of dropping it."""
+        import json as _json
+
+        def q():
+            pass
+
+        queries = {"ext_carried": q, "job_other": q}
+        # history: both tenured and recent — neither due on its own
+        hist_rows = {
+            "ext_carried": {"hash_match": True},
+            "job_other": {"hash_match": True},
+        }
+        for rnd in (12, 13, 14):
+            with open(tmp_path / f"CORRECTNESS_r{rnd}.json", "w") as f:
+                _json.dump(hist_rows, f)
+
+        # prior ROUND's plan deferred ext_carried
+        monkeypatch.setattr(
+            rotation,
+            "load_plan",
+            lambda: {"round": 14, "deferred_for_floor": ["ext_carried"]},
+        )
+        plan1 = rotation.compute_plan(queries, str(tmp_path), set())
+        assert plan1["round"] == 15
+        assert plan1["carried_due"] == ["ext_carried"]
+        assert "ext_carried" in plan1["due"]
+        assert "job_other" not in plan1["due"]
+
+        # within-round regeneration: the carry survives via carried_due
+        monkeypatch.setattr(
+            rotation,
+            "load_plan",
+            lambda: {
+                "round": 15,
+                "carried_due": ["ext_carried"],
+                "deferred_for_floor": [],
+            },
+        )
+        plan2 = rotation.compute_plan(queries, str(tmp_path), set())
+        assert plan2["carried_due"] == ["ext_carried"]
+        assert "ext_carried" in plan2["due"]
+
     def test_spec_cadence_bounded_current_and_ceiling(self, plan):
         """With the floor, the spec surface never waits past the tenured
         bound — including at the 300-query design ceiling, where the

@@ -518,6 +518,8 @@ def _curation_token() -> str:
         GOPHER_MIN_ALPHA_FRAC,
         BENCHMARK_MOD,
         CONTAM_NGRAM,
+        CONTAM_FLAG_FRAC,  # read at call time by the contamination gate
+        # (r15 review: omitting it served a stale memo across a retune)
         _tq.REPEAT_L,
     )
     return hashlib.md5("_".join(str(p) for p in parts).encode()).hexdigest()[:10]

@@ -3073,6 +3073,23 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
         _cow_rewritten(day1_rows, adds2, rem2, touched2).write.partitionBy(
             "shard"
         ).parquet(day2)
+        # the retention predicate is DESIGNED to leave every touched shard
+        # non-empty (partial rewrites), but that is corpus-dependent — a
+        # shard emptied entirely would get a catalog ref to a dir the
+        # partitioned write never created, and healthy-store reads would
+        # crash later with a misleading 'retired' error (r15 review).
+        # Fail the BUILD loudly instead.
+        empty2 = [
+            s
+            for s in touched2
+            if not os.path.isdir(os.path.join(day2, f"shard={s}"))
+        ]
+        if empty2:
+            raise RuntimeError(
+                f"day-2 retention delta emptied shard(s) {empty2[:5]} — "
+                "the store would publish dangling refs; adjust "
+                "RETIRE2_DOC_MOD/REM for this corpus"
+            )
         # catalog refs point at the PUBLISHED location (post-rename)
         d0 = _standing_manifest_digest(spark, sf_dir)
         cat0 = d0.select(
@@ -3102,6 +3119,21 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(os.path.join(out, "_SUCCESS")):
                 raise
+        # cold-build path only (the warm read-back must never delete —
+        # the ADVICE r14 similarity-rebuild rule): sweep SUPERSEDED store
+        # generations. The store family is not in the generation sweeper's
+        # prefix list, so the r15 layout rename (snapstore_ →
+        # snapstore_d3_) and every testdata-regeneration fingerprint would
+        # otherwise leak whole two/three-day layouts forever (r15 review).
+        root = os.path.dirname(out)
+        mine = os.path.basename(out)
+        for d in os.listdir(root):
+            if (
+                d.startswith("incrsel_snapstore")
+                and d != mine
+                and ".tmp." not in d  # a concurrent publisher's scratch
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return out
 
 
@@ -3245,7 +3277,20 @@ def incremental_snapshot_retire(
         retire_snapshot_day(spark, sf_dir, day)
     store = _snapshot_store(spark, sf_dir)
     cat = _store_catalog(spark, store)
-    return _catalog_snapshot_read(spark, cat, RETIRE_STORE_DAYS - 1)
+    # read back the LATEST surviving snapshot, not a hardcoded day (r15
+    # review): after compact-then-retire(2) the survivor is the compacted
+    # generation — same digest by the compaction contract, so the oracle
+    # is unchanged, while a hardcoded day-2 read would raise forever
+    days = sorted(
+        r["snapshot_id"]
+        for r in cat.select("snapshot_id").distinct().collect()
+    )
+    retired = {
+        d
+        for d in days
+        if os.path.exists(os.path.join(store, f"_RETIRED_{d}"))
+    }
+    return _catalog_snapshot_read(spark, cat, max(set(days) - retired))
 
 
 # --- snapshot COMPACT: consolidate COW fragmentation, content-preserving ------
@@ -3292,9 +3337,30 @@ def compact_snapshot_store(spark: SparkSession, sf_dir: str) -> str:
     store = _snapshot_store(spark, sf_dir)
     src = COMPACT_SOURCE_DAY
     compact_dir = os.path.join(store, f"compact{src}")
+    gen_dir = os.path.join(store, f"catalog_g{src}")
     marker = os.path.join(store, f"_COMPACTED_{src}")
+
+    def _finish() -> str:
+        tmp_marker = f"{marker}.tmp.{os.getpid()}"
+        with open(tmp_marker, "w") as f:
+            _json.dump(
+                {"compacted": src, "snapshot_id": COMPACT_SNAPSHOT_ID}, f
+            )
+        os.replace(tmp_marker, marker)
+        return compact_dir
+
     if os.path.exists(marker):
         return compact_dir
+    if os.path.exists(
+        os.path.join(compact_dir, "_SUCCESS")
+    ) and os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
+        # crash landed between the generation publish and the marker
+        # write: the compacted artifact is already complete, and the
+        # source day may legally have been retired in the meantime (the
+        # catalog exposed snapshot 3 the moment the generation published)
+        # — re-checking its refs here would wedge compaction forever
+        # (r15 review). Just finish.
+        return _finish()
     cat = _store_catalog(spark, store)
     src_rows = cat.filter(F.col("snapshot_id") == src)
     refs = sorted(
@@ -3347,7 +3413,6 @@ def compact_snapshot_store(spark: SparkSession, sf_dir: str) -> str:
             f"holds: written-only={sorted(written - expected)[:3]} "
             f"catalog-only={sorted(expected - written)[:3]}"
         )
-    gen_dir = os.path.join(store, f"catalog_g{src}")
     if not os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
         gen_rows = src_rows.filter(F.col("n_docs") > 0).select(
             F.lit(COMPACT_SNAPSHOT_ID).alias("snapshot_id"),
@@ -3361,13 +3426,7 @@ def compact_snapshot_store(spark: SparkSession, sf_dir: str) -> str:
             "ids_xor",
         )
         _publish_stage(gen_rows.coalesce(1), gen_dir)
-    tmp_marker = f"{marker}.tmp.{os.getpid()}"
-    with open(tmp_marker, "w") as f:
-        _json.dump(
-            {"compacted": src, "snapshot_id": COMPACT_SNAPSHOT_ID}, f
-        )
-    os.replace(tmp_marker, marker)
-    return compact_dir
+    return _finish()
 
 
 @register("incremental_snapshot_compact", oracle=_sql_retire_survivor)

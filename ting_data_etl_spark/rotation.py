@@ -214,9 +214,14 @@ def deferrable_for_floor(
     failure), and young enough that a one-round deferral still lands within
     the tenured staleness bound (age after deferral ≤ MAX_ROW_AGE_TENURED).
     Ordered newest-last-row first (longest remaining slack), name tiebreak
-    for determinism. A row deferred once re-enters next round with the
-    oldest unserved last-row, so the oldest-first due sort puts it at the
-    front and newest-first eligibility stops re-picking it — no starvation.
+    for determinism. A deferred row does NOT re-enter the due set on its
+    own next round (the module-changed trigger is consumed when the next
+    round's diff base advances past the change — the r15 review finding),
+    so :func:`compute_plan` CARRIES the deferred names forward explicitly:
+    they are forced due in the next round's plan, where their old last-row
+    puts them at the front of the due order and at the tail of the
+    newest-first deferral eligibility — re-deferral is last-resort and the
+    staleness cutoff above hard-stops it.
     """
     out: list[tuple[int, str]] = []
     for last, name in due:
@@ -250,6 +255,21 @@ def compute_plan(
     """Derive the full registration order + evidence for the coming round."""
     hist, last_round = correctness_history(repo_root)
     current_round = last_round + 1
+    # CARRIED DUE (r15 review): a row the PREVIOUS round's floor deferred
+    # never got its driver row, and its module-changed trigger is consumed
+    # once the diff base advances past the change — so the plan itself
+    # carries the debt. A prior plan from an EARLIER round contributes its
+    # deferred list; a prior plan from THIS round (within-round
+    # regenerations) re-contributes the carry it already recorded, so the
+    # debt survives every per-commit regeneration until the driver pays it.
+    prior = load_plan()
+    carry: set[str] = set()
+    if prior:
+        if prior.get("round") == current_round:
+            carry = set(prior.get("carried_due", []))
+        elif prior.get("round", 0) < current_round:
+            carry = set(prior.get("deferred_for_floor", []))
+    carry &= set(queries)
     # repo-relative paths (git diff --name-only output) resolve against
     # repo_root, NOT the caller's CWD — abspath alone silently disabled
     # the changed-module rule when run from a subdirectory
@@ -269,7 +289,9 @@ def compute_plan(
             module_hash[rel] = file_md5(mf)
         h = hist.get(name, {})
         last_row = max(h) if h else 0
-        if is_due(h, current_round, mf in changed_abs if mf else True):
+        if name in carry or is_due(
+            h, current_round, mf in changed_abs if mf else True
+        ):
             due.append((last_row, name))
         else:
             fresh.append((last_row, name))
@@ -289,6 +311,7 @@ def compute_plan(
         "promoted_spec": promoted,
         "deferred_for_floor": deferred,
         "deferrable": deferrable,
+        "carried_due": sorted(carry),
         "due": [n for _, n in due],
         "fresh": [n for _, n in fresh],
         "order": order,
@@ -320,19 +343,25 @@ def simulate_max_gap(
     the whole registry still competes for the budget.
     """
     sim = {n: dict(hist.get(n, {})) for n in names}
+    carried: set[str] = set()
     for rnd in range(start_round, start_round + horizon):
         due: list[tuple[int, str]] = []
         fresh: list[tuple[int, str]] = []
         for n in names:
             h = sim[n]
             last = max(h) if h else 0
-            (due if is_due(h, rnd, False) else fresh).append((last, n))
+            # carried rows are forced due, mirroring compute_plan's
+            # deferral-debt carry (r15 review)
+            (due if n in carried or is_due(h, rnd, False) else fresh).append(
+                (last, n)
+            )
         due.sort()
         fresh.sort()
         deferrable = deferrable_for_floor(due, sim, rnd)
-        order, _, _ = _apply_spec_floor(
+        order, _, deferred = _apply_spec_floor(
             [n for _, n in due], [n for _, n in fresh], budget, deferrable
         )
+        carried = set(deferred)
         for n in order[:budget]:
             sim[n][rnd] = "green"
     max_gap = 0
