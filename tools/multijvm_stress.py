@@ -138,9 +138,18 @@ def main() -> None:
         "--no-retune",
         action="store_true",
         help="keep the REGISTERED constants instead of the capacity retune "
-        "— required when the legs' numbers must be comparable to a "
-        "single-JVM artifact that ran at the registered constants "
-        "(r15: the SELECTION_SCALE incremental family)",
+        "— for legs whose single-JVM comparison artifact ran at the "
+        "registered constants",
+    )
+    ap.add_argument(
+        "--contract-k",
+        action="store_true",
+        help="retune ONLY SemDeDup's KMEANS_LISTS to k ∝ N (base × scale), "
+        "exactly like selection_scale._incrsel_probe — the regime the "
+        "single-JVM SELECTION_SCALE incremental-family numbers ran in. "
+        "Without it a frozen k=8 at x100 puts 25k vectors in a cluster "
+        "and the within-cluster stages go quadratic (observed: two "
+        "75-minute single-threaded straggler tasks).",
     )
     args = ap.parse_args()
 
@@ -167,12 +176,15 @@ def main() -> None:
         S.SRP_SIGNS = S._srp_signs()
         S.KMEANS_LISTS = cfg["kmeans_lists"]
         dd.SIMHASH_BITS = cfg["simhash_bits"]
+    if args.contract_k:
+        S.KMEANS_LISTS = max(S.KMEANS_LISTS, int(S.KMEANS_LISTS * args.scale))
 
     report = {
         "scale": args.scale,
         **meta,
         "gen_sec": gen_sec,
         "retuned": not args.no_retune,
+        "contract_k": S.KMEANS_LISTS if args.contract_k else None,
         "cluster": {
             "workers": args.workers,
             "cores_per_worker": args.cores,
