@@ -1692,3 +1692,52 @@ class TestIndexBucketsRetune:
             if m
         }
         assert max(buckets_seen) >= I.INDEX_BUCKETS, buckets_seen
+
+
+class TestIncrementalSelectionMemo:
+    """OPTIMIZATION r15: one session-memoized decision relation serves the
+    incremental capstone, the manifest update, and the COW shard sink
+    (mirror of sampling's TestSelectionRelationMemo for the incremental
+    family)."""
+
+    def test_memo_identity_and_invalidation(self, spark, sf_dir, monkeypatch):
+        import ting_data_etl_spark.operators.incremental as I
+        import ting_data_etl_spark.operators.sampling as S
+        from ting_data_etl_spark import relcache
+
+        a = I.incremental_selection_df(spark, sf_dir)
+        assert I.incremental_selection_df(spark, sf_dir) is a
+        d = I.selection_with_deletes_df(spark, sf_dir)
+        assert I.selection_with_deletes_df(spark, sf_dir) is d
+        assert d is not a
+        p = I._selected_post_ids(spark, sf_dir)
+        assert I._selected_post_ids(spark, sf_dir) is p
+        # a generation selects a DIFFERENT standing split -> fresh key
+        assert I.incremental_selection_df(spark, sf_dir, gen=1) is not a
+        # a constants retune must key a fresh relation (stale-memo hazard;
+        # BUDGET_PCT is folded via _incr_token)
+        monkeypatch.setattr(S, "BUDGET_PCT", max(1, S.BUDGET_PCT - 7))
+        assert I.incremental_selection_df(spark, sf_dir) is not a
+        monkeypatch.undo()
+        assert I.incremental_selection_df(spark, sf_dir) is a
+        relcache.clear()
+        assert I.incremental_selection_df(spark, sf_dir) is not a
+
+    def test_manifest_and_sink_share_the_decision_relation(
+        self, spark, sf_dir
+    ):
+        """The maintained digest and the COW read-back digest must agree
+        row-for-row — both consume the one memoized delta derivation."""
+        import ting_data_etl_spark.operators.incremental as I
+
+        post = I._selected_post_ids(spark, sf_dir)
+        man = {
+            tuple(r)
+            for r in I.incremental_manifest_update(spark, sf_dir).collect()
+        }
+        sink = {
+            tuple(r)
+            for r in I.incremental_shard_sink_delta(spark, sf_dir).collect()
+        }
+        assert man == sink
+        assert I._selected_post_ids(spark, sf_dir) is post

@@ -1112,7 +1112,57 @@ def corpus_incremental_selection(
     the merged corpus is the full table in every generation, so the
     from-scratch oracle is generation-invariant — which is exactly the
     re-convergence property :func:`corpus_reindex` registers.
+
+    Delegates to :func:`incremental_selection_df` — the session-memoized
+    decision relation the manifest update and the COW shard sink also
+    consume (OPTIMIZATION r15).
     """
+    return incremental_selection_df(spark, sf_dir, gen)
+
+
+def incremental_selection_df(
+    spark: SparkSession, sf_dir: str, gen: int = 0
+) -> DataFrame:
+    """SESSION-memoized post-merge decision relation.
+
+    OPTIMIZATION r15 (guide §2.4 — remove repeated work outright): three
+    registered queries executed this whole relation independently inside
+    one session — the capstone itself, ``incremental_manifest_update``
+    (via ``_selection_delta``) and ``incremental_shard_sink_delta`` (via
+    ``_cow_delta_parts``) — each paying the merged-components read, the
+    contamination probe, the eager ``st`` checkpoint and the budget
+    chain's quantile/offset collects. Exactly the re-derivation class the
+    r13→r14 ``final_selection_df`` memo removed for the from-scratch
+    family; same keying discipline (constants tokens + source
+    fingerprints + generation), same object-identity guarantee, measured
+    in OPTIMIZATION_r15.md.
+    """
+    from ting_data_etl_spark.operators.dedup import (
+        _source_fp,
+        _stage_version_token,
+    )
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        (
+            "incremental_selection",
+            os.path.abspath(sf_dir),
+            gen,
+            _stage_version_token(),
+            _incr_token(),
+            _source_fp(sf_dir, "documents"),
+            _source_fp(sf_dir, "embeddings"),
+        ),
+        lambda: _incremental_selection_build(spark, sf_dir, gen),
+    )
+
+
+def _incremental_selection_build(
+    spark: SparkSession, sf_dir: str, gen: int = 0
+) -> DataFrame:
+    """The decision-relation composition itself (see
+    :func:`corpus_incremental_selection` for semantics)."""
     from ting_data_etl_spark.operators.curation import (
         BENCHMARK_MOD,
         gopher_metrics_df,
@@ -2030,7 +2080,46 @@ def corpus_selection_with_deletes(
     Oracle = the from-scratch three-stage composition over the post-edit
     corpus (docs2 universe, pinned-model membership filter), so every
     maintenance argument above is hash-checked end to end in one relation.
+
+    Delegates to :func:`selection_with_deletes_df` — the session-memoized
+    post-edit decision relation ``incremental_manifest_with_deletes`` also
+    consumes (OPTIMIZATION r15).
     """
+    return selection_with_deletes_df(spark, sf_dir)
+
+
+def selection_with_deletes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized post-edit (tombstones + re-edits) decision relation.
+
+    Same rationale and keying as :func:`incremental_selection_df`: the
+    registered capstone and ``incremental_manifest_with_deletes`` both
+    executed this full relation per query inside one session.
+    """
+    from ting_data_etl_spark.operators.dedup import (
+        _source_fp,
+        _stage_version_token,
+    )
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        (
+            "selection_with_deletes",
+            os.path.abspath(sf_dir),
+            _stage_version_token(),
+            _incr_token(),
+            _source_fp(sf_dir, "documents"),
+            _source_fp(sf_dir, "embeddings"),
+        ),
+        lambda: _selection_with_deletes_build(spark, sf_dir),
+    )
+
+
+def _selection_with_deletes_build(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The post-edit decision composition itself (see
+    :func:`corpus_selection_with_deletes` for semantics)."""
     from ting_data_etl_spark.operators.curation import (
         BENCHMARK_MOD,
         gopher_metrics_df,
@@ -2455,6 +2544,37 @@ tok AS (
 """
 
 
+def _selected_post_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized eager checkpoint of the arrivals day's selected
+    doc_ids — the anti-join probe side ``_selection_delta`` feeds to the
+    manifest update, the COW sink and the snapshot catalog. Before the
+    memo each consumer re-filtered and re-checkpointed the decision
+    relation (OPTIMIZATION r15; the relation itself is memoized by
+    :func:`incremental_selection_df`, this adds the tiny selected-ids
+    projection so the checkpoint block is shared too)."""
+    from ting_data_etl_spark.operators.dedup import (
+        _source_fp,
+        _stage_version_token,
+    )
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        (
+            "incrsel_post_ids",
+            os.path.abspath(sf_dir),
+            _stage_version_token(),
+            _incr_token(),
+            _source_fp(sf_dir, "documents"),
+            _source_fp(sf_dir, "embeddings"),
+        ),
+        lambda: incremental_selection_df(spark, sf_dir)
+        .filter(F.col("decision") == "selected")
+        .select("doc_id")
+        .localCheckpoint(eager=True),
+    )
+
+
 def _selection_delta(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -2469,12 +2589,7 @@ def _selection_delta(
     """
     from ting_data_etl_spark.operators.sampling import budget_ledger_df
 
-    post = (
-        corpus_incremental_selection(spark, sf_dir)
-        .filter(F.col("decision") == "selected")
-        .select("doc_id")
-        .localCheckpoint(eager=True)  # two anti-join consumers
-    )
+    post = _selected_post_ids(spark, sf_dir)
     standing_sel = _standing_selection(spark, sf_dir)
     batch = load_table(spark, sf_dir, "documents").filter(_batch_pred())
     prices = _standing_ledger(spark, sf_dir).select(
@@ -2546,6 +2661,33 @@ tok AS (
 """
 
 
+def _selected_post_ids_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-edit twin of :func:`_selected_post_ids` (same memo rationale)."""
+    from ting_data_etl_spark.operators.dedup import (
+        _source_fp,
+        _stage_version_token,
+    )
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        (
+            "incrdel_post_ids",
+            os.path.abspath(sf_dir),
+            _stage_version_token(),
+            _incr_token(),
+            _source_fp(sf_dir, "documents"),
+            _source_fp(sf_dir, "embeddings"),
+        ),
+        lambda: selection_with_deletes_df(spark, sf_dir)
+        .filter(F.col("decision") == "selected")
+        .select("doc_id")
+        .localCheckpoint(eager=True),
+    )
+
+
 @register(
     "incremental_manifest_with_deletes", oracle=_sql_manifest_with_deletes
 )
@@ -2568,12 +2710,7 @@ def incremental_manifest_with_deletes(
     from ting_data_etl_spark.operators.dedup import _incr_mh_readded
     from ting_data_etl_spark.operators.sampling import budget_ledger_df
 
-    post = (
-        corpus_selection_with_deletes(spark, sf_dir)
-        .filter(F.col("decision") == "selected")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
+    post = _selected_post_ids_with_deletes(spark, sf_dir)
     standing_sel = _standing_selection(spark, sf_dir)
     staged_led = _standing_ledger(spark, sf_dir).select("doc_id", "n_toks")
     d = load_table(spark, sf_dir, "documents")

@@ -44,7 +44,14 @@ _LOCK = threading.Lock()
 #: the session lifetime — blocks the ContextCleaner can never release
 #: while the memo holds the reference. Insertion-ordered dict = FIFO
 #: eviction; dropping the reference lets Spark reclaim the blocks.
-MAX_ENTRIES = 8
+#: 16, not 8 (OPTIMIZATION r15): the incremental family added four
+#: memoized relations (two decision relations + two selected-id
+#: projections) on top of the four curation/sampling ones — at 8 a full
+#: bench pass would evict and rebuild the earliest entries mid-pass,
+#: re-paying exactly the derivations the memo exists to remove. Every
+#: entry is a checkpointed fixed-width relation (ids/status rows, no
+#: text), so 16 stays far below executor storage at any tested scale.
+MAX_ENTRIES = 16
 
 
 def session_relation(
