@@ -660,6 +660,16 @@ def repeated_substring_spans(docs: DataFrame, length: int | None = None) -> Data
     all-pairs shingle joins); one shuffle on doc_id for the island merge.
     Every shuffle carries fixed-width keys, never text.
 
+    OPTIMIZATION r15 (guide §2.4): the window relation feeds BOTH the
+    repeated-hash aggregate and the position join — left as two lazy
+    branches the tokenize+explode+hash pass executed twice (two
+    single-task scans at fixture scale; two full text passes at 100 TB).
+    An explicit hash repartition on ``h`` gives the two branches one
+    shared Exchange (the second branch is a ReusedExchange, pinned by
+    the plan test): the text pass runs once, the aggregate and the join
+    both read the shuffle output, and the post-shuffle work is spread
+    across the cluster instead of riding the scan's split count.
+
     Reference scope note: the reference engine (ting-data-etl) has no text
     dedup at all — this extends the LLM-pipeline family
     (cf. ``dedup_chunk_boilerplate``), per the round-7 verdict's top-3
@@ -685,6 +695,7 @@ def repeated_substring_spans(docs: DataFrame, length: int | None = None) -> Data
             ).alias("pos", "win"),
         )
         .select("doc_id", "pos", portable_hash31(F.col("win")).alias("h"))
+        .repartition(F.col("h"))  # ONE exchange shared by agg + join
     )
     rep = (
         wins.groupBy("h")
@@ -752,6 +763,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back on the same hash (fixed-width keys, text never shuffles),
     then one doc-keyed aggregation. Zero-token documents have no non-NULL
     shingles and drop out of the result on both engines.
+
+    OPTIMIZATION r15 (guide §2.4): same two-consumer shape as
+    :func:`repeated_substring_spans` — the distinct shingle relation fed
+    both the ``firsts`` aggregate and the join back, so the shingle
+    pass (tokenize + explode + hash + distinct) executed twice. The
+    explicit repartition on the shingle hash shares one Exchange between
+    the branches (ReusedExchange), halving the text work.
     """
     from ting_data_etl_spark.functions.text import portable_hash31
     from ting_data_etl_spark.operators.dedup import word_shingles_df
@@ -762,6 +780,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", portable_hash31(F.col("s")).alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .distinct()
+        .repartition(F.col("shingle"))  # shared by firsts agg + join
     )
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     joined = sh.join(firsts, "shingle")
