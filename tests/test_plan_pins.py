@@ -312,6 +312,29 @@ def _span_status_pre(spark, sf_dir):
     return {k: pre[k] + post[k] for k in pre}
 
 
+def _ivfpq_pre(query_name):
+    """r15 optimization: the IVF-PQ family's ADC pairs ride a
+    session-memoized checkpoint (one scoring pass + one PLANNING pass for
+    the codebook-literal tree per session, consumed by topk, rerank and
+    the PQ recall report). Pin the element-wise sum of (a) the lazy ADC
+    pairs plan — where a demoted assignment kernel or an extra corpus
+    scan shows up — and (b) the registered query's post-checkpoint
+    composition."""
+
+    def build(spark, sf_dir):
+        import ting_data_etl_spark.operators.similarity as S
+
+        pre = plan_digest(spark, S._ivfpq_pairs(spark, sf_dir))
+        qs = {
+            "similarity_ivfpq_topk": S.similarity_ivfpq_topk,
+            "similarity_ivfpq_rerank": S.similarity_ivfpq_rerank,
+        }
+        post = plan_digest(spark, qs[query_name](spark, sf_dir))
+        return {k: pre[k] + post[k] for k in pre}
+
+    return build
+
+
 #: query name -> callable(spark, sf_dir) -> digest, for queries whose
 #: registered return is an eager checkpoint (pinning that would guard
 #: nothing); the callable digests the pre-checkpoint plan instead.
@@ -321,6 +344,8 @@ PRE_CHECKPOINT = {
     "multimodal_png_phash_dedup": _png_phash_pre,
     "multimodal_png_mixed_phash_dedup": _png_mixed_pre,
     "curation_span_status": _span_status_pre,
+    "similarity_ivfpq_topk": _ivfpq_pre("similarity_ivfpq_topk"),
+    "similarity_ivfpq_rerank": _ivfpq_pre("similarity_ivfpq_rerank"),
 }
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -21,6 +21,8 @@ dot products are exact in any engine, so scores are bit-identical in DuckDB
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -1408,6 +1410,31 @@ def _bruteforce_truth_sampled(
     return topk_per_query(local)
 
 
+def ann_truth_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized eager checkpoint of the sampled exact truth
+    (query_id, neighbor_id, hit=1).
+
+    OPTIMIZATION r15: both recall reports (`similarity_recall_report`,
+    `similarity_pq_recall_report`) rebuilt the corpus-streaming
+    brute-force truth per query — and the plain report consumed its LAZY
+    truth twice inside one plan (hit join + denominator), executing the
+    exact pass twice per invocation. One checkpointed truth per session
+    serves every consumer of the same sampled query set.
+    """
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        _ann_memo_key(sf_dir, "ann_truth"),
+        lambda: _bruteforce_truth_sampled(
+            spark, sf_dir, _recall_sample_ids(spark, sf_dir)
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=True),
+    )
+
+
 def _sql_recall_report() -> str:
     """Full-value oracle for the recall report: truth + BOTH ANN legs.
 
@@ -1477,11 +1504,11 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     values themselves are hash-checked (:func:`_sql_recall_report`).
     """
     sample_ids = _recall_sample_ids(spark, sf_dir)
-    truth = (
-        _bruteforce_truth_sampled(spark, sf_dir, sample_ids)
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
-    )
+    # memoized checkpointed truth (OPTIMIZATION r15): previously this lazy
+    # relation fed BOTH the hit join and the denominator, so the exact
+    # brute-force pass executed twice per invocation — and again in the
+    # PQ report
+    truth = ann_truth_df(spark, sf_dir)
     tagged = (
         similarity_ivf_kmeans(spark, sf_dir, query_ids=sample_ids)
         .select("query_id", "neighbor_id")
@@ -2192,7 +2219,54 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin (:func:`_sql_ivfpq`) re-derives the ENTIRE index from
     scratch and the driver hash-checks the search results.
     """
-    return topk_per_query(_ivfpq_pairs(spark, sf_dir))
+    return topk_per_query(ivfpq_pairs_df(spark, sf_dir))
+
+
+def _ann_memo_key(sf_dir: str, tag: str, *extra) -> tuple:
+    """Relcache key for the ANN-family memoized relations: constants the
+    relation reads + the embeddings source fingerprint (a testdata
+    regeneration or a retune must rebuild — same discipline as the staged
+    artifacts and the curation/incremental memos)."""
+    from ting_data_etl_spark.operators.dedup import _source_fp
+
+    return (
+        tag,
+        os.path.abspath(sf_dir),
+        QUERY_MOD,
+        TOP_K,
+        NPROBE,
+        PQ_M,
+        PQ_SUB,
+        RECALL_SAMPLE_Q,
+        _RECALL_TOPK_SALT,
+        RERANK_R,
+        KMEANS_LISTS,
+        KMEANS_ITERS,
+        KMEANS_SAMPLE_MOD,
+        _source_fp(sf_dir, "embeddings"),
+        *extra,
+    )
+
+
+def ivfpq_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized eager checkpoint of the default-query-set ADC
+    pairs.
+
+    OPTIMIZATION r15 (guide §2.4): ``similarity_ivfpq_topk`` and
+    ``similarity_ivfpq_rerank`` both execute the full ADC scoring pass —
+    and, worse, re-PLAN it per query (the codebook reconstructions ride
+    the plan as PQ_M×256-entry array literals, a planning cost the driver
+    pays every invocation). One checkpointed relation per session serves
+    both; plan guarding moves to the PRE_CHECKPOINT composite digest in
+    tests/test_plan_pins.py (the r14 phash convention).
+    """
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        _ann_memo_key(sf_dir, "ivfpq_pairs"),
+        lambda: _ivfpq_pairs(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def _ivfpq_pairs(
@@ -2358,7 +2432,7 @@ def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole index (shared `_sql_ivfpq_ctes`), reranks in SQL, and
     hash-checks the final ranking.
     """
-    cand = topk_per_query(_ivfpq_pairs(spark, sf_dir), k=RERANK_R).select(
+    cand = topk_per_query(ivfpq_pairs_df(spark, sf_dir), k=RERANK_R).select(
         "query_id", "neighbor_id"
     )
     return topk_per_query(exact_rescore(spark, sf_dir, cand))
@@ -2576,17 +2650,20 @@ def similarity_pq_recall_report(
     ADC search, the rerank, AND the truth).
     """
     sample_ids = _recall_sample_ids(spark, sf_dir)
-    # checkpoint BOTH reused relations: truth feeds the hit join AND the
-    # denominator (the corpus-wide exact pass must not run twice), and the
-    # ADC pairs feed both the top-k cut and the rerank cut
-    truth = (
-        _bruteforce_truth_sampled(spark, sf_dir, sample_ids)
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
-        .localCheckpoint(eager=True)
-    )
-    pairs = _ivfpq_pairs(spark, sf_dir, query_ids=sample_ids).localCheckpoint(
-        eager=True
+    # BOTH reused relations ride session-memoized checkpoints
+    # (OPTIMIZATION r15): truth feeds the hit join AND the denominator
+    # (the corpus-wide exact pass must not run twice — and is shared with
+    # similarity_recall_report), and the ADC pairs feed both the top-k
+    # cut and the rerank cut
+    truth = ann_truth_df(spark, sf_dir)
+    from ting_data_etl_spark.relcache import session_relation
+
+    pairs = session_relation(
+        spark,
+        _ann_memo_key(sf_dir, "ivfpq_pairs_sampled"),
+        lambda: _ivfpq_pairs(
+            spark, sf_dir, query_ids=sample_ids
+        ).localCheckpoint(eager=True),
     )
     pq_leg = topk_per_query(pairs).select("query_id", "neighbor_id")
     cand = topk_per_query(pairs, k=RERANK_R).select("query_id", "neighbor_id")
