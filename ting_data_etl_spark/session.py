@@ -54,7 +54,23 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # OPTIMIZATION r15 (guide §5): in local mode this ONE heap hosts
+        # the driver AND every executor thread — at local[32] the old 8g
+        # default left ~250 MB/task before GC pressure; the r15 bench
+        # measured WARM passes slower than cold mid-pass (job_23_2 2.8s
+        # cold → 6.0s warm) purely from accumulated session state. 16g is
+        # the local default; SPARK_GRAFT_DRIVER_MEM still overrides, and a
+        # real cluster sizes executors separately from this knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Long-lived sessions (the bench runs 161 queries × 2 passes in
+        # one app) accumulate shuffle files, broadcast blocks and RDD
+        # metadata that the ContextCleaner only releases after a JVM GC
+        # collects their weak refs; the default 30-minute periodic GC
+        # means an entire bench pass runs before the first sweep. 5
+        # minutes bounds that drift — the standard setting for
+        # long-running drivers, not a local-only trick (static conf:
+        # must be set before the context starts, so it rides the builder).
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         # keep \r progress bars out of sweep logs (they overwrite PASS
         # lines and make independent auditing of the .txt artifacts hard)
