@@ -335,6 +335,67 @@ def _ivfpq_pre(query_name):
     return build
 
 
+def _minhash_pairs_pre(spark, sf_dir):
+    """r15 optimization: the LSH candidate pairs ride a session-memoized
+    checkpoint over session-memoized signatures, so the registered
+    query's own digest is a bare scan. Pin the element-wise sum of
+    (a) the lazy signature derivation (shingle → md5 → 16-min — a
+    row-python demotion or a token shuffle shows up here), (b) the lazy
+    banded self-join over the (checkpointed) signatures — the band
+    exchange + cap + pair distinct — and (c) the registered return."""
+    import ting_data_etl_spark.operators.dedup as D
+    from ting_data_etl_spark.sources.tables import load_table
+
+    sig_lazy = plan_digest(
+        spark, D.minhash_signatures_df(load_table(spark, sf_dir, "documents"))
+    )
+    pairs_lazy = plan_digest(spark, D._minhash_pairs_plan(spark, sf_dir))
+    post = plan_digest(spark, D.dedup_minhash_pairs(spark, sf_dir))
+    return {k: sig_lazy[k] + pairs_lazy[k] + post[k] for k in sig_lazy}
+
+
+def _shingle_pair_pre(query_name):
+    """r15 optimization: Jaccard and containment score the one
+    session-memoized shared-shingle pair-count relation; the registered
+    queries are per-row score expressions over its checkpoint. Pin the
+    sum of (a) the lazy capped-shingle self-join plan — the shingle
+    exchange + both size join-backs — and (b) the scoring tail."""
+
+    def build(spark, sf_dir):
+        import ting_data_etl_spark.operators.dedup as D
+
+        pre = plan_digest(spark, D._shingle_pair_counts_plan(spark, sf_dir))
+        qs = {
+            "dedup_ngram_jaccard_pairs": D.dedup_jaccard,
+            "dedup_shingle_containment": D.dedup_shingle_containment,
+        }
+        post = plan_digest(spark, qs[query_name](spark, sf_dir))
+        return {k: pre[k] + post[k] for k in pre}
+
+    return build
+
+
+def _sig_consumer_pre(query_fn_name):
+    """r15 optimization: the incremental probes and the estimate-error
+    report consume the session-memoized corpus signatures; their own
+    banded/join structure stays lazy (and pinned), but the signature
+    derivation vanished from their digests. Pin the sum of the lazy
+    signature plan and the registered query's composition."""
+
+    def build(spark, sf_dir):
+        import ting_data_etl_spark.operators.dedup as D
+        from ting_data_etl_spark.sources.tables import load_table
+
+        sig_lazy = plan_digest(
+            spark,
+            D.minhash_signatures_df(load_table(spark, sf_dir, "documents")),
+        )
+        post = plan_digest(spark, getattr(D, query_fn_name)(spark, sf_dir))
+        return {k: sig_lazy[k] + post[k] for k in sig_lazy}
+
+    return build
+
+
 #: query name -> callable(spark, sf_dir) -> digest, for queries whose
 #: registered return is an eager checkpoint (pinning that would guard
 #: nothing); the callable digests the pre-checkpoint plan instead.
@@ -346,6 +407,22 @@ PRE_CHECKPOINT = {
     "curation_span_status": _span_status_pre,
     "similarity_ivfpq_topk": _ivfpq_pre("similarity_ivfpq_topk"),
     "similarity_ivfpq_rerank": _ivfpq_pre("similarity_ivfpq_rerank"),
+    "dedup_minhash_lsh_pairs": _minhash_pairs_pre,
+    "dedup_ngram_jaccard_pairs": _shingle_pair_pre(
+        "dedup_ngram_jaccard_pairs"
+    ),
+    "dedup_shingle_containment": _shingle_pair_pre(
+        "dedup_shingle_containment"
+    ),
+    "dedup_incremental_minhash": _sig_consumer_pre(
+        "dedup_incremental_minhash"
+    ),
+    "dedup_incremental_minhash_delete": _sig_consumer_pre(
+        "dedup_incremental_minhash_delete"
+    ),
+    "dedup_minhash_estimate_error": _sig_consumer_pre(
+        "dedup_minhash_estimate_error"
+    ),
 }
 
 #: feature name -> regex counted over the formatted physical plan. The

@@ -438,17 +438,65 @@ def band_frequency_cap(bands: DataFrame, cap: int | None = None) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh_pairs", oracle=_sql_minhash_pairs)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash-LSH banding.
+def _dedup_memo_key(sf_dir: str, tag: str) -> tuple | None:
+    """Relcache key for the dedup-family memoized relations: the staged-
+    artifact constants token (every knob that changes signatures, bands
+    or caps) + the documents source fingerprint — the same invalidation
+    discipline as the staged pairs/labels dirs and the ANN memos.
 
-    Plan shape: per-row signature (codegen) → explode bands (b rows/doc,
-    16 B keys) → :func:`band_frequency_cap` → self-join on band → distinct
-    pairs. The only shuffle carries band keys; the cap (mirrored in the
-    oracle SQL) keeps pathological boilerplate bands from going quadratic.
+    Returns ``None`` when ``sf_dir`` holds no documents parquet (unit
+    tests monkeypatch :func:`load_table` with synthetic frames under a
+    fake dir): there is no on-disk fingerprint to key on, and memoizing
+    unkeyed synthetic inputs in the shared session could serve one
+    test's data to another — callers bypass the memo instead."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(src):
+        return None
+    return (
+        tag,
+        os.path.abspath(sf_dir),
+        _stage_version_token(),
+        _source_fp(sf_dir, "documents"),
+    )
+
+
+def _memo_or_build(spark, key, build):
+    """``session_relation`` when *key* is real, the bare lazy build when
+    the memo key is unavailable (synthetic-input tests)."""
+    from ting_data_etl_spark.relcache import session_relation
+
+    if key is None:
+        return build()
+    return session_relation(spark, key, build)
+
+
+def corpus_minhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized eager checkpoint of the full-corpus MinHash
+    signatures (doc_id, sig: array<long>).
+
+    OPTIMIZATION r15 (guide §2.4): five registered queries — the LSH
+    self-join, the raw signatures, both incremental probes and the
+    estimate-error report — each re-ran the shingle → md5 → 16-min
+    signature pass over the whole corpus per invocation. One 17-longs-
+    per-doc checkpoint per session serves every consumer; batch-only
+    signing (arrival gate, re-edit re-sign) stays on the lazy
+    :func:`minhash_signatures_df` path.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_df(d)
+    return _memo_or_build(
+        spark,
+        _dedup_memo_key(sf_dir, "minhash_sigs"),
+        lambda: minhash_signatures_df(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True),
+    )
+
+
+def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate-pair plan itself (see the registered query for
+    semantics); consumers go through :func:`minhash_pairs_df`."""
+    sig = corpus_minhash_sigs_df(spark, sf_dir)
     bands = sig.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
     )
@@ -464,6 +512,41 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.distinct()
 
 
+def minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized eager checkpoint of the distinct LSH candidate
+    pairs.
+
+    OPTIMIZATION r15 (guide §2.4): the pair relation feeds FOUR
+    registered queries per session — the pairs query itself, the
+    estimate-error report, the cross-source overlap rollup and the
+    near-dup pagerank — each previously re-running the banded self-join.
+    The cross-SESSION staged parquet (:func:`staged_minhash_pairs`)
+    already exists for the component builds; this memo is the in-session
+    complement for the one-shot analytics that must recompute from the
+    parquet inputs each run. Plan guarding moves to the PRE_CHECKPOINT
+    composite digest in tests/test_plan_pins.py.
+    """
+    return _memo_or_build(
+        spark,
+        _dedup_memo_key(sf_dir, "minhash_pairs_rel"),
+        lambda: _minhash_pairs_plan(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_sql_minhash_pairs)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH banding.
+
+    Plan shape: per-row signature (codegen) → explode bands (b rows/doc,
+    16 B keys) → :func:`band_frequency_cap` → self-join on band → distinct
+    pairs. The only shuffle carries band keys; the cap (mirrored in the
+    oracle SQL) keeps pathological boilerplate bands from going quadratic.
+    """
+    return minhash_pairs_df(spark, sf_dir)
+
+
 def _sql_minhash_sigs() -> str:
     return f"""
 {_minhash_sig_sql()}
@@ -474,8 +557,7 @@ SELECT doc_id, array_to_string(sig, ',') AS sig_str FROM sig
 @register("dedup_minhash_signatures", oracle=_sql_minhash_sigs)
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw MinHash signatures (joined to one string for oracle comparison)."""
-    d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_df(d)
+    sig = corpus_minhash_sigs_df(spark, sf_dir)
     # zero-token docs: sig is 16 NULLs -> sig_str NULL, matching DuckDB's
     # array_to_string (which returns NULL here where concat_ws returns '')
     return sig.select(
@@ -567,6 +649,23 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingles that would make a block quadratic. Jaccard is
     exact integer arithmetic — deterministic across engines.
     """
+    p = shingle_pair_counts_df(spark, sf_dir)
+    out = p.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common"))
+        ).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= 0.1)
+
+
+def _shingle_pair_counts_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, common, na, nb) over the capped 60-bit shingle
+    relation — the shared-shingle self-join both exact-similarity
+    queries score from; consumers go through
+    :func:`shingle_pair_counts_df`."""
     d = load_table(spark, sf_dir, "documents")
     sh = (
         word_shingles_df(d, extra_cols=("source",))
@@ -597,19 +696,39 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    out = (
+    return (
         shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
-            ).alias("jaccard"),
+            "common",
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
         )
     )
-    return out.filter(F.col("jaccard") >= 0.1)
+
+
+def shingle_pair_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized eager checkpoint of the shared-shingle pair
+    counts (doc_a, doc_b, common, na, nb).
+
+    OPTIMIZATION r15 (guide §2.4): ``dedup_ngram_jaccard_pairs`` and
+    ``dedup_shingle_containment`` build the IDENTICAL capped-shingle
+    self-join (their own docstrings note "the two scores can share one
+    shared-join execution") and differ only in the final score
+    expression — Jaccard ``common/(na+nb-common)`` vs containment
+    ``common/min(na,nb)``. One checkpointed count relation per session
+    serves both scorings; plan guarding moves to the PRE_CHECKPOINT
+    composite digest in tests/test_plan_pins.py.
+    """
+    return _memo_or_build(
+        spark,
+        _dedup_memo_key(sf_dir, "shingle_pair_counts"),
+        lambda: _shingle_pair_counts_plan(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
 
 
 # --- SimHash (32-bit, nibble-arithmetic portable) --------------------------
@@ -805,7 +924,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus doc_id (the canonical keeper rule) or NULL, plus ``is_dup``.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_df(d)
+    sig = corpus_minhash_sigs_df(spark, sf_dir)
     bands = sig.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
     )
@@ -904,7 +1023,7 @@ def dedup_incremental_minhash_delete(
     (an edited doc matching via its PRE-edit bands) hash-mismatch.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_df(d)
+    sig = corpus_minhash_sigs_df(spark, sf_dir)
     bands = sig.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
     )
@@ -1001,8 +1120,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     w = SIMHASH_BITS // SIMHASH_N_BANDS
     mask = (1 << w) - 1
-    d = load_table(spark, sf_dir, "documents")
-    sig = simhash_signatures_df(d)
+    sig = corpus_simhash_sigs_df(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -1046,8 +1164,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_text.py`` asserts the expression form (:func:`simhash32`)
     and this dataset form agree.
     """
-    d = load_table(spark, sf_dir, "documents")
-    return simhash_signatures_df(d)
+    return corpus_simhash_sigs_df(spark, sf_dir)
+
+
+def corpus_simhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized eager checkpoint of the full-corpus SimHash
+    signatures (doc_id, simhash).
+
+    OPTIMIZATION r15 (guide §2.4): the banded pair search and the raw
+    signature query each re-ran the tokenize → md5 → 32-vote aggregate
+    per invocation; one 16-byte-per-doc checkpoint serves both. Same
+    keying discipline as :func:`corpus_minhash_sigs_df` (the constants
+    token folds SIMHASH_BITS/SIMHASH_N_BANDS)."""
+    return _memo_or_build(
+        spark,
+        _dedup_memo_key(sf_dir, "simhash_sigs"),
+        lambda: simhash_signatures_df(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True),
+    )
 
 
 # --- connected components over near-dup pairs ------------------------------
@@ -1881,50 +2016,17 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) — but scored as ``common / min(|A|,|B|)``: the containment
     coefficient that flags a document largely EMBEDDED in another even
     when the size mismatch keeps Jaccard low. At 100 TB this is the same
-    plan as the Jaccard pass and the two scores can share one shared-join
-    execution; they are registered separately so each has an exact oracle.
+    plan as the Jaccard pass and the two scores share one shared-join
+    execution (:func:`shingle_pair_counts_df`); they are registered
+    separately so each has an exact oracle.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sh = (
-        word_shingles_df(d, extra_cols=("source",))
-        .select(
-            "doc_id",
-            "source",
-            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
-            .try_cast("long")
-            .alias("shingle"),
-        )
-        .distinct()
-    )
-    sh = shingle_frequency_cap(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    out = (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("common").cast("double")
-                / F.least(F.col("sa.n"), F.col("sb.n"))
-            ).alias("containment"),
-        )
+    p = shingle_pair_counts_df(spark, sf_dir)
+    out = p.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("common").cast("double") / F.least(F.col("na"), F.col("nb"))
+        ).alias("containment"),
     )
     return out.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
 
@@ -1993,7 +2095,7 @@ def dedup_minhash_estimate_error(
     only over candidate pairs (|pairs| rows), never all-pairs.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_df(d)
+    sig = corpus_minhash_sigs_df(spark, sf_dir)
     pairs = dedup_minhash_pairs(spark, sf_dir)
     sh = word_shingles_df(d)
     xs = (

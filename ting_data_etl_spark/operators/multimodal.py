@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 )
 
 from ting_data_etl_spark.registry import register
-from ting_data_etl_spark.sources.tables import load_table
+from ting_data_etl_spark.sources.tables import fan_out, load_table
 
 #: Canonical multimodal record schema: payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -766,33 +766,38 @@ def render_media(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        total = 3 * PHASH_SIDE * PHASH_SIDE
-        idx = np.arange(total)
+        idx = np.arange(3 * PHASH_SIDE * PHASH_SIDE)
         for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                # np.frombuffer of the UTF-32 encoding = the codepoint
-                # array in one vectorized step (no per-char Python loop)
-                cps = (
-                    np.frombuffer(
-                        (text or "").encode("utf-32-le"), dtype=np.uint32
-                    ).astype(np.int64)
-                    % 256
-                )
-                if cps.size == 0:
-                    cps = np.zeros(1, dtype=np.int64)
-                arr = (
-                    cps[idx % cps.size]
-                    .astype(np.uint8)
-                    .reshape(PHASH_SIDE, PHASH_SIDE, 3)
-                )
-                payloads.append(encode(arr))
+            payloads = [
+                encode(_render_rgb_array(text, idx)) for text in pdf["text"]
+            ]
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
     return d.select("doc_id", "text").mapInPandas(
         _batches, schema="media_id long, payload binary"
+    )
+
+
+def _render_rgb_array(text: str, idx):
+    """The render rule as one per-row step: codepoint array (vectorized —
+    np.frombuffer of the UTF-32 encoding, no per-char Python loop) tiled
+    over *idx* into an (side, side, 3) uint8 image. Shared by
+    :func:`render_media` and the fused phash pass so the pixels cannot
+    drift between the payload-producing and hash-producing paths."""
+    import numpy as np
+
+    cps = (
+        np.frombuffer(
+            (text or "").encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        % 256
+    )
+    if cps.size == 0:
+        cps = np.zeros(1, dtype=np.int64)
+    return (
+        cps[idx % cps.size].astype(np.uint8).reshape(PHASH_SIDE, PHASH_SIDE, 3)
     )
 
 
@@ -873,28 +878,42 @@ WHERE b.doc_id <> k.keeper_id
 def phash_relation(
     spark: SparkSession, sf_dir: str, codec: str = "ppm"
 ) -> DataFrame:
-    """(media_id, phash) through a REAL codec — render, decode, aHash.
+    """(media_id, phash) through a REAL codec — render, encode, decode,
+    aHash, in ONE Arrow stage.
 
     The Spark-side twin of ``_sql_phash_rel``; shared by the exact dedup,
     the banded near-dup search, and the PNG round-trip query so none can
     hash differently. *codec* picks the container the pixels ride through
     ("ppm" or "png"); the hash is codec-invariant because it sees the
     decoded pixels — which is exactly what the PNG query verifies.
+
+    OPTIMIZATION r15 (guide §4.1): render and hash were two separate
+    ``mapInPandas`` stages, so every encoded payload crossed Python →
+    JVM → Python purely to reach the next Python function. The fused
+    pass runs the identical encode → decode round-trip (the property
+    the PNG queries verify) inside one stage; payload bytes never leave
+    the worker. :func:`fan_out` spreads the input first — the codec work
+    otherwise rides the scan's (single-row-group) split count.
     """
     enc, dec = {
         "ppm": (encode_ppm, decode_ppm),
         "png": (encode_png, decode_png),
     }[codec]
+    d = load_table(spark, sf_dir, "documents")
 
-    def _hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        idx = np.arange(3 * PHASH_SIDE * PHASH_SIDE)
         for pdf in it:
-            hashes = [ahash_bits(dec(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "phash": hashes}
-            )
+            hashes = [
+                ahash_bits(dec(enc(_render_rgb_array(text, idx))))
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "phash": hashes})
 
-    return render_media(spark, sf_dir, encode=enc).mapInPandas(
-        _hash_batches, schema="media_id long, phash string"
+    return fan_out(d.select("doc_id", "text")).mapInPandas(
+        _batches, schema="media_id long, phash string"
     )
 
 
@@ -923,10 +942,35 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     render→decode→hash→dedup chain is value-checked, codec included.
     """
 
-    return _phash_dedup_over(phash_relation(spark, sf_dir))
+    return _phash_dedup_over(ppm_phash_df(spark, sf_dir), materialize=False)
 
 
-def _phash_dedup_over(hashed: DataFrame, dups_only: bool = True) -> DataFrame:
+def ppm_phash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-memoized eager checkpoint of the PPM-codec phash relation.
+
+    OPTIMIZATION r15 (guide §2.4): the exact dedup and the banded
+    near-dup search both consume the identical render → encode → decode
+    → hash relation; one materialization per session serves both. Keyed
+    like the dedup-family memos: hash-shape constants + the documents
+    source fingerprint."""
+    from ting_data_etl_spark.operators.dedup import (
+        _dedup_memo_key,
+        _memo_or_build,
+    )
+
+    key = _dedup_memo_key(sf_dir, "ppm_phash")
+    if key is not None:
+        key = key + (PHASH_SIDE, PHASH_GRID)
+    return _memo_or_build(
+        spark,
+        key,
+        lambda: phash_relation(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def _phash_dedup_over(
+    hashed: DataFrame, dups_only: bool = True, materialize: bool = True
+) -> DataFrame:
     # materialize the hashes once: the keeper join reads the relation on
     # BOTH sides (rows + the min-per-hash aggregate), so without this the
     # render->decode->hash Arrow chain executed twice per query — the r13
@@ -934,7 +978,11 @@ def _phash_dedup_over(hashed: DataFrame, dups_only: bool = True) -> DataFrame:
     # (the same fix multimodal_phash_near_dup shipped in r9; r14 applies
     # it to the whole exact-dedup family). The pre-checkpoint Arrow chain
     # stays pinned via PRE_CHECKPOINT in tests/test_plan_pins.py.
-    hashed = hashed.localCheckpoint(eager=True)
+    # materialize=False for callers handing in an already-checkpointed
+    # (session-memoized) relation — a second checkpoint would only copy
+    # the blocks.
+    if materialize:
+        hashed = hashed.localCheckpoint(eager=True)
     keep = hashed.groupBy("phash").agg(F.min("media_id").alias("keeper_id"))
     out = hashed.join(keep, "phash")
     if dups_only:
@@ -1019,68 +1067,11 @@ def render_png_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        side = PHASH_SIDE
-        idx3 = np.arange(3 * side * side)
-        idx1 = np.arange(side * side)
-        plte = np.stack(
-            [(np.arange(256) * m) % 256 for m in _MIXED_PLTE_MULS], axis=1
-        ).astype(np.uint8)
+        ctx = _mixed_render_ctx()
         for pdf in it:
-            payloads = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                cps = (
-                    np.frombuffer(
-                        (text or "").encode("utf-32-le"), dtype=np.uint32
-                    ).astype(np.int64)
-                    % 256
-                )
-                if cps.size == 0:
-                    cps = np.zeros(1, dtype=np.int64)
-                t = _mixed_color_class(text)
-                if t == 0:  # grayscale
-                    arr = (
-                        cps[idx1 % cps.size]
-                        .astype(np.uint8)
-                        .reshape(side, side, 1)
-                    )
-                    payloads.append(encode_png(arr))
-                elif t == 2:  # palette: codepoint IS the PLTE index
-                    idx = (
-                        cps[idx1 % cps.size]
-                        .astype(np.uint8)
-                        .reshape(side, side)
-                    )
-                    payloads.append(encode_png(idx, palette=plte))
-                elif t == 4:  # 16-bit grayscale: hi=v, lo=(v*MUL)%256
-                    v = cps[idx1 % cps.size]
-                    arr = (
-                        (v * 256 + (v * _MIXED_GRAY16_MUL) % 256)
-                        .astype(np.uint16)
-                        .reshape(side, side, 1)
-                    )
-                    payloads.append(encode_png(arr))
-                elif t == 5:  # 16-bit RGB, same per-channel sample rule
-                    v = cps[idx3 % cps.size]
-                    arr = (
-                        (v * 256 + (v * _MIXED_RGB16_MUL) % 256)
-                        .astype(np.uint16)
-                        .reshape(side, side, 3)
-                    )
-                    payloads.append(encode_png(arr))
-                else:  # RGB (1) / RGBA with zero alpha (3)
-                    arr = (
-                        cps[idx3 % cps.size]
-                        .astype(np.uint8)
-                        .reshape(side, side, 3)
-                    )
-                    if t == 3:
-                        arr = np.concatenate(
-                            [arr, np.zeros((side, side, 1), np.uint8)],
-                            axis=2,
-                        )
-                    payloads.append(encode_png(arr))
+            payloads = [
+                _render_mixed_payload(text, ctx) for text in pdf["text"]
+            ]
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -1088,6 +1079,69 @@ def render_png_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         _batches, schema="media_id long, payload binary"
     )
+
+
+def _mixed_render_ctx():
+    """Per-task constants of the mixed render rule (index vectors + the
+    derived PLTE) — built once per task, shared by the payload-producing
+    and the fused hash-producing passes."""
+    import numpy as np
+
+    side = PHASH_SIDE
+    return (
+        np.arange(side * side),
+        np.arange(3 * side * side),
+        np.stack(
+            [(np.arange(256) * m) % 256 for m in _MIXED_PLTE_MULS], axis=1
+        ).astype(np.uint8),
+    )
+
+
+def _render_mixed_payload(text: str, ctx) -> bytes:
+    """One document's mixed-corpus PNG payload (see
+    :func:`render_png_mixed_media` for the per-class pixel rules)."""
+    import numpy as np
+
+    idx1, idx3, plte = ctx
+    side = PHASH_SIDE
+    cps = (
+        np.frombuffer(
+            (text or "").encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        % 256
+    )
+    if cps.size == 0:
+        cps = np.zeros(1, dtype=np.int64)
+    t = _mixed_color_class(text)
+    if t == 0:  # grayscale
+        arr = cps[idx1 % cps.size].astype(np.uint8).reshape(side, side, 1)
+        return encode_png(arr)
+    if t == 2:  # palette: codepoint IS the PLTE index
+        idx = cps[idx1 % cps.size].astype(np.uint8).reshape(side, side)
+        return encode_png(idx, palette=plte)
+    if t == 4:  # 16-bit grayscale: hi=v, lo=(v*MUL)%256
+        v = cps[idx1 % cps.size]
+        arr = (
+            (v * 256 + (v * _MIXED_GRAY16_MUL) % 256)
+            .astype(np.uint16)
+            .reshape(side, side, 1)
+        )
+        return encode_png(arr)
+    if t == 5:  # 16-bit RGB, same per-channel sample rule
+        v = cps[idx3 % cps.size]
+        arr = (
+            (v * 256 + (v * _MIXED_RGB16_MUL) % 256)
+            .astype(np.uint16)
+            .reshape(side, side, 3)
+        )
+        return encode_png(arr)
+    # RGB (1) / RGBA with zero alpha (3)
+    arr = cps[idx3 % cps.size].astype(np.uint8).reshape(side, side, 3)
+    if t == 3:
+        arr = np.concatenate(
+            [arr, np.zeros((side, side, 1), np.uint8)], axis=2
+        )
+    return encode_png(arr)
 
 
 def _sql_phash_mixed_rel() -> str:
@@ -1199,17 +1253,25 @@ def multimodal_png_mixed_phash_dedup(
 
 def png_mixed_phash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, phash) through the mixed-type PNG codec — the lazy Arrow
-    render→decode→hash chain (the pre-checkpoint plan the pin digests)."""
+    render→encode→decode→hash chain (the pre-checkpoint plan the pin
+    digests), fused into ONE Arrow stage with the input fanned out
+    (OPTIMIZATION r15 — the same §4.1 boundary removal and §2.5 spread
+    as :func:`phash_relation`; the full per-class encode + decode still
+    runs per image, payload bytes just never cross into the JVM)."""
 
-    def _hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    d = load_table(spark, sf_dir, "documents")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = _mixed_render_ctx()
         for pdf in it:
-            hashes = [ahash_bits(decode_png(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "phash": hashes}
-            )
+            hashes = [
+                ahash_bits(decode_png(_render_mixed_payload(text, ctx)))
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "phash": hashes})
 
-    return render_png_mixed_media(spark, sf_dir).mapInPandas(
-        _hash_batches, schema="media_id long, phash string"
+    return fan_out(d.select("doc_id", "text")).mapInPandas(
+        _batches, schema="media_id long, phash string"
     )
 
 
@@ -1279,10 +1341,11 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the pixels, the bits, the bands, the cap, and the
     distance.
     """
-    # materialize the hashes once: the self-join would otherwise run the
-    # render->decode->hash Arrow chain on BOTH sides (review finding — the
-    # plan pin recorded 8 mapInPandas stages where the docstring claims 2)
-    hashed = phash_relation(spark, sf_dir).localCheckpoint(eager=True)
+    # materialized once per session (the self-join would otherwise run
+    # the render->decode->hash Arrow chain on BOTH sides — review finding:
+    # the plan pin recorded 8 mapInPandas stages where the docstring
+    # claims 2 — and the exact dedup shares the same relation)
+    hashed = ppm_phash_df(spark, sf_dir)
     g2 = PHASH_GRID * PHASH_GRID
     w = g2 // PHASH_BANDS
     bands = hashed.select(

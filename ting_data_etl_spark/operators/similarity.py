@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ting_data_etl_spark.functions.vectors import dot_product, quantize_vec
 from ting_data_etl_spark.registry import register
-from ting_data_etl_spark.sources.tables import load_table
+from ting_data_etl_spark.sources.tables import fan_out, load_table
 
 TOP_K = 5
 QUERY_MOD = 10  # every 10th vector is a query → |Q| = N/10
@@ -216,10 +216,18 @@ def topk_per_query(
 def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert_broadcastable_corpus(_corpus_rows(sf_dir))
     q = _quantized(spark, sf_dir)
-    queries = q.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qv"),
-        F.col("norm").alias("qn"),
+    # fan_out (OPTIMIZATION r15, guide §2.5): the Q·N cosine folds are
+    # evaluated on the STREAM side of the broadcast join, which is the
+    # embeddings scan — a single-row-group file, i.e. ONE task for the
+    # whole O(Q·N) pair stage. Spreading the (tiny) query rows moves the
+    # pair evaluation onto every core; no-op once the scan has real
+    # parallelism.
+    queries = fan_out(
+        q.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
     )
     corpus = q.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -155,6 +155,17 @@ def winnow_fingerprints_df(
     from ting_data_etl_spark.functions.text import portable_hash31
 
     nrm = docs.select("doc_id", normalize_text(F.col(text_col)).alias("t"))
+    # OPTIMIZATION r15 (guide §2.3/§2.5): the running-min window below
+    # needs a doc_id hash exchange ANYWAY — but placed after the explode
+    # it shuffles one (pos, hash) row PER CHARACTER, and everything
+    # upstream (explode + substr + md5 per gram) runs inside the scan
+    # stage, which a single-row-group input pins to ONE task. Exchanging
+    # the compact (doc_id, text) rows FIRST moves strictly fewer bytes
+    # through the same single shuffle and spreads the per-gram hashing
+    # across the cluster at any input layout (see fan_out_by).
+    from ting_data_etl_spark.sources.tables import fan_out_by
+
+    nrm = fan_out_by(nrm, "doc_id")
     n_grams = F.greatest(F.length("t") - (k - 1), F.lit(1))
     nwin = F.greatest(n_grams - (w - 1), F.lit(1))
     # explode positions, not a pre-built gram array: sequence/explode/

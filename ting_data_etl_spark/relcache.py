@@ -50,8 +50,13 @@ _LOCK = threading.Lock()
 #: bench pass would evict and rebuild the earliest entries mid-pass,
 #: re-paying exactly the derivations the memo exists to remove. Every
 #: entry is a checkpointed fixed-width relation (ids/status rows, no
-#: text), so 16 stays far below executor storage at any tested scale.
-MAX_ENTRIES = 16
+#: text), so the bound stays far below executor storage at any tested
+#: scale. 24, not 16 (OPTIMIZATION r15): the ANN family added three
+#: entries (truth + two ADC-pairs relations) and the dedup family five
+#: (corpus minhash sigs, LSH pairs, shared shingle scores, simhash
+#: sigs, ppm phash) — the same mid-pass-eviction arithmetic as the
+#: 8 → 16 raise.
+MAX_ENTRIES = 24
 
 
 def session_relation(

@@ -103,3 +103,55 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a low-parallelism relation to the session
+    default parallelism, for use IMMEDIATELY BEFORE heavy narrow work.
+
+    Optimization-guide §2.5 (input skew): a parquet file is splittable
+    only at row-group boundaries, so a small or single-row-group input
+    pins the whole scan stage — and every narrow transform chained onto
+    it (per-row hashing, explodes, Arrow/pandas stages) — onto ONE task
+    no matter how many cores the session has. The r15 bench measured
+    exactly this at sf0.1: every testdata table is one single-row-group
+    file, so e.g. the winnowing char-gram explode and the PNG codec
+    passes ran 1-of-32 cores. This helper pays one exchange of the
+    (projected — callers must project first, guide §2.3) input rows to
+    spread the downstream compute.
+
+    Scale behaviour: when the scan already has >= default-parallelism
+    partitions (any real multi-file/multi-row-group table at cluster
+    scale), this is a NO-OP returning *df* unchanged — the exchange only
+    exists where the input's physical layout starves the stage. The
+    check reads the planned partition count (file listing + split
+    arithmetic, no job). Not config: the need follows from the input
+    layout, not the deployment.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def fan_out_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on *cols*, pinned to the shuffle-partition conf,
+    for relations whose downstream derivation (explode + window /
+    join-back) needs a *cols* exchange ANYWAY but would place it after
+    the derivation multiplies the rows.
+
+    Unlike :func:`fan_out` this is unconditional — it is not a local-
+    layout fix but a byte-count win at every scale (guide §2.3): the
+    exchange moves the compact pre-derivation rows instead of the
+    derived per-token/per-gram rows, and downstream operators keyed on
+    *cols* reuse the partitioning instead of exchanging again (§2.4).
+    The count is pinned to the shuffle-partition conf — exactly what the
+    displaced downstream exchange would have used — so AQE cannot
+    coalesce the (small) pre-derivation bytes back onto too few tasks;
+    the spread exists for the sake of the post-derivation compute, whose
+    size AQE cannot estimate from the input.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols)
