@@ -1588,6 +1588,14 @@ def streaming_incremental_arrival_gate(
     def gate(batch_df, batch_id: int) -> None:
         from ting_data_etl_spark.operators.dedup import MINHASH_BANDS
 
+        # OPTIMIZATION r15 (guide §5): materialize the micro-batch ONCE.
+        # foreachBatch hands a lazy plan over the trigger's files; the
+        # size gate (count), the gopher leg, the signature leg and the
+        # output join each re-scanned them — 4 input scans per trigger.
+        # persist + the count gate below populates the cache, every later
+        # leg reads it, and the finally releases it with the batch —
+        # per-trigger state, not cross-batch caching.
+        batch_df = batch_df.persist()
         g = gopher_metrics_df(batch_df).select("doc_id", "passes_gopher")
         bands_b = minhash_signatures_df(batch_df).select(
             "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
@@ -1631,9 +1639,12 @@ def streaming_incremental_arrival_gate(
         )
         # overwrite into a per-batch-id dir: a micro-batch retry reproduces
         # the identical directory instead of appending duplicates
-        out.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(base, f"batch_{batch_id}")
-        )
+        try:
+            out.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(base, f"batch_{batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
 
     # the small-drop path pushes an In-set of up to PROBE_PRUNE_KEYS bands
     # into the parquet scan; past the default threshold (10) Spark would
