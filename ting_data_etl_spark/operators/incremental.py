@@ -3147,13 +3147,18 @@ def incremental_snapshot_timetravel(
 # Day 2 of the retire store: a deterministic retention-policy delta over
 # the day-1 (post-merge) corpus — remove every day-1 member in shard
 # s ≡ RETIRE2_SHARD_REM (mod RETIRE2_SHARD_MOD) with
-# doc_id ≡ RETIRE2_DOC_REM (mod RETIRE2_DOC_MOD). Removing by SHARD keeps
-# most shards untouched on day 2 (they inherit day-1 refs verbatim — the
-# COW sharing the multi-step retire must respect), while the doc_id
-# condition keeps the touched shards NON-empty (partial rewrites, so day-2
-# dirs exist and day-1 dirs for those shards become exclusive). Both
-# predicates are engine-portable (md5 shard + integer mod), so the
-# survivor digest has an exact DuckDB twin.
+# doc_id ≡ RETIRE2_DOC_REM (mod RETIRE2_DOC_MOD), EXCEPT each shard's
+# minimum doc_id. Removing by SHARD keeps most shards untouched on day 2
+# (they inherit day-1 refs verbatim — the COW sharing the multi-step
+# retire must respect); the shard-min exclusion makes the touched shards
+# NON-empty by construction (partial rewrites, so day-2 dirs exist and
+# day-1 dirs for those shards become exclusive) for ANY corpus — the r15
+# testdata regeneration produced an sf0.01 corpus whose shard 7 members
+# were all ≡ 0 (mod 3), which emptied the shard and tripped the
+# fail-loud build guard; a corpus-tuned MOD/REM would just defer the
+# same failure to the next regeneration. All predicates are
+# engine-portable (md5 shard + integer mod + per-shard MIN), so the
+# survivor digest keeps an exact DuckDB twin.
 RETIRE2_SHARD_MOD = 5
 RETIRE2_SHARD_REM = 2
 RETIRE2_DOC_MOD = 3
@@ -3182,8 +3187,18 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
     """
     import shutil
 
+    # stage name folds the retention-predicate constants: the predicate is
+    # part of the store's CONTENT (day 2), so retuning it — or the r15
+    # shard-min exclusion itself ("k" = keep-min) — must rotate the stage
+    # instead of serving a store built under the old rule
+    retire_tok = (
+        f"k{RETIRE2_SHARD_MOD}{RETIRE2_SHARD_REM}"
+        f"{RETIRE2_DOC_MOD}{RETIRE2_DOC_REM}"
+    )
     out = _incr_stage_path(
-        sf_dir, f"snapstore_d3_{_n_shards()}", ("documents", "embeddings")
+        sf_dir,
+        f"snapstore_d3{retire_tok}_{_n_shards()}",
+        ("documents", "embeddings"),
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         parts = _cow_delta_parts(spark, sf_dir)
@@ -3208,9 +3223,20 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("shard", _manifest_shard_col(F.col("doc_id")))
             .localCheckpoint(eager=True)  # rewrite + delta + touched set
         )
-        rem2 = day1_rows.filter(
-            (F.col("shard") % RETIRE2_SHARD_MOD == RETIRE2_SHARD_REM)
-            & (F.pmod(F.col("doc_id"), RETIRE2_DOC_MOD) == RETIRE2_DOC_REM)
+        # per-shard min over the FULL day-1 membership (bounded: N_SHARDS
+        # rows); excluding it from removal keeps every touched shard
+        # non-empty for any corpus — see the predicate comment above
+        shard_mins = day1_rows.groupBy("shard").agg(
+            F.min("doc_id").alias("shard_min")
+        )
+        rem2 = (
+            day1_rows.join(shard_mins, "shard")
+            .filter(
+                (F.col("shard") % RETIRE2_SHARD_MOD == RETIRE2_SHARD_REM)
+                & (F.pmod(F.col("doc_id"), RETIRE2_DOC_MOD) == RETIRE2_DOC_REM)
+                & (F.col("doc_id") > F.col("shard_min"))
+            )
+            .select("doc_id", "n_toks", "shard")
         )
         adds2 = spark.createDataFrame(
             [], "doc_id long, n_toks long, shard int"
@@ -3221,12 +3247,12 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
         _cow_rewritten(day1_rows, adds2, rem2, touched2).write.partitionBy(
             "shard"
         ).parquet(day2)
-        # the retention predicate is DESIGNED to leave every touched shard
-        # non-empty (partial rewrites), but that is corpus-dependent — a
-        # shard emptied entirely would get a catalog ref to a dir the
+        # the shard-min exclusion makes an emptied shard structurally
+        # impossible (every touched shard keeps its min doc_id), but an
+        # emptied shard would publish a catalog ref to a dir the
         # partitioned write never created, and healthy-store reads would
-        # crash later with a misleading 'retired' error (r15 review).
-        # Fail the BUILD loudly instead.
+        # crash later with a misleading 'retired' error — keep the build
+        # guard as a fail-loud invariant check (r15 review).
         empty2 = [
             s
             for s in touched2
@@ -3235,8 +3261,8 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
         if empty2:
             raise RuntimeError(
                 f"day-2 retention delta emptied shard(s) {empty2[:5]} — "
-                "the store would publish dangling refs; adjust "
-                "RETIRE2_DOC_MOD/REM for this corpus"
+                "the store would publish dangling refs; the shard-min "
+                "exclusion should make this unreachable"
             )
         # catalog refs point at the PUBLISHED location (post-rename)
         d0 = _standing_manifest_digest(spark, sf_dir)
@@ -3385,11 +3411,17 @@ def _sql_retire_survivor() -> str:
 WITH sel AS (
   SELECT doc_id FROM ({_sql_final_selection()}) f WHERE decision = 'selected'
 ),
-tok AS (
-  SELECT d.doc_id, len({SQL_TOKEN_LIST}) AS n_toks
+day1 AS (
+  SELECT d.doc_id, len({SQL_TOKEN_LIST}) AS n_toks,
+         ({shard}) AS sh,
+         MIN(d.doc_id) OVER (PARTITION BY ({shard})) AS shard_min
   FROM documents d JOIN sel USING (doc_id)
-  WHERE NOT (({shard}) % {RETIRE2_SHARD_MOD} = {RETIRE2_SHARD_REM}
-             AND d.doc_id % {RETIRE2_DOC_MOD} = {RETIRE2_DOC_REM})
+),
+tok AS (
+  SELECT doc_id, n_toks FROM day1
+  WHERE NOT (sh % {RETIRE2_SHARD_MOD} = {RETIRE2_SHARD_REM}
+             AND doc_id % {RETIRE2_DOC_MOD} = {RETIRE2_DOC_REM}
+             AND doc_id > shard_min)
 )
 {_sql_digest_rollup()}
 """
