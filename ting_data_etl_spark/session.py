@@ -71,6 +71,23 @@ def get_spark(
         # long-running drivers, not a local-only trick (static conf:
         # must be set before the context starts, so it rides the builder).
         .config("spark.cleaner.periodicGC.interval", "5min")
+        # The periodic cleaner calls System.gc(): on JDK 17's default G1
+        # that is a FULL stop-the-world collection — multi-second on a 16g
+        # heap full of checkpoint/broadcast blocks, charged to whichever
+        # query is in flight (the r15 bench measured isolated-fast queries
+        # at +2-8s mid-pass: corpus_budget_head 1.9s isolated vs 10.3s in
+        # the warm pass). ExplicitGCInvokesConcurrent turns the explicit
+        # call into a concurrent G1 cycle; weak refs (what the
+        # ContextCleaner actually needs collected) are still processed at
+        # the brief remark pause. Same flag a long-running driver gets in
+        # production; SPARK_GRAFT_DRIVER_JAVA_OPTS prepends/overrides.
+        .config(
+            "spark.driver.extraJavaOptions",
+            (
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+                + " -XX:+ExplicitGCInvokesConcurrent"
+            ).strip(),
+        )
         .config("spark.ui.enabled", "false")
         # keep \r progress bars out of sweep logs (they overwrite PASS
         # lines and make independent auditing of the .txt artifacts hard)
