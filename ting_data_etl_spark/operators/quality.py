@@ -23,13 +23,21 @@ from ting_data_etl_spark.sources.tables import load_table
 
 
 def expectations_report(
-    df: DataFrame, checks: dict[str, Column], unique_key: str | None = None
+    df: DataFrame,
+    checks: dict[str, Column],
+    unique_key: str | tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Evaluate named boolean expectations in one aggregation pass.
 
     ``checks`` maps check name → predicate that must hold per row. Returns
-    (check_name, n_rows, n_violations). With ``unique_key``, appends a
-    ``unique:<key>`` check whose violation count is #rows − #distinct keys.
+    (check_name, n_rows, n_violations). With ``unique_key`` (a column name
+    or a tuple of names for a composite key), appends a
+    ``unique:<key>[:<key>...]`` check whose violation count is
+    #rows − #distinct keys. A composite key is counted as a STRUCT —
+    exactly SQL's ``COUNT(DISTINCT (a, b))`` row semantics (a row with a
+    NULL field still counts), with none of the byte cost of building a
+    concatenated string key per row (guide §2.3: narrower distinct keys =
+    fewer shuffle bytes).
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in checks.items():
@@ -37,12 +45,18 @@ def expectations_report(
             F.sum(F.when(pred, 0).otherwise(1)).alias(f"__v_{name}")
         )
     if unique_key is not None:
-        aggs.append(F.count_distinct(F.col(unique_key)).alias("__uniq"))
+        keys = (unique_key,) if isinstance(unique_key, str) else tuple(unique_key)
+        key_col = (
+            F.col(keys[0]) if len(keys) == 1 else F.struct(*[F.col(k) for k in keys])
+        )
+        aggs.append(F.count_distinct(key_col).alias("__uniq"))
     row = df.agg(*aggs).first()
     spark = df.sparkSession
     out = [(name, row["__n"], row[f"__v_{name}"]) for name in checks]
     if unique_key is not None:
-        out.append((f"unique:{unique_key}", row["__n"], row["__n"] - row["__uniq"]))
+        out.append(
+            (f"unique:{':'.join(keys)}", row["__n"], row["__n"] - row["__uniq"])
+        )
     return spark.createDataFrame(
         out, "check_name string, n_rows long, n_violations long"
     )
@@ -75,9 +89,18 @@ LATERAL (VALUES
 def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectation suite over lineitem: 5 invariants + composite-key
     uniqueness, one scan."""
-    li = load_table(spark, sf_dir, "lineitem")
-    li = li.withColumn(
-        "__ck", F.concat_ws("|", "l_orderkey", "l_linenumber")
+    # no fan_out here, measured deliberately: the scan's single-task cost
+    # is the parquet DECODE, which a repartition cannot parallelize — an
+    # exchange of every row costs more than the partial agg it spreads
+    # (A/B at sf0.1: 1.48s plain vs 2.00s spread)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_shipdate",
     )
     checks = {
         "qty_positive": F.col("l_quantity") > 0,
@@ -86,13 +109,8 @@ def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
         "shipdate_floor": F.col("l_shipdate") >= F.lit("1992-01-01").cast("timestamp"),
     }
-    rep = expectations_report(li, checks, unique_key="__ck")
-    return rep.withColumn(
-        "check_name",
-        F.when(
-            F.col("check_name") == "unique:__ck",
-            F.lit("unique:l_orderkey:l_linenumber"),
-        ).otherwise(F.col("check_name")),
+    return expectations_report(
+        li, checks, unique_key=("l_orderkey", "l_linenumber")
     )
 
 
@@ -132,7 +150,12 @@ def table_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_count_distinct`` per column — same single-scan plan, bounded
     memory (and the pytest tolerance in ``test_plans`` bounds the error).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # projected, not spread — same A/B rationale as
+    # dq_lineitem_expectations: the single-task decode dominates and an
+    # exchange of every row costs more than it parallelizes
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
     s = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("l_orderkey").alias("ndv_ok"),
@@ -276,7 +299,13 @@ def stats_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch implementations agreeing with one exact answer is the
     cross-engine check value-hash parity cannot provide here.
     """
-    ev = load_table(spark, sf_dir, "events")
+    from ting_data_etl_spark.sources.tables import fan_out
+
+    # project + spread: the EXACT percentile leg buffers every value in
+    # its aggregation buffer, and the sf-scale events table is one parquet
+    # row group — without the fan_out the whole buffering pass runs on one
+    # task (guide §2.5); no-op at cluster scale
+    ev = fan_out(load_table(spark, sf_dir, "events").select("user_id", "value"))
     aggs = ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", HLL_RSD).alias("approx_users"),
