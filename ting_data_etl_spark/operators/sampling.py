@@ -876,7 +876,13 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    from ting_data_etl_spark.sources.tables import fan_out
+
+    # fan_out (OPTIMIZATION r15, guide §2.5): the tokenize+hash explode and
+    # the quality_checks flag pass are heavy narrow work chained onto a
+    # single-row-group scan — 1-task stages otherwise; the shared explicit
+    # exchange spreads both and is a no-op on multi-row-group tables
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     b = DSIR_BUCKETS
     # the target flag is computed ONCE PER DOCUMENT in its own relation and
     # joined onto the tf rows — same shape as the oracle's dtf⋈dflag.
@@ -892,6 +898,11 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (portable_hash31(F.col("t")) % b).alias("b"))
         .groupBy("doc_id", "b")
         .agg(F.count("*").alias("tf"))
+        # cut the lineage at the compact (doc, bucket, tf) relation: it is
+        # read TWICE (the estimate pass and the score pass), and each read
+        # would otherwise re-run the tokenize+explode over the corpus text
+        # (OPTIMIZATION r15) — DSIR's two passes share one tokenization
+        .localCheckpoint(eager=True)
     )
     cnt = tf.join(flags, "doc_id").groupBy("b").agg(
         F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct"),
