@@ -58,10 +58,14 @@ def get_spark(
         # the driver AND every executor thread — at local[32] the old 8g
         # default left ~250 MB/task before GC pressure; the r15 bench
         # measured WARM passes slower than cold mid-pass (job_23_2 2.8s
-        # cold → 6.0s warm) purely from accumulated session state. 16g is
-        # the local default; SPARK_GRAFT_DRIVER_MEM still overrides, and a
-        # real cluster sizes executors separately from this knob.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # cold → 6.0s warm) purely from accumulated session state. 16g
+        # fixed the systematic inversion but a 161-query warm pass still
+        # showed a 2-3 query drift tail (+2-5s each) from late-session
+        # heap pressure; 24g flattens it (A/B: warm 157.2s → 142.0s, worst
+        # warm query 8.6s → 4.9s). ~750 MB/task at local[32] in a 128 GiB
+        # sandbox; SPARK_GRAFT_DRIVER_MEM still overrides, and a real
+        # cluster sizes executors separately from this knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Long-lived sessions (the bench runs 161 queries × 2 passes in
         # one app) accumulate shuffle files, broadcast blocks and RDD
         # metadata that the ContextCleaner only releases after a JVM GC
