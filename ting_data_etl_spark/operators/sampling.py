@@ -1155,6 +1155,11 @@ def corpus_budget_head(
         # pipeline composition: rank and budget over the surviving ids
         # only (the budget total becomes the survivors' token total)
         h = h.join(keep.select("doc_id").distinct(), "doc_id")
+    # materialize the fixed-width ledger ONCE (OPTIMIZATION r15): the
+    # banded pass reads it twice before its own persist can help — the
+    # okey quantile sketch, then the cache-populating band scan — and each
+    # read re-ran quality_checks + token_count over the corpus text
+    h = h.localCheckpoint(eager=True)
     return budget_head_from_ledger(h, n_bands=n_bands)
 
 
@@ -1307,7 +1312,14 @@ def _source_budget_head_plan(
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    h = budget_ledger_df(d).join(d.select("doc_id", "source"), "doc_id")
+    # materialize the fixed-width ledger ONCE (OPTIMIZATION r15) — same
+    # double-text-scoring shape as corpus_budget_head: the quantile sketch
+    # and the band scan each re-ran the scoring pass otherwise
+    h = (
+        budget_ledger_df(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
     banded = h.withColumn(
         "__band", _quantile_bands(h, "okey", n_bands)
     ).persist()
