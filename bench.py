@@ -33,12 +33,31 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    def run_all() -> dict[str, float]:
+    # Reuse disclosure (VERDICT r15 #3, additions-only): tag each query
+    # with the session-memo and on-disk-stage activity inside its timed
+    # window, so the side file separates compute from cache hits without
+    # forensics. "b" = memo builds, "h" = memo hits, "s" = stage builds.
+    from ting_data_etl_spark import runstats
+
+    def run_all(reuse_out: dict[str, dict[str, int]]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in sorted(qs):
+            before = runstats.snapshot()
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             out[name] = round(time.time() - t0, 3)
+            after = runstats.snapshot()
+            delta = {
+                tag: after[k] - before.get(k, 0)
+                for k, tag in (
+                    ("memo_build", "b"),
+                    ("memo_hit", "h"),
+                    ("stage_build", "s"),
+                )
+                if after.get(k, 0) != before.get(k, 0)
+            }
+            if delta:
+                reuse_out[name] = delta
         return out
 
     # Pass 1 (cold): absorbs the one-time builds several operators stage —
@@ -47,8 +66,10 @@ def main() -> None:
     # those builds are write-once index/layout jobs whose cost amortizes
     # over every subsequent query, which is what per-query latency means in
     # production. Both totals are reported.
-    cold = run_all()
-    timings = run_all()
+    cold_reuse: dict[str, dict[str, int]] = {}
+    warm_reuse: dict[str, dict[str, int]] = {}
+    cold = run_all(cold_reuse)
+    timings = run_all(warm_reuse)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -80,6 +101,18 @@ def main() -> None:
                 "cold_queries": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": sf_val,
+                # reuse disclosure (additions-only): per-query memo/stage
+                # activity (b=memo builds, h=memo hits, s=stage builds)
+                # and whether this RUN built any on-disk stages at all —
+                # stages_fresh=false means every staged index/layout was
+                # served warm from a previous process on this host, so
+                # the cold pass did not pay the build either.
+                "reuse_cold": cold_reuse,
+                "reuse_warm": warm_reuse,
+                "stage_builds_this_run": runstats.snapshot().get(
+                    "stage_build", 0
+                ),
+                "stages_fresh": runstats.snapshot().get("stage_build", 0) > 0,
             },
             f,
             indent=1,

@@ -233,11 +233,31 @@ def _source_budget_head_precheckpoint(spark, sf_dir):
         _source_budget_head_plan,
     )
 
-    lazy, banded = _source_budget_head_plan(spark, sf_dir)
-    try:
-        return plan_digest(spark, lazy)
-    finally:
-        banded.unpersist()
+    lazy, _banded = _source_budget_head_plan(spark, sf_dir)
+    return plan_digest(spark, lazy)
+
+
+def _budget_head_precheckpoint(spark, sf_dir):
+    """Digest target for corpus_budget_head (ADVICE r15): the registered
+    query eagerly checkpoints both the scoring ledger and the banded
+    output, so its own pin was all zeros and guarded nothing. Pin the
+    element-wise sum of (a) the lazy ledger derivation — where a token
+    shuffle or a row-python demotion of the scoring pass would show up —
+    and (b) the banded-prefix composition over a checkpoint-backed
+    ledger (window + ONE broadcast offsets join, no global exchange)."""
+    from ting_data_etl_spark.operators.sampling import (
+        _budget_head_plan,
+        budget_ledger_df,
+    )
+    from ting_data_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    ledger_lazy = plan_digest(spark, budget_ledger_df(d))
+    post = plan_digest(
+        spark,
+        _budget_head_plan(budget_ledger_df(d).localCheckpoint(eager=True)),
+    )
+    return {k: ledger_lazy[k] + post[k] for k in ledger_lazy}
 
 
 def _phash_precheckpoint(relation_fn, query_fn):
@@ -401,6 +421,7 @@ def _sig_consumer_pre(query_fn_name):
 #: nothing); the callable digests the pre-checkpoint plan instead.
 PRE_CHECKPOINT = {
     "corpus_source_budget_head": _source_budget_head_precheckpoint,
+    "corpus_budget_head": _budget_head_precheckpoint,
     "multimodal_phash_dedup": _phash_dedup_pre,
     "multimodal_png_phash_dedup": _png_phash_pre,
     "multimodal_png_mixed_phash_dedup": _png_mixed_pre,

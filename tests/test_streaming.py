@@ -184,6 +184,53 @@ class TestStatefulSessionize:
             (base_us + gap_us + 1, 1),
         }
 
+    def test_vectorized_walk_equals_scalar_walk(self):
+        """OPTIMIZATION r16: the per-group session walk is vectorized
+        (np.add.reduceat over gap-break segments); the scalar per-event
+        walk remains the semantic definition. Fuzz both over random
+        batches including carried tails that are within-gap, beyond-gap,
+        and out-of-order (the fallback path)."""
+        import numpy as np
+
+        import ting_data_etl_spark.streaming.stateful as S
+
+        def scalar_walk(us, vs, cur):
+            out = []
+            cur = list(cur) if cur is not None else None
+            for t, v in zip(us, vs):
+                t, v = int(t), int(v)
+                if cur is not None and t - cur[1] <= S.SESSION_GAP_US:
+                    cur = [cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v]
+                else:
+                    if cur is not None:
+                        out.append(cur)
+                    cur = [t, t, 1, v]
+            if cur is not None:
+                out.append(cur)
+            return out
+
+        rng = np.random.default_rng(7)
+        gap = S.SESSION_GAP_US
+        for trial in range(500):
+            n = int(rng.integers(0, 12))
+            us = np.sort(rng.integers(0, 6 * gap, size=n)).astype(np.int64)
+            vs = rng.integers(-5, 10, size=n).astype(np.int64)
+            cur = None
+            if rng.random() < 0.6:
+                start = int(rng.integers(0, 3 * gap))
+                # end beyond start, sometimes past us[0] (out-of-order)
+                cur = [
+                    start,
+                    start + int(rng.integers(0, 2 * gap)),
+                    int(rng.integers(1, 5)),
+                    int(rng.integers(0, 100)),
+                ]
+            got = S._sessionize_walk(
+                us, vs, None if cur is None else list(cur)
+            )
+            want = scalar_walk(us, vs, cur)
+            assert got == want, (trial, us.tolist(), cur, got, want)
+
 
 class TestStreamStreamJoin:
     def test_matches_batch_interval_join(self, spark, sf_dir):

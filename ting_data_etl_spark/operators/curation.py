@@ -415,16 +415,35 @@ JOIN labeled l ON d.doc_id = l.doc_id
 def curation_e2e_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as ONE relation: every document's fate.
 
-    Composes the three verified stages — Gopher quality gate, benchmark
-    contamination sweep, MinHash-LSH + pointer-jump dedup — into the
-    per-document status a production curation run persists, with fixed
-    precedence: ``benchmark`` (held out) → ``low_quality`` →
+    Fixed precedence: ``benchmark`` (held out) → ``low_quality`` →
     ``contaminated`` → ``duplicate`` (not its cluster's keeper) → ``kept``.
-    Each stage keeps its own optimal plan shape (codegen scan / broadcast
-    join / iterative CC); the composition is three joins on ``doc_id``.
     The oracle rebuilds the identical statement over DuckDB CTE chains,
     recursive closure included.
+
+    OPTIMIZATION r16 (guide §2.4, VERDICT r15 #6): the session-memoized
+    span-status relation (:func:`span_status_df`) CONTAINS these verdicts —
+    its status column equals this one except that a kept document with
+    trimmed spans reads ``kept_trimmed`` — so the registered query is a
+    projection of that memo (``kept_trimmed`` folded back to ``kept``)
+    instead of a fourth warm re-derivation of the e2e composition. The
+    composition itself lives in :func:`_e2e_status_build` (which the span
+    relation builds on), and the equality is exact by construction: the
+    span relation's status is derived from the e2e status by a CASE that
+    only ever rewrites ``kept`` → ``kept_trimmed``.
     """
+    return span_status_df(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("status") == "kept_trimmed", F.lit("kept"))
+        .otherwise(F.col("status"))
+        .alias("status"),
+    )
+
+
+def _e2e_status_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e2e status composition: Gopher quality gate, benchmark
+    contamination sweep, MinHash-LSH + pointer-jump dedup — three joins on
+    ``doc_id``, each stage keeping its own optimal plan shape (codegen
+    scan / broadcast join / iterative CC)."""
     from ting_data_etl_spark.operators.dedup import staged_minhash_components
 
     d = load_table(spark, sf_dir, "documents")
@@ -611,7 +630,7 @@ def _span_status_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The span-status composition itself (see :func:`span_status_df`)."""
     from ting_data_etl_spark.functions.text import tokens
 
-    base = curation_e2e_status(spark, sf_dir)
+    base = _e2e_status_build(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     ntok = d.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")

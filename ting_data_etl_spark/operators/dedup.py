@@ -1472,6 +1472,9 @@ def _publish_stage(
     import os
     import shutil
 
+    from ting_data_etl_spark import runstats
+
+    runstats.record("stage_build", out)
     tmp = f"{out}.tmp.{os.getpid()}"
     writer = df.write.mode("overwrite")
     if partition_by:

@@ -3191,9 +3191,13 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
     # part of the store's CONTENT (day 2), so retuning it — or the r15
     # shard-min exclusion itself ("k" = keep-min) — must rotate the stage
     # instead of serving a store built under the old rule
+    # separator-joined (ADVICE r15): unseparated concatenation collides
+    # distinct tunings — (5,2,30,0) and (5,23,0,0) both read "k52300",
+    # which would serve a stale store after exactly the retune the token
+    # exists to catch
     retire_tok = (
-        f"k{RETIRE2_SHARD_MOD}{RETIRE2_SHARD_REM}"
-        f"{RETIRE2_DOC_MOD}{RETIRE2_DOC_REM}"
+        f"k{RETIRE2_SHARD_MOD}_{RETIRE2_SHARD_REM}"
+        f"_{RETIRE2_DOC_MOD}_{RETIRE2_DOC_REM}"
     )
     out = _incr_stage_path(
         sf_dir,

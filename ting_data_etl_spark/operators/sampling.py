@@ -334,6 +334,20 @@ def _band_offsets(df: DataFrame, value_col: str) -> DataFrame:
     broadcasts the offsets back. This is the only driver involvement — B
     scalars, never data.
     """
+    return _band_offsets_with_total(df, value_col)[0]
+
+
+def _band_offsets_with_total(
+    df: DataFrame, value_col: str
+) -> tuple[DataFrame, int]:
+    """:func:`_band_offsets` plus the grand total of *value_col*.
+
+    OPTIMIZATION r16 (guide §2.1, VERDICT r15 #7): the total IS the final
+    prefix-sum accumulator the offsets collect already computed — callers
+    that also need it (the budget heads' ``total·PCT DIV 100`` threshold)
+    were running a second aggregate job + broadcast crossJoin for a
+    number the driver already held.
+    """
     per_band = (
         df.groupBy("__band")
         .agg(
@@ -351,10 +365,13 @@ def _band_offsets(df: DataFrame, value_col: str) -> DataFrame:
         # NULL; it still occupies rank positions but contributes 0 total.
         tot_off += r["band_total"] or 0
     spark = df.sparkSession
-    return F.broadcast(
-        spark.createDataFrame(
-            offsets, "__band int, row_offset long, total_offset long"
-        )
+    return (
+        F.broadcast(
+            spark.createDataFrame(
+                offsets, "__band int, row_offset long, total_offset long"
+            )
+        ),
+        tot_off,
     )
 
 
@@ -1195,43 +1212,43 @@ def budget_head_from_ledger(h: DataFrame, n_bands: int = 8) -> DataFrame:
     touches ~24-byte rows only, the honest O(N-fixed-width) tail of an
     otherwise O(batch) decision update.
     """
+    return _budget_head_plan(h, n_bands).localCheckpoint(eager=True)
+
+
+def _budget_head_plan(h: DataFrame, n_bands: int = 8) -> DataFrame:
+    """The LAZY banded-prefix plan (split for the plan-pin suite, ADVICE
+    r15: the registered query's eager checkpoint pinned all zeros)."""
     from pyspark.sql import Window
 
-    banded = h.withColumn(
-        "__band", _quantile_bands(h, "okey", n_bands)
-    ).persist()
-    try:
-        offsets = _band_offsets(banded, "n_toks")
-        tot = F.broadcast(
-            banded.agg(F.sum("n_toks").cast("long").alias("total"))
+    # no persist (OPTIMIZATION r16): *h* is an eager checkpoint (or a
+    # staged parquet read on the incremental path) at every call site, and
+    # __band is a pure function of okey given the collected cuts — the two
+    # extra scans the persist shielded are cheap fixed-width re-reads,
+    # while the cache population itself cost a pass plus storage blocks.
+    banded = h.withColumn("__band", _quantile_bands(h, "okey", n_bands))
+    # ONE aggregate job serves both the offsets and the corpus total
+    # (VERDICT r15 #7) — the total used to be a second aggregate +
+    # broadcast crossJoin; it is now a driver-side literal, and the
+    # integer budget arithmetic (total·PCT DIV 100) is unchanged.
+    offsets, total = _band_offsets_with_total(banded, "n_toks")
+    local = Window.partitionBy("__band").orderBy("okey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        banded.withColumn("__lc", F.sum("n_toks").over(local))
+        .join(offsets, "__band")
+        .select(
+            "doc_id",
+            "n_checks",
+            "n_toks",
+            (F.col("total_offset") + F.col("__lc") - F.col("n_toks"))
+            .cast("long")
+            .alias("cum_before"),
         )
-        local = Window.partitionBy("__band").orderBy("okey").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        cum = (
-            banded.withColumn("__lc", F.sum("n_toks").over(local))
-            .join(offsets, "__band")
-            .select(
-                "doc_id",
-                "n_checks",
-                "n_toks",
-                (F.col("total_offset") + F.col("__lc") - F.col("n_toks"))
-                .cast("long")
-                .alias("cum_before"),
-            )
-        )
-        out = (
-            cum.crossJoin(tot)
-            .filter(
-                F.col("cum_before")
-                < F.expr(f"total * {BUDGET_PCT} DIV 100")
-            )
-            .select("doc_id", "n_checks", "n_toks", "cum_before")
-        )
-        out = out.localCheckpoint(eager=True)
-        return out
-    finally:
-        banded.unpersist()
+    )
+    return cum.filter(
+        F.col("cum_before") < F.lit(int(total) * BUDGET_PCT // 100)
+    ).select("doc_id", "n_checks", "n_toks", "cum_before")
 
 
 def _sql_source_budget_head() -> str:
@@ -1286,28 +1303,25 @@ def corpus_source_budget_head(
     contiguous runs), window within (source, band) — B× more, bounded
     partitions — and prefix-sum the (source, band) token totals on the
     driver (sources × bands scalars, never data; the same shape
-    `corpus_epoch_order` uses per shard). Source totals ride a broadcast
-    #sources-row aggregate. The ledger is built once (one text pass);
-    the source column rides a second scan pruned to (doc_id, source).
+    `corpus_epoch_order` uses per shard). Per-source budget thresholds
+    ride the same collect (OPTIMIZATION r16 — they are its accumulators).
+    The ledger is built once (one text pass); the source column rides a
+    second scan pruned to (doc_id, source).
     """
-    lazy, banded = _source_budget_head_plan(spark, sf_dir, n_bands)
-    try:
-        return lazy.localCheckpoint(eager=True)
-    finally:
-        banded.unpersist()
+    lazy, _banded = _source_budget_head_plan(spark, sf_dir, n_bands)
+    return lazy.localCheckpoint(eager=True)
 
 
 def _source_budget_head_plan(
     spark: SparkSession, sf_dir: str, n_bands: int = 8
 ) -> tuple[DataFrame, DataFrame]:
-    """The LAZY per-source budget plan plus the persisted banded relation.
+    """The LAZY per-source budget plan plus the banded relation.
 
     Split from :func:`corpus_source_budget_head` so the plan-pin suite can
     digest the PRE-checkpoint plan (the r12 query checkpointed eagerly, so
     its committed pin was all zeros and guarded nothing — ADVICE r12). The
-    registered query checkpoints the returned plan and unpersists
-    ``banded``; a pin caller digests without executing and unpersists the
-    same handle.
+    registered query checkpoints the returned plan; ``banded`` is returned
+    for digesting only (no longer persisted — OPTIMIZATION r16).
     """
     from pyspark.sql import Window
 
@@ -1320,59 +1334,57 @@ def _source_budget_head_plan(
         .join(d.select("doc_id", "source"), "doc_id")
         .localCheckpoint(eager=True)
     )
-    banded = h.withColumn(
-        "__band", _quantile_bands(h, "okey", n_bands)
-    ).persist()
-    try:
-        per = (
-            banded.groupBy("source", "__band")
-            .agg(F.sum("n_toks").alias("n"))
-            .orderBy("source", "__band")
-            .collect()
-        )  # sources × bands rows — the only driver involvement
-        offsets, acc = [], {}
-        for r in per:
-            off = acc.get(r["source"], 0)
-            offsets.append((r["source"], r["__band"], off))
-            acc[r["source"]] = off + (r["n"] or 0)
-        odf = F.broadcast(
-            spark.createDataFrame(
-                offsets, "source string, __band int, token_offset long"
-            )
+    # no persist (OPTIMIZATION r16): *h* is an eager checkpoint, so the
+    # second scan the persist shielded is a cheap fixed-width re-read
+    # (same reasoning as budget_head_from_ledger).
+    banded = h.withColumn("__band", _quantile_bands(h, "okey", n_bands))
+    per = (
+        banded.groupBy("source", "__band")
+        .agg(F.sum("n_toks").alias("n"))
+        .orderBy("source", "__band")
+        .collect()
+    )  # sources × bands rows — the only driver involvement
+    offsets, acc = [], {}
+    for r in per:
+        off = acc.get(r["source"], 0)
+        offsets.append((r["source"], r["__band"], off))
+        acc[r["source"]] = off + (r["n"] or 0)
+    # the per-source budget thresholds ARE the accumulators this collect
+    # just produced (VERDICT r15 #7): attach them to the offsets rows
+    # instead of running a second per-source aggregate + broadcast join —
+    # integer arithmetic (total·PCT DIV 100) computed on the driver,
+    # unchanged values.
+    odf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (src, band, off, int(acc[src]) * BUDGET_PCT // 100)
+                for src, band, off in offsets
+            ],
+            "source string, __band int, token_offset long, budget long",
         )
-        tot = F.broadcast(
-            banded.groupBy("source").agg(
-                F.sum("n_toks").cast("long").alias("total")
-            )
+    )
+    local = (
+        Window.partitionBy("source", "__band")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        banded.withColumn("__lc", F.sum("n_toks").over(local))
+        .join(odf, ["source", "__band"])
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            (F.col("token_offset") + F.col("__lc") - F.col("n_toks"))
+            .cast("long")
+            .alias("cum_before"),
+            "budget",
         )
-        local = (
-            Window.partitionBy("source", "__band")
-            .orderBy("okey")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        cum = (
-            banded.withColumn("__lc", F.sum("n_toks").over(local))
-            .join(odf, ["source", "__band"])
-            .select(
-                "doc_id",
-                "source",
-                F.col("n_toks").cast("long").alias("n_toks"),
-                (F.col("token_offset") + F.col("__lc") - F.col("n_toks"))
-                .cast("long")
-                .alias("cum_before"),
-            )
-        )
-        out = (
-            cum.join(tot, "source")
-            .filter(
-                F.col("cum_before") < F.expr(f"total * {BUDGET_PCT} DIV 100")
-            )
-            .select("doc_id", "source", "n_toks", "cum_before")
-        )
-        return out, banded
-    except Exception:
-        banded.unpersist()
-        raise
+    )
+    out = cum.filter(F.col("cum_before") < F.col("budget")).select(
+        "doc_id", "source", "n_toks", "cum_before"
+    )
+    return out, banded
 
 
 # --- multi-epoch oversampling mixture ----------------------------------------

@@ -590,6 +590,9 @@ def _staged_json_fit(cache: dict, key: tuple, sf_dir: str, path_parts, fit_fn):
             with open(path) as f:
                 cache[key] = json.load(f)
         else:
+            from ting_data_etl_spark import runstats
+
+            runstats.record("stage_build", path)
             cache[key] = fit_fn()
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = f"{path}.tmp.{os.getpid()}"

@@ -65,13 +65,17 @@ def session_relation(
     """The memoized relation under (application id, *key_parts*), building
     it once per session via *build*. The builder decides materialization
     (checkpoint or lazy); the memo only guarantees object identity."""
+    from ting_data_etl_spark import runstats
+
     app = spark.sparkContext.applicationId
     key = (app, *key_parts)
     with _LOCK:
         df = _MEMO.get(key)
     if df is not None:
+        runstats.record("memo_hit", str(key_parts[0]))
         return df
     built = build()  # outside the lock: may run long Spark jobs
+    runstats.record("memo_build", str(key_parts[0]))
     with _LOCK:
         df = _MEMO.get(key)  # second check: a racing builder won
         if df is not None:

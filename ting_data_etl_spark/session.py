@@ -34,6 +34,28 @@ def _tuned_defaults(shuffle_partitions: int) -> dict[str, str]:
     }
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver heap default: 24g, clamped to half of host RAM.
+
+    In local mode this one heap hosts the driver plus every executor
+    thread (see the builder comment below); 24g is sized for the 128 GiB
+    bench host. On a smaller dev machine an unconditional 24g can fail JVM
+    startup or swap (ADVICE r15), so the default clamps to RAM/2 with a
+    4g floor; SPARK_GRAFT_DRIVER_MEM always overrides.
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                return "24g"
+    except OSError:
+        return "24g"
+    return f"{max(4, min(24, int(total_gb // 2)))}g"
+
+
 def get_spark(
     app_name: str = "ting-data-etl-spark",
     master: str | None = None,
@@ -65,7 +87,10 @@ def get_spark(
         # warm query 8.6s → 4.9s). ~750 MB/task at local[32] in a 128 GiB
         # sandbox; SPARK_GRAFT_DRIVER_MEM still overrides, and a real
         # cluster sizes executors separately from this knob.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         # Long-lived sessions (the bench runs 161 queries × 2 passes in
         # one app) accumulate shuffle files, broadcast blocks and RDD
         # metadata that the ContextCleaner only releases after a JVM GC
@@ -84,12 +109,16 @@ def get_spark(
         # call into a concurrent G1 cycle; weak refs (what the
         # ContextCleaner actually needs collected) are still processed at
         # the brief remark pause. Same flag a long-running driver gets in
-        # production; SPARK_GRAFT_DRIVER_JAVA_OPTS prepends/overrides.
+        # production. SPARK_GRAFT_DRIVER_JAVA_OPTS comes LAST: for
+        # duplicated JVM boolean flags the last occurrence wins, so the
+        # env var can genuinely override the default (ADVICE r15 — the
+        # old order appended the default after the user's opts, silently
+        # ignoring e.g. -XX:-ExplicitGCInvokesConcurrent).
         .config(
             "spark.driver.extraJavaOptions",
             (
-                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
-                + " -XX:+ExplicitGCInvokesConcurrent"
+                "-XX:+ExplicitGCInvokesConcurrent "
+                + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
             ).strip(),
         )
         .config("spark.ui.enabled", "false")

@@ -107,6 +107,72 @@ def stage_events_time_split(spark: SparkSession, sf_dir: str) -> str:
     return _STAGED_SPLIT[sf_dir]
 
 
+def _sessionize_walk(
+    us: np.ndarray, vs: np.ndarray, cur: list[int] | None
+) -> list[list[int]]:
+    """Gap-sessionize sorted (us, vs) arrays, merging a carried tail.
+
+    Vectorized (one np.add.reduceat over gap-break segments) when the
+    carried tail ends at or before the first event — always true for a
+    time-ordered stream, where a later batch's events are never earlier
+    than the carried session's end. The scalar walk is kept verbatim for
+    the out-of-order case (its per-event ``max`` accumulation has no
+    closed segment form), so semantics are identical for ANY input.
+    Returns every session observed (the last entry is the new tail).
+    """
+    n = len(us)
+    if n == 0:
+        return [cur] if cur is not None else []
+    if cur is not None and cur[1] > us[0]:
+        # out-of-order carry: the original per-event walk, unchanged
+        out: list[list[int]] = []
+        for t, v in zip(us, vs):
+            t = int(t)
+            v = int(v)
+            if cur is not None and t - cur[1] <= SESSION_GAP_US:
+                cur = [cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v]
+            else:
+                if cur is not None:
+                    out.append(cur)
+                cur = [t, t, 1, v]
+        out.append(cur)
+        return out
+    # vectorized path: segments of within-gap consecutive events
+    starts = np.flatnonzero(
+        np.concatenate(([True], (us[1:] - us[:-1]) > SESSION_GAP_US))
+    )
+    ends = np.append(starts[1:], n) - 1
+    seg_n = np.append(starts[1:], n) - starts
+    seg_v = np.add.reduceat(vs, starts)
+    out = []
+    j0 = 0
+    if cur is not None:
+        if us[0] - cur[1] <= SESSION_GAP_US:
+            # first segment extends the carried tail (cur[1] <= us[0]
+            # here, so the merged end is the segment's last event)
+            out.append(
+                [
+                    cur[0],
+                    int(us[ends[0]]),
+                    cur[2] + int(seg_n[0]),
+                    cur[3] + int(seg_v[0]),
+                ]
+            )
+            j0 = 1
+        else:
+            out.append(cur)
+    for j in range(j0, len(starts)):
+        out.append(
+            [
+                int(us[starts[j]]),
+                int(us[ends[j]]),
+                int(seg_n[j]),
+                int(seg_v[j]),
+            ]
+        )
+    return out
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -120,31 +186,36 @@ def _sessionize_group(
     final (its last emission already carried final stats). Emits every
     session observed in this batch; stores the new tail.
     """
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["us", "event_id"])
+    # OPTIMIZATION r16 (guide §4.2): this function runs once per (user,
+    # micro-batch) — thousands of calls per trigger — so per-call pandas
+    # machinery dominated the stage (pd.concat copies a single-chunk
+    # input, DataFrame.sort_values sorts a frame to order two columns).
+    # Work on raw numpy arrays instead and vectorize the session walk
+    # (np.add.reduceat over gap-break segments). Output values are
+    # identical: segment stats under ascending `us` are exactly what the
+    # old per-event loop accumulated.
+    chunks = list(pdfs)
+    rows = (
+        chunks[0]
+        if len(chunks) == 1
+        else pd.concat(chunks, ignore_index=True)
+    )
     us = rows["us"].to_numpy(dtype=np.int64)
+    order = np.lexsort((rows["event_id"].to_numpy(dtype=np.int64), us))
+    us = us[order]
     # half-up at scale 6 (positive domain), the sum_exact/ROUND contract.
     # NULL values contribute 0 to the sum but still count as events —
     # SUM's null-skip, COUNT(*)'s count-all, exactly like the batch twin
     # and the oracle (np.floor(NaN).astype(int64) would otherwise
     # silently inject INT64_MIN)
-    raw_v = rows["value"].to_numpy(dtype=np.float64)
+    raw_v = rows["value"].to_numpy(dtype=np.float64)[order]
     vs = np.where(
         np.isnan(raw_v), 0, np.floor(raw_v * _VAL_SCALE + 0.5)
     ).astype(np.int64)
     cur: list[int] | None = list(state.get) if state.exists else None
-    out: list[list[int]] = []
-    for t, v in zip(us, vs):
-        t = int(t)
-        v = int(v)
-        if cur is not None and t - cur[1] <= SESSION_GAP_US:
-            cur = [cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v]
-        else:
-            if cur is not None:
-                out.append(cur)
-            cur = [t, t, 1, v]
-    if cur is not None:
-        out.append(cur)  # tail: emitted now, re-emitted if later extended
+    out = _sessionize_walk(us, vs, cur)
+    if out:
+        cur = out[-1]  # tail: emitted now, re-emitted if later extended
         state.update((cur[0], cur[1], cur[2], cur[3]))
     uid = key[0]
     yield pd.DataFrame(

@@ -85,6 +85,9 @@ def publish_staged_dir(out: str, write_to_tmp) -> None:
     /tmp dir, EIO) re-raises instead of silently leaving the caller
     pointing at a path that was never published (fail-loud policy).
     """
+    from ting_data_etl_spark import runstats
+
+    runstats.record("stage_build", out)
     tmp = f"{out}.tmp.{os.getpid()}"
     write_to_tmp(tmp)
     os.makedirs(os.path.dirname(out), exist_ok=True)
