@@ -66,10 +66,34 @@ def main() -> None:
     # those builds are write-once index/layout jobs whose cost amortizes
     # over every subsequent query, which is what per-query latency means in
     # production. Both totals are reported.
+    # Host-contention disclosure (OPTIMIZATION r16): the r15/r16 spike
+    # investigation traced the random per-pass spikes (one query charged
+    # 5-10x its median, different query each run, no GC/JIT/cleaner
+    # correlation) to HYPERVISOR CPU STEAL on the shared host — all
+    # vCPUs stall at once for a window of seconds-to-minutes, inflating
+    # whatever queries run inside it. Record per-pass steal so a reader
+    # can tell a contended run from a clean one (additions-only).
+    def host_cpu() -> tuple[int, int]:
+        try:
+            with open("/proc/stat") as f:
+                v = [int(x) for x in f.readline().split()[1:]]
+            return v[0] + v[1] + v[2], v[7]  # busy jiffies, steal jiffies
+        except Exception:
+            return 0, 0
+
     cold_reuse: dict[str, dict[str, int]] = {}
     warm_reuse: dict[str, dict[str, int]] = {}
+    b0, s0 = host_cpu()
     cold = run_all(cold_reuse)
+    b1, s1 = host_cpu()
     timings = run_all(warm_reuse)
+    b2, s2 = host_cpu()
+    steal = {
+        "cold_busy_cpu_s": round((b1 - b0) / 100, 1),
+        "cold_steal_cpu_s": round((s1 - s0) / 100, 1),
+        "warm_busy_cpu_s": round((b2 - b1) / 100, 1),
+        "warm_steal_cpu_s": round((s2 - s1) / 100, 1),
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -113,6 +137,7 @@ def main() -> None:
                     "stage_build", 0
                 ),
                 "stages_fresh": runstats.snapshot().get("stage_build", 0) > 0,
+                "host_cpu": steal,
             },
             f,
             indent=1,

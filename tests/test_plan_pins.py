@@ -355,6 +355,17 @@ def _ivfpq_pre(query_name):
     return build
 
 
+def _semdedup_pre(spark, sf_dir):
+    """r16 optimization: the registered semdedup prune returns a
+    session-memoized checkpoint; pin the BUILD composition instead (the
+    Arrow assignment + within-cluster pair join + keeper rollup) — a
+    demoted kernel, a lost list_id-keyed join, or an extra corpus scan
+    moves this digest."""
+    import ting_data_etl_spark.operators.similarity as S
+
+    return plan_digest(spark, S._semdedup_prune_build(spark, sf_dir))
+
+
 def _minhash_pairs_pre(spark, sf_dir):
     """r15 optimization: the LSH candidate pairs ride a session-memoized
     checkpoint over session-memoized signatures, so the registered
@@ -422,6 +433,7 @@ def _sig_consumer_pre(query_fn_name):
 PRE_CHECKPOINT = {
     "corpus_source_budget_head": _source_budget_head_precheckpoint,
     "corpus_budget_head": _budget_head_precheckpoint,
+    "dedup_semdedup_prune": _semdedup_pre,
     "multimodal_phash_dedup": _phash_dedup_pre,
     "multimodal_png_phash_dedup": _png_phash_pre,
     "multimodal_png_mixed_phash_dedup": _png_mixed_pre,

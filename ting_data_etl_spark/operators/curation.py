@@ -123,35 +123,63 @@ def gopher_metrics_df(d: DataFrame) -> DataFrame:
     path can gate ONLY an arriving batch — per-document semantics, so the
     subset result equals the full-corpus result restricted to the subset.
     """
-    toks = tokens("text")
-    t = d.select("doc_id", "text", toks.alias("toks"))
-    n = F.size("toks")
-    sum_len = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
-    n_alpha = F.size(F.filter("toks", _matches_letter))
-    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
-    n_ellipsis = (
-        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
-    ) / 3
-    m = t.select(
-        "doc_id",
-        n.cast("long").alias("n_words"),
-        F.when(n > 0, sum_len.cast("double") / n).alias("mean_word_len"),
-        F.when(n > 0, n_alpha.cast("double") / n).alias("alpha_word_frac"),
-        F.when(n > 0, (n_hash + n_ellipsis).cast("double") / n).alias(
-            "symbol_word_ratio"
-        ),
-    )
-    gate = (
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & F.col("mean_word_len").between(
-            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    # Column construction cached per gopher-constants tuple (OPTIMIZATION
+    # r16): ~0.2 s of py4j round-trips per build, rebuilt per arrival-gate
+    # trigger before. The key folds every gate constant (read at call
+    # time), so a retune mints a fresh entry.
+    from ting_data_etl_spark.exprcache import cached_exprs
+
+    def _build():
+        toks = tokens("text")
+        n = F.size("toks")
+        sum_len = F.aggregate(
+            "toks", F.lit(0), lambda acc, x: acc + F.length(x)
         )
-        & (F.col("symbol_word_ratio") < GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC)
+        n_alpha = F.size(F.filter("toks", _matches_letter))
+        n_hash = F.length("text") - F.length(
+            F.regexp_replace("text", "#", "")
+        )
+        n_ellipsis = (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+        ) / 3
+        metric_cols = [
+            n.cast("long").alias("n_words"),
+            F.when(n > 0, sum_len.cast("double") / n).alias("mean_word_len"),
+            F.when(n > 0, n_alpha.cast("double") / n).alias(
+                "alpha_word_frac"
+            ),
+            F.when(n > 0, (n_hash + n_ellipsis).cast("double") / n).alias(
+                "symbol_word_ratio"
+            ),
+        ]
+        gate = (
+            F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & F.col("mean_word_len").between(
+                GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+            )
+            & (F.col("symbol_word_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+            & (F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC)
+        )
+        toks_col = tokens("text").alias("toks")
+        gate_col = F.coalesce(gate, F.lit(False)).cast("int")
+        return toks_col, metric_cols, gate_col
+
+    toks_col, metric_cols, gate_col = cached_exprs(
+        (
+            "gopher_metrics",
+            GOPHER_MIN_WORDS,
+            GOPHER_MAX_WORDS,
+            GOPHER_MIN_MEAN_WORD_LEN,
+            GOPHER_MAX_MEAN_WORD_LEN,
+            GOPHER_MAX_SYMBOL_RATIO,
+            GOPHER_MIN_ALPHA_FRAC,
+        ),
+        _build,
     )
-    return m.withColumn(
-        "passes_gopher", F.coalesce(gate, F.lit(False)).cast("int")
-    )
+    t = d.select("doc_id", "text", toks_col)
+    m = t.select("doc_id", *metric_cols)
+    return m.withColumn("passes_gopher", gate_col)
 
 
 def _matches_letter(t):

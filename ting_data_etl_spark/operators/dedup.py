@@ -210,29 +210,39 @@ def word_shingles_df(
 
     if n is None:
         n = SHINGLE_N
-    tok = docs.select(
-        "doc_id",
-        *extra_cols,
-        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "t"),
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    cnt = Window.partitionBy("doc_id")
-    sh = tok.select(
-        "doc_id",
-        *extra_cols,
-        "pos",
-        F.when(F.col("pos").isNull(), F.lit(None).cast("string"))
-        .otherwise(
-            F.concat_ws(
-                " ", "t", *[F.lead("t", i).over(wdoc) for i in range(1, n)]
-            )
+
+    # Column construction cached per (text_col, n) — OPTIMIZATION r16:
+    # these unresolved exprs cost ~150 py4j round-trips to build and are
+    # identical across calls; the arrival gate rebuilds them per trigger.
+    # Key folds n (SHINGLE_N resolves at call time — retune-safe).
+    from ting_data_etl_spark.exprcache import cached_exprs
+
+    def _build():
+        wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        cnt = Window.partitionBy("doc_id")
+        explode_col = F.posexplode_outer(tokens(F.col(text_col))).alias(
+            "pos", "t"
         )
-        .alias("s"),
-        F.count("pos").over(cnt).alias("__n_tok"),
+        shingle_col = (
+            F.when(F.col("pos").isNull(), F.lit(None).cast("string"))
+            .otherwise(
+                F.concat_ws(
+                    " ", "t", *[F.lead("t", i).over(wdoc) for i in range(1, n)]
+                )
+            )
+            .alias("s")
+        )
+        ntok_col = F.count("pos").over(cnt).alias("__n_tok")
+        keep = F.col("pos").isNull() | (
+            F.col("pos") <= F.greatest(F.col("__n_tok") - n, F.lit(0))
+        )
+        return explode_col, shingle_col, ntok_col, keep
+
+    explode_col, shingle_col, ntok_col, keep = cached_exprs(
+        ("word_shingles", text_col, n), _build
     )
-    keep = F.col("pos").isNull() | (
-        F.col("pos") <= F.greatest(F.col("__n_tok") - n, F.lit(0))
-    )
+    tok = docs.select("doc_id", *extra_cols, explode_col)
+    sh = tok.select("doc_id", *extra_cols, "pos", shingle_col, ntok_col)
     return sh.filter(keep).drop("pos", "__n_tok")
 
 
@@ -244,16 +254,33 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     window's doc_id partitioning (no second shuffle), map-side partial
     mins. Identical output to :func:`minhash_signature`.
     """
+    from ting_data_etl_spark.exprcache import cached_exprs
+
     sh = word_shingles_df(docs, text_col)
-    hx = sh.select("doc_id", _shingle_hash_spark(F.col("s")).alias("x"))
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(PERMS)
-    ]
-    wide = hx.groupBy("doc_id").agg(*aggs)
-    return wide.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(len(PERMS))]).alias("sig")
+
+    # agg/array Column construction cached per (PERMS, p) — OPTIMIZATION
+    # r16: the 16 min-aggregates alone cost ~0.24 s of py4j round-trips
+    # per construction (cProfile), rebuilt per arrival-gate trigger. Key
+    # folds the permutation table so a retune mints a fresh entry.
+    def _build():
+        hash_col = _shingle_hash_spark(F.col("s")).alias("x")
+        aggs = [
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(PERMS)
+        ]
+        sig_col = F.array(
+            *[f"h{i}" for i in range(len(PERMS))]
+        ).alias("sig")
+        return hash_col, aggs, sig_col
+
+    hash_col, aggs, sig_col = cached_exprs(
+        ("minhash_aggs", tuple(tuple(p) for p in PERMS), MERSENNE_P), _build
     )
+    hx = sh.select("doc_id", hash_col)
+    wide = hx.groupBy("doc_id").agg(*aggs)
+    return wide.select("doc_id", sig_col)
 
 
 def lsh_bands(sig_col, n_bands: int | None = None) -> F.Column:

@@ -365,6 +365,14 @@ def _index_buckets_for(sf_dir: str) -> int:
 #: no-shuffle bucketed join alone is the right plan.
 PROBE_PRUNE_KEYS = 1024
 
+#: Arrival-gate micro-batches at or below this row count run their batch
+#: body with adaptive query execution OFF (see the gate's comment): a
+#: small drop's join strategy is fixed by construction and AQE's
+#: query-stage fragmentation only adds per-trigger driver re-planning.
+#: Size-keyed (like the In-prune path), env-tunable for deployments whose
+#: "small" differs.
+GATE_AQE_OFF_ROWS = int(os.environ.get("SPARK_GRAFT_GATE_AQE_OFF_ROWS", "200000"))
+
 #: Parquet row-group size for the standing index — the unit the reader can
 #: SKIP. Default 128 MB gives a fixture-scale bucket file exactly one row
 #: group (nothing skippable); 4 MB pins the production row-group-to-file
@@ -1585,24 +1593,58 @@ def streaming_incremental_arrival_gate(
     base = new_run_dir(os.path.join(tempfile.gettempdir(), "ting_arrival_gate"))
     os.makedirs(base, exist_ok=True)  # per-batch subdirs land under it
 
+    # OPTIMIZATION r16 (guide §2.1/§5, VERDICT r15 #1 — streaming driver
+    # gap): the size gate below needs ONLY the batch row count, and the
+    # gate staged the stream's files itself — their parquet footers carry
+    # exact row counts, and with maxFilesPerTrigger=1 over ascending
+    # distinct mtimes (the property the stage publishes and
+    # test_runs_as_multiple_microbatches pins) batch_id i replays the
+    # i-th file. Reading footers once driver-side replaces a full count()
+    # action (plan + schedule + scan) per trigger. A mapping miss only
+    # picks the other PERFORMANCE path (the In-prune filters the index to
+    # a superset of the batch's bands either way) — results are identical
+    # by construction, so the fallback count() is for robustness, not
+    # correctness.
+    def _staged_batch_rows(stage_dir: str) -> list[int]:
+        try:
+            import pyarrow.parquet as pq
+
+            return [
+                pq.ParquetFile(os.path.join(stage_dir, p)).metadata.num_rows
+                for p in sorted(
+                    f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+                )
+            ]
+        except Exception:
+            return []
+
+    rows_by_batch = _staged_batch_rows(staged)
+
+    # built ONCE per gate invocation, reused across triggers: unresolved
+    # Columns are DataFrame-independent (OPTIMIZATION r16, same py4j
+    # construction-cost removal as exprcache)
+    bands_explode_col = F.posexplode(lsh_bands(F.col("sig"))).alias(
+        "j", "band"
+    )
+
     def gate(batch_df, batch_id: int) -> None:
         from ting_data_etl_spark.operators.dedup import MINHASH_BANDS
 
         # OPTIMIZATION r15 (guide §5): materialize the micro-batch ONCE.
         # foreachBatch hands a lazy plan over the trigger's files; the
-        # size gate (count), the gopher leg, the signature leg and the
-        # output join each re-scanned them — 4 input scans per trigger.
-        # persist + the count gate below populates the cache, every later
-        # leg reads it, and the finally releases it with the batch —
-        # per-trigger state, not cross-batch caching.
+        # size gate, the gopher leg, the signature leg and the output
+        # join each re-scanned them — 4 input scans per trigger. The
+        # persist is populated by the first action that touches the
+        # batch, every later leg reads it, and the finally releases it
+        # with the batch — per-trigger state, not cross-batch caching.
         batch_df = batch_df.persist()
         g = gopher_metrics_df(batch_df).select("doc_id", "passes_gopher")
         bands_b = minhash_signatures_df(batch_df).select(
-            "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("j", "band")
+            "doc_id", bands_explode_col
         )
         # SMALL drops (the land-and-gate-immediately case) additionally
         # key-prune the index SCAN: the drop's distinct band values are a
-        # bounded collect (<= PROBE_PRUNE_KEYS by the count gate), pushed
+        # bounded collect (<= PROBE_PRUNE_KEYS by the size gate), pushed
         # into the bucketed scan as an In filter — with the index sorted
         # by (j, band) within buckets, parquet row-group stats skip
         # everything the drop doesn't touch, so a tiny drop's probe reads
@@ -1610,7 +1652,25 @@ def streaming_incremental_arrival_gate(
         # ~every band; for them the no-shuffle bucketed join is the win
         # and the extra signature pass would cost more than it prunes.
         idx = standing_capped
-        if batch_df.count() * MINHASH_BANDS <= PROBE_PRUNE_KEYS:
+        n_rows = (
+            rows_by_batch[batch_id]
+            if batch_id < len(rows_by_batch)
+            else batch_df.count()
+        )
+        # OPTIMIZATION r16 (guide §2.1): for a SMALL drop, AQE fragments
+        # the per-trigger write into ~10 one-task query-stage jobs, each
+        # paying ~0.1 s of driver re-planning — on a plan whose joins are
+        # already fixed by construction (bucketed index scan, broadcast
+        # drop side). Disable adaptive execution for the small-drop batch
+        # body only — size-keyed like the In-prune path, NOT a local-mode
+        # constant: a big drop (where AQE's coalescing/skew handling can
+        # matter) keeps it on. Restored in the finally with the persist.
+        spark_b = batch_df.sparkSession
+        aqe_key = "spark.sql.adaptive.enabled"
+        prev_aqe = spark_b.conf.get(aqe_key)
+        if n_rows <= GATE_AQE_OFF_ROWS:
+            spark_b.conf.set(aqe_key, "false")
+        if n_rows * MINHASH_BANDS <= PROBE_PRUNE_KEYS:
             bands_b = bands_b.localCheckpoint(eager=True)
             vals = [
                 r["band"] for r in bands_b.select("band").distinct().collect()
@@ -1644,6 +1704,7 @@ def streaming_incremental_arrival_gate(
                 os.path.join(base, f"batch_{batch_id}")
             )
         finally:
+            spark_b.conf.set(aqe_key, prev_aqe)
             batch_df.unpersist()
 
     # the small-drop path pushes an In-set of up to PROBE_PRUNE_KEYS bands

@@ -2518,7 +2518,32 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-seeded integer Lloyd chain), re-derives every assignment, and
     recomputes each within-cluster cosine — a drift in fit, assignment,
     threshold, or keeper rule all surface as value mismatches.
+
+    SESSION-memoized (OPTIMIZATION r16, guide §2.4): the registered
+    query, the capstone `corpus_final_selection` composition, and the
+    public API all consume this relation; each used to re-run the corpus
+    assignment pass + occupancy collect + within-cluster pair join per
+    call (~2 s warm at sf0.1). One row per pruned doc, fixed width —
+    cheap to checkpoint. The key folds the fit constants, ε, the cluster
+    cap, and the embeddings fingerprint (retune/regeneration rebuilds);
+    plan guarding moves to the PRE_CHECKPOINT composite digest
+    (tests/test_plan_pins.py, the r14 phash convention).
     """
+    from ting_data_etl_spark.relcache import session_relation
+
+    return session_relation(
+        spark,
+        _ann_memo_key(
+            sf_dir, "semdedup_prune", SEMDEDUP_EPS, SEMDEDUP_MAX_CLUSTER
+        ),
+        lambda: _semdedup_prune_build(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
+
+
+def _semdedup_prune_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup composition itself (see :func:`dedup_semdedup_prune`)."""
     import warnings
 
     centroids = ivf_centroids(spark, sf_dir)

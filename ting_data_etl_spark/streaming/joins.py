@@ -180,7 +180,13 @@ def run_dedup_ttl_state(
         F.count("*").alias("n_events"),
         sum_exact("value", scale=6).alias("total_value"),
     )
-    return run_stream_to_table(agg, "complete", progress_out=progress_out)
+    # no_data_batch stays ON here: the TTL dedup's observable contract is
+    # that watermark eviction fires (stateOperators.numRowsRemoved > 0 in
+    # the progress evidence), and with a single data batch the eviction
+    # tick IS the trailing no-data batch.
+    return run_stream_to_table(
+        agg, "complete", progress_out=progress_out, no_data_batch=True
+    )
 
 
 # --- parquet file sink round-trip (exactly-once sink metadata) -------------

@@ -81,26 +81,88 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark(
         app_name="ting-spike-probe",
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # keep more jobs visible to the post-hoc REST correlation
+            # (the default 1000 evicts pass-1 windows) — but NOT 100k:
+            # the unbounded live UI store measurably slowed the run
+            "spark.ui.retainedJobs": "8000",
+            "spark.ui.retainedStages": "8000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Sampler thread: 4 Hz record of (wall time, #active jobs). A spike
+    # window with active jobs the whole way is executor-side; one with no
+    # active jobs is driver/py4j-side; sampler GAPS mean the JVM stopped
+    # answering (safepoint/GC) — three different fixes.
+    import threading
+
+    samples: list[tuple[float, int, int, int]] = []
+    stop = threading.Event()
+    tracker = spark.sparkContext.statusTracker()
+
+    def cpu_busy_steal() -> tuple[int, int]:
+        # /proc/stat jiffies: busy = user+nice+system, steal = field 8 —
+        # hypervisor steal is the shared-host suspect: it stalls all 32
+        # vCPUs at once, which no JVM/Spark metric can see
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        v = [int(x) for x in p[1:]]
+        return v[0] + v[1] + v[2], v[7]
+
+    def sample() -> None:
+        while not stop.is_set():
+            t = time.time()
+            try:
+                n = len(tracker.getActiveJobsIds())
+            except Exception:
+                n = -1
+            busy, steal = cpu_busy_steal()
+            samples.append((t, n, busy, steal))
+            stop.wait(0.25)
+
+    sampler = threading.Thread(target=sample, daemon=True)
+    sampler.start()
+
+    from ting_data_etl_spark import runstats
 
     rows_path = f"{args.out}_rows.jsonl"
     rows_f = open(rows_path, "w")
 
+    # JVM counters: JIT compilation time (the prime slow-window suspect —
+    # fresh wholestage-codegen classes run interpreted/C1 until the
+    # compiler queue drains) and accumulated GC time, per query window.
+    mgmt = spark._jvm.java.lang.management.ManagementFactory  # type: ignore
+    comp = mgmt.getCompilationMXBean()
+
+    def jvm_counters() -> tuple[int, int]:
+        gc_ms = sum(
+            b.getCollectionTime() for b in mgmt.getGarbageCollectorMXBeans()
+        )
+        return comp.getTotalCompilationTime(), gc_ms
+
     def run_pass(tag: str) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in sorted(qs):
+            before = runstats.snapshot()
+            c0, g0 = jvm_counters()
             spark.sparkContext.setJobDescription(f"{tag}:{name}")
             t0 = time.time()
             qs[name](spark, args.sf).write.format("noop").mode(
                 "overwrite").save()
             t1 = time.time()
             spark.sparkContext.setJobDescription(None)
+            c1, g1 = jvm_counters()
             out[name] = t1 - t0
+            after = runstats.snapshot()
             rows_f.write(json.dumps(
                 {"pass": tag, "q": name, "t0": round(t0, 3),
-                 "t1": round(t1, 3), "sec": round(t1 - t0, 3)}) + "\n")
+                 "t1": round(t1, 3), "sec": round(t1 - t0, 3),
+                 "jit_ms": c1 - c0, "gc_ms": g1 - g0,
+                 "reuse": {k: after[k] - before.get(k, 0)
+                           for k in after
+                           if after[k] != before.get(k, 0)}}) + "\n")
             rows_f.flush()
         return out
 
@@ -111,6 +173,11 @@ def main() -> None:
     for i in range(args.passes):
         warm.append(run_pass(f"warm{i}"))
     rows_f.close()
+    stop.set()
+    sampler.join(timeout=2)
+    with open(f"{args.out}_samples.jsonl", "w") as f:
+        for t, n, busy, steal in samples:
+            f.write(f"{t:.3f} {n} {busy} {steal}\n")
 
     # spike report: any warm execution >= factor x that query's best warm
     best = {q: min(w[q] for w in warm) for q in warm[0]}
