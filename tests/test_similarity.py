@@ -224,6 +224,84 @@ class TestRecallReportScaleShape:
             assert len(rs) <= S.TOP_K
             assert q in ids
 
+    def test_dense_kernel_matches_pair_join_with_ties_and_zero_norms(
+        self, spark, sf_dir, tmp_path
+    ):
+        """OPTIMIZATION r16: the matmul kernel's per-batch top-k must be
+        EXACT against the pair-join + single-window reference, including
+        the hard cases: cosine ties straddling the k boundary (tie-break
+        is neighbor_id ASC), zero-norm corpus rows (NULL cosine, NULLS
+        LAST), a zero-norm QUERY (all-NULL candidates), and self-pair
+        exclusion — on a multi-partition corpus so batch-local selection
+        actually has boundaries to get wrong."""
+        from pyspark.sql import functions as F
+
+        from ting_data_etl_spark.operators import similarity as S
+
+        # synthetic embeddings: ids 0..59; make many exact duplicates so
+        # cosine==1.0 ties exceed TOP_K; plant zero vectors
+        rows = []
+        for vid in range(60):
+            if vid % 17 == 0:
+                vec = [0.0] * S.EMB_DIM  # zero norm
+            elif vid % 3 == 0:
+                vec = [1.0] + [0.0] * (S.EMB_DIM - 1)  # duplicate family A
+            elif vid % 3 == 1:
+                vec = [0.5, 0.5] + [0.0] * (S.EMB_DIM - 2)
+            else:
+                vec = [float((vid * 7) % 5 + 1)] * S.EMB_DIM
+            rows.append((vid, vec, vid % 3))
+        ds = str(tmp_path / "kernel_ds")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ).coalesce(1).write.parquet(f"{ds}/embeddings.parquet")
+
+        q = S._quantized(spark, ds)
+        queries_rows = (
+            q.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qv"),
+                F.col("norm").alias("qn"),
+            )
+            .collect()
+        )
+        corpus = q.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cv"),
+            F.col("norm").alias("cn"),
+        ).repartition(7)  # force many small batches
+        got = sorted(
+            map(
+                tuple,
+                S.topk_per_query(
+                    S._dense_topk_candidates(corpus, queries_rows, S.TOP_K)
+                ).collect(),
+            )
+        )
+        # reference: pair join + HOF cosine + one window
+        queries = q.filter(F.col("vec_id") % S.QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+        ref_pairs = queries.join(
+            q.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("q").alias("cv"),
+                F.col("norm").alias("cn"),
+            ),
+            F.col("neighbor_id") != F.col("query_id"),
+        ).select(
+            "query_id",
+            "neighbor_id",
+            S._cosine_pre(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+        want = sorted(map(tuple, S.topk_per_query(ref_pairs).collect()))
+        assert got == want
+
     def test_two_phase_topk_matches_single_window(self, spark, sf_dir):
         """Salted phase-1 + re-rank must equal the gated baseline's exact
         top-k for the same queries."""

@@ -87,10 +87,196 @@ def cosine_udf():
 
 # Measured split (sf0.1, local[32]): the UDF wins on the bucketed pair
 # stages (SRP 7.9→3.9 s, embedding pairs 3.7→1.8 s, IVF-kmeans 3.7→2.6 s),
-# where the join has already shrunk the pair count; the dense
-# query×corpus stages (brute force, label-IVF) keep the JVM fold —
-# Arrow-shipping two 64-dim vectors for EVERY pair of a 2.5M-pair cross
-# join costs more than the interpreted fold it replaces.
+# where the join has already shrunk the pair count. The dense
+# query×corpus stages (brute force, label-IVF, the sampled exact truth)
+# use neither form: Arrow-shipping two 64-dim vectors for EVERY pair
+# loses to the interpreted fold, and the fold itself measured 210 s at a
+# ×30 corpus — both pay O(Q·N) per-pair overhead. They run the matmul
+# kernel below (OPTIMIZATION r16, guide §4.2/§8): the corpus crosses the
+# Python boundary ONCE, queries ride a driver broadcast, each Arrow batch
+# is one BLAS matmul, and only a tie-exact per-batch top-k superset comes
+# back.
+
+
+def _np_from_list_array(arr, n: int) -> "np.ndarray | None":
+    """(n, d) float64 view of an Arrow list<int64> column, offset-safe.
+
+    ``flatten()`` respects slicing offsets; returns None when rows are
+    null or ragged (caller falls back to the per-row path)."""
+    if arr.null_count:
+        return None
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    if n == 0 or flat.size % n:
+        return None
+    return flat.reshape(n, -1)
+
+
+def _dense_topk_candidates(
+    corpus: DataFrame,
+    queries_rows: list,
+    k: int,
+    by_label: bool = False,
+) -> DataFrame:
+    """Per-batch tie-exact top-k candidates of the dense query×corpus scan.
+
+    *corpus* carries (neighbor_id, cv, cn[, clabel]); *queries_rows* are
+    collected Rows (query_id, qv, qn[, qlabel]) — bounded by the
+    brute-force gate / the recall sample, the same bounded-model-collect
+    class as the IVF centroids. Emits, per Arrow batch and per query,
+    every candidate that can reach the global top-k under
+    (cosine DESC NULLS LAST, neighbor_id ASC):
+
+    * all rows with cosine ≥ the batch's k-th largest finite cosine
+      (boundary ties INCLUDED, so the global tie-break by neighbor_id
+      never loses a candidate);
+    * self-pairs excluded (the oracle's ``b.vec_id <> a.vec_id``);
+    * when a batch holds fewer than k finite candidates for a query, its
+      null-cosine pairs (zero norms) with the k smallest neighbor ids —
+      NULLS LAST means a null can only reach the global top-k when
+      non-null candidates run out.
+
+    Arithmetic is bit-identical to ``_cosine_pre`` and the SQL oracle:
+    integer dot products are exact in float64 under any summation order
+    (|partial sums| ≤ 64·(10⁵)² < 2⁵³ even mixed-sign), and the norms are
+    the SAME JVM-computed float64 values the pair forms divide by.
+    The final exact ranking stays in :func:`topk_per_query`.
+    """
+    import pyarrow as pa
+
+    if by_label:
+        by_lab: dict = {}
+        for r in queries_rows:
+            by_lab.setdefault(r["qlabel"], [[], [], []])
+            g = by_lab[r["qlabel"]]
+            g[0].append(r["query_id"])
+            g[1].append([float(x) for x in r["qv"]])
+            g[2].append(float(r["qn"]))
+        groups = {
+            lab: (
+                np.asarray(g[0], dtype=np.int64),
+                np.asarray(g[1], dtype=np.float64),
+                np.asarray(g[2], dtype=np.float64),
+            )
+            for lab, g in by_lab.items()
+        }
+    else:
+        groups = {
+            None: (
+                np.asarray([r["query_id"] for r in queries_rows], np.int64),
+                np.asarray(
+                    [[float(x) for x in r["qv"]] for r in queries_rows],
+                    np.float64,
+                ),
+                np.asarray([float(r["qn"]) for r in queries_rows], np.float64),
+            )
+        }
+    bc = corpus.sparkSession.sparkContext.broadcast(groups)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+    pa_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("cosine", pa.float64()),
+        ]
+    )
+
+    def score(batches):
+        grp = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            nids = np.asarray(batch.column("neighbor_id"), dtype=np.int64)
+            C = _np_from_list_array(batch.column("cv"), n)
+            if C is None:  # ragged/null rows: exact per-row fallback
+                C = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in
+                     batch.column("cv").to_pylist()]
+                )
+            cns = np.asarray(batch.column("cn"), dtype=np.float64)
+            labs = (
+                np.asarray(batch.column("clabel"), dtype=np.int64)
+                if by_label
+                else None
+            )
+            nid_pos = {int(v): i for i, v in enumerate(nids)}
+            oq, on, oc, onull = [], [], [], []
+            for lab, (qids, Qm, qns) in grp.items():
+                if by_label:
+                    rows = np.flatnonzero(labs == lab)
+                    if rows.size == 0:
+                        continue
+                    Cs, cn_s, nid_s = C[rows], cns[rows], nids[rows]
+                else:
+                    Cs, cn_s, nid_s = C, cns, nids
+                m = Cs.shape[0]
+                # local row index per neighbor id (self-pair exclusion)
+                sub_pos = (
+                    {int(v): i for i, v in enumerate(nid_s)}
+                    if by_label
+                    else nid_pos
+                )
+                qchunk = max(64, min(1024, 8_000_000 // max(1, m)))
+                for s in range(0, len(qids), qchunk):
+                    qid_c = qids[s : s + qchunk]
+                    dots = Cs @ Qm[s : s + qchunk].T
+                    denom = np.outer(cn_s, qns[s : s + qchunk])
+                    ok = denom != 0
+                    filled = np.full_like(dots, -np.inf)
+                    np.divide(dots, denom, out=filled, where=ok)
+                    # self-pairs: excluded outright (≠ null)
+                    excl = np.zeros_like(ok)
+                    for j, qid in enumerate(qid_c):
+                        i = sub_pos.get(int(qid))
+                        if i is not None:
+                            filled[i, j] = -np.inf
+                            excl[i, j] = True
+                    if m > k:
+                        kth = np.partition(filled, m - k, axis=0)[m - k]
+                        emit = (filled >= kth) & (filled > -np.inf)
+                    else:
+                        emit = filled > -np.inf
+                    rr, cc = np.nonzero(emit)
+                    oq.append(qid_c[cc])
+                    on.append(nid_s[rr])
+                    oc.append(filled[rr, cc])
+                    # null completion: only where finite candidates < k
+                    n_fin = emit.sum(axis=0)
+                    for j in np.flatnonzero(n_fin < k):
+                        nulls = np.flatnonzero(~ok[:, j] & ~excl[:, j])
+                        if nulls.size == 0:
+                            continue
+                        keep = nulls[np.argsort(nid_s[nulls])][:k]
+                        onull.append(
+                            (
+                                np.full(keep.size, qid_c[j], np.int64),
+                                nid_s[keep],
+                            )
+                        )
+            if not oq and not onull:
+                continue
+            q_arr = np.concatenate(oq) if oq else np.empty(0, np.int64)
+            n_arr = np.concatenate(on) if on else np.empty(0, np.int64)
+            c_arr = np.concatenate(oc) if oc else np.empty(0, np.float64)
+            if onull:
+                q_arr = np.concatenate([q_arr] + [x[0] for x in onull])
+                n_arr = np.concatenate([n_arr] + [x[1] for x in onull])
+            mask = np.zeros(len(q_arr), dtype=bool)
+            mask[len(c_arr) :] = True  # appended null-cosine rows
+            c_full = np.concatenate(
+                [c_arr, np.zeros(len(q_arr) - len(c_arr))]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(q_arr),
+                    pa.array(n_arr),
+                    pa.array(c_full, type=pa.float64(), mask=mask),
+                ],
+                schema=pa_schema,
+            )
+
+    return corpus.mapInArrow(score, out_schema)
 
 
 _SQL_QUANT = """
@@ -214,35 +400,39 @@ def topk_per_query(
 
 @register("similarity_bruteforce_topk", defer=True, oracle=_SQL_BRUTE)
 def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense exact top-k baseline via the matmul kernel.
+
+    OPTIMIZATION r16 (guide §4.2/§8): the old shape materialized Q·N pair
+    ROWS (broadcast corpus × queries) and evaluated one interpreted
+    64-element HOF fold per pair — 210 s at a ×30 corpus, all per-pair
+    overhead. Now the corpus streams through ONE ``mapInArrow`` stage
+    (fan_out spreads the local single-row-group scan; no-op on real
+    multi-file tables), the bounded query set rides a driver broadcast
+    (Q = N/10 ≤ gate/10 rows — the same bounded-model-collect class as
+    the IVF centroids), each Arrow batch is one BLAS matmul, and only the
+    tie-exact per-batch top-k superset (≤ Q·k rows per batch) reaches the
+    final exact ranking. Values are bit-identical (see
+    :func:`_dense_topk_candidates`) — the oracle hash is the proof.
+    """
     assert_broadcastable_corpus(_corpus_rows(sf_dir))
     q = _quantized(spark, sf_dir)
-    # fan_out (OPTIMIZATION r15, guide §2.5): the Q·N cosine folds are
-    # evaluated on the STREAM side of the broadcast join, which is the
-    # embeddings scan — a single-row-group file, i.e. ONE task for the
-    # whole O(Q·N) pair stage. Spreading the (tiny) query rows moves the
-    # pair evaluation onto every core; no-op once the scan has real
-    # parallelism.
-    queries = fan_out(
-        q.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries_rows = (
+        q.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qv"),
             F.col("norm").alias("qn"),
         )
+        .collect()
     )
-    corpus = q.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("q").alias("cv"),
-        F.col("norm").alias("cn"),
+    corpus = fan_out(
+        q.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
     )
-    pairs = queries.join(
-        F.broadcast(corpus), F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
-            "cosine"
-        ),
-    )
+    pairs = _dense_topk_candidates(corpus, queries_rows, TOP_K)
     return topk_per_query(pairs)
 
 
@@ -273,6 +463,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     never sees the rest of the corpus. Recall < 1 by construction (single
     probe); add multi-probe by exploding candidate buckets per query.
     """
+    # NOT the matmul kernel: unlike the gated brute-force baseline, this
+    # query set is unbounded (N/10 of the corpus) — collecting it to the
+    # driver would be exactly the unbounded-collect class the engine
+    # bans. The per-label equi-join IS the scalable shape; the fold is
+    # the per-pair cost it pays (r15 A/B: per-pair Arrow shipping loses).
     q = _quantized(spark, sf_dir)
     queries = q.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1388,37 +1583,36 @@ def _bruteforce_truth_sampled(
 ) -> DataFrame:
     """Exact top-k truth for a fixed query sample, corpus-broadcast-free.
 
-    The sampled query vectors broadcast; the corpus streams. Top-k runs in
-    two phases so the per-query pair stream (N rows per sampled query) is
-    never sorted by one reducer: phase 1 partitions by (query, salt-of-
-    neighbor) — Q*SALT well-sized groups of skinny 24-byte rows — and keeps
-    k each; phase 2 ranks the Q*SALT*k survivors.
+    The sampled query vectors ride a driver broadcast; the corpus streams
+    once through the matmul kernel, which emits at most k (+boundary
+    ties) candidates per query per Arrow batch — so the final exact
+    ranking never sees an N-per-query pair stream (the bounding the old
+    salted phase-1 provided, now without materializing Q·N pairs at all).
     """
     q = _quantized(spark, sf_dir)
-    queries = q.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qv"),
-        F.col("norm").alias("qn"),
+    queries_rows = (
+        q.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+        .collect()
     )
-    corpus = q.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("q").alias("cv"),
-        F.col("norm").alias("cn"),
+    corpus = fan_out(
+        q.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
     )
-    pairs = corpus.join(
-        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
-            "cosine"
-        ),
-        F.pmod(F.xxhash64("neighbor_id"), F.lit(_RECALL_TOPK_SALT)).alias(
-            "salt"
-        ),
-    )
-    local = topk_per_query(pairs, extra_partition=("salt",)).drop("salt")
-    return topk_per_query(local)
+    # matmul kernel (OPTIMIZATION r16, guide §4.2/§8 — same kernel and
+    # exactness argument as similarity_bruteforce; the query sample is
+    # RECALL_SAMPLE_Q-bounded). The per-batch top-k already bounds each
+    # query's candidate stream to k per batch, which is the job the salt
+    # phase used to do — one exact ranking finishes it.
+    pairs = _dense_topk_candidates(corpus, queries_rows, TOP_K)
+    return topk_per_query(pairs)
 
 
 def ann_truth_df(spark: SparkSession, sf_dir: str) -> DataFrame:

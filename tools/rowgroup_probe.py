@@ -67,6 +67,8 @@ def stage_split_dir(spark, sf: str, parts: int) -> str:
             df.repartitionByRange(parts, idcol).write.mode(
                 "overwrite"
             ).parquet(os.path.join(out, name))
+        elif os.path.isdir(p):
+            shutil.copytree(p, os.path.join(out, name))
         else:
             shutil.copy(p, os.path.join(out, name))
     open(os.path.join(out, "_STAGED"), "w").close()
@@ -83,6 +85,7 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--parts", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip-valuecheck", action="store_true")
     args = ap.parse_args()
 
@@ -107,14 +110,20 @@ def main() -> None:
         spark.sparkContext.setJobDescription(None)
         return time.time() - t0
 
-    # warm-up pass (stage builds for the split dir), then best-of-2
+    def host_cpu() -> tuple[int, int]:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return v[0] + v[1] + v[2], v[7]
+
+    # warm-up pass (stage builds for the split dir), then best-of-reps
     for q in QUERIES:
         run(q, split)
     best: dict[str, float] = {}
-    for _ in range(2):
+    b0, s0 = host_cpu()
+    for _ in range(args.reps):
         for q in QUERIES:
             dt = run(q, split)
             best[q] = min(best.get(q, 1e9), round(dt, 3))
+    b1, s1 = host_cpu()
 
     values_match = None
     if not args.skip_valuecheck:
@@ -127,7 +136,9 @@ def main() -> None:
     print(json.dumps({
         "cpus": cpus, "parts": args.parts, "split_dir": split,
         "doc_scan_partitions": scan_parts, "default_parallelism": par,
-        "fan_out_noop": fan_out_noop, "best_of_2": best,
+        "fan_out_noop": fan_out_noop, "reps": args.reps, "best": best,
+        "host_busy_cpu_s": round((b1 - b0) / 100, 1),
+        "host_steal_cpu_s": round((s1 - s0) / 100, 1),
         "values_match_single_file": values_match,
     }))
 
